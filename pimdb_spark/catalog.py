@@ -1,0 +1,751 @@
+"""Operator/query catalog: the driver-facing contract.
+
+Every operator family from SURVEY.md §2 (and the beyond-parity
+LLM-data-pipeline operators) is exercised here as a named query over the
+driver's synthetic TPC-H-ish tables, paired with an ANSI-SQL oracle that
+DuckDB runs on the same parquet files.  ``queries()`` / ``oracle_sql()`` in
+``__spark_entry__.py`` re-export this registry.
+
+Conventions (driver compare is row-count + schema + order-insensitive
+value-hash with columns sorted by name):
+
+- Every computed column is aliased identically in the Spark plan and in the
+  oracle SQL.
+- Float aggregates are ``round(x, N)`` on both sides so that
+  partial-aggregation order (which differs between engines and between runs)
+  cannot flip the last ulp of an unrounded double.
+- Raw timestamps are emitted as ``epoch_us`` bigints (exact, no formatting
+  ambiguity); truncated timestamps are cast to string (both engines format
+  whole-second timestamps identically).
+- All queries are pure DataFrame plans: no collect(), no Python row loops,
+  no RDDs.  Scale notes (what the plan does at 100 TB) are in each docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan; filters/column pruning push down into this scan.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; we read it as a raw nanosecond epoch long via an
+    explicit schema (works in any SparkSession, no legacy conf needed) and
+    expose ``ts_us`` (epoch microseconds, bigint).  All event-time logic in
+    this catalog is integer arithmetic on epoch micros — exact and
+    timezone-independent on both Spark and the DuckDB oracle (which itself
+    truncates TIMESTAMP_NS to microseconds on scan).
+    """
+    if name == "events":
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
+        return (
+            spark.read.schema(schema)
+            .parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts_us", F.expr("ts div 1000"))
+            .drop("ts")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_lit(s: str):
+    """Timestamp literal as TIMESTAMP_NTZ: the driver tables store naive
+    timestamps (parquet isAdjustedToUTC=false → Spark timestamp_ntz), and
+    NTZ-vs-NTZ comparison is independent of the session timezone, matching
+    DuckDB's naive TIMESTAMP semantics exactly."""
+    return F.lit(s).cast("timestamp_ntz")
+
+
+# Numeric-parity policy (vs the DuckDB oracle):
+#
+# 1. Per-row float expressions are emitted RAW (no rounding): when the Spark
+#    plan and the oracle SQL share the same expression structure, IEEE-754
+#    ops produce bit-identical doubles, so no tolerance is needed.
+# 2. Aggregates over money-like columns use exact DECIMAL arithmetic
+#    (inputs are fixed-point values stored as doubles; casting to a narrow
+#    decimal recovers them exactly) and cast the final sum to DOUBLE.  This
+#    removes float-summation-order sensitivity entirely — Spark's partial
+#    aggregation order varies run to run, decimal sums do not.
+# 3. Averages are emitted as CAST(sum_decimal AS DOUBLE) / count — one
+#    deterministic double division instead of engine-specific AVG typing.
+
+
+def dec2(c) -> F.Column:
+    """Exact cents: prices/quantities (≤ 10 digits, 2 decimals)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(12,2)")
+
+
+def frac2(c) -> F.Column:
+    """Exact small fraction (discount/tax in [0,1.1])."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(3,2)")
+
+
+@dataclass
+class CatalogEntry:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver records the weaker rows-only check
+    bench: bool = False  # include in bench.py headline run
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None, bench: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = CatalogEntry(name=name, fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in _REGISTRY.items() if e.bench}
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators (SURVEY.md §2.2-§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*)  AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (SURVEY §2.4): scan→filter→hash-agg.
+
+    Scale: single shuffle on a 2-value grouping key; partial aggregation
+    (map-side combine) reduces the shuffle to O(partitions * groups) rows.
+    Filter + 7-column projection push into the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec2("l_extendedprice") * (one - frac2("l_discount"))
+    charge = disc_price * (one + frac2("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= ts_lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(frac2("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join fact → agg → top-k.
+
+    Scale: customer(filtered) is small relative to lineitem → broadcast it;
+    orders⋈lineitem is the one real shuffle. Top-k plans as
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < ts_lit("1998-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > ts_lit("1996-03-15")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                dec2("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - frac2("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey   = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (SURVEY §2.3 J2/J6): 6-way join with a composite
+    condition (suppkey AND nationkey), dims broadcast.
+
+    Scale: region/nation/supplier/customer are all dims → broadcast-hash
+    joins; the only shuffle join is orders⋈lineitem on orderkey.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec2("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - frac2("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_filter_project_rename",
+    oracle="""
+    SELECT l_orderkey AS order_key,
+           l_linenumber AS line_number,
+           l_quantity AS quantity,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           upper(l_returnflag) AS return_flag
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_discount > 0.04
+      AND l_returnflag IS NOT NULL
+    """,
+)
+def q_filter_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/P5 (SURVEY §2.2): predicate + projection + rename + scalar expr.
+
+    Scale: no shuffle at all; predicates and the 6-column projection push
+    down to the parquet scan (PushedFilters/ReadSchema).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                ts_lit("1996-01-01"), ts_lit("1996-12-31")
+            )
+            & (F.col("l_discount") > 0.04)
+            & F.col("l_returnflag").isNotNull()
+        )
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("l_quantity").alias("quantity"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.upper("l_returnflag").alias("return_flag"),
+        )
+    )
+
+
+@register(
+    "q_conjunctive_isin",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7, 8)
+    """,
+)
+def q_conjunctive_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (SURVEY §2.1): conjunctive set-membership filter
+    (reference: filtered_name_to_values_map, common.py:241-252).
+    Scale: pure pushed-down scan filter; IN-lists compile to parquet filters.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_nationkey").isin(list(range(1, 9)))
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+
+
+@register(
+    "q_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (SURVEY §2.1): keep-FIRST dedup by key via row_number window —
+    the distributed replacement for the reference's in-memory seen-keys set
+    (common.py:238-255), with (ts_us, event_id) as the deterministic order.
+
+    Scale: one shuffle on the dedup key; no driver-side state. Skewed keys
+    are handled by AQE; for extreme skew, pre-aggregate min_by per key.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "event_type")
+    )
+
+
+@register(
+    "q_distinct_multi",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey
+    FROM lineitem
+    """,
+)
+def q_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 (SURVEY §2.4): multi-column DISTINCT.
+    Scale: plans as partial+final hash aggregate — map-side combine shrinks
+    the shuffle to unique rows per partition.
+    """
+    return load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_suppkey"
+    ).distinct()
+
+
+@register(
+    "q_key_table_tokens",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY name) AS id, name
+    FROM (SELECT DISTINCT unnest(string_split(p_type, ' ')) AS name FROM part)
+    """,
+)
+def q_key_table_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+A4+E1 (SURVEY §2.5/§2.6): build a key table (id = 1-based rank of
+    name in sorted order) from the distinct tokens of a comma/space list
+    column — the Spark form of pimdb's _build_key_table_from_values
+    (database.py:631-635) + set-union accumulate (database.py:604-617).
+
+    Scale: distinct first (shuffle on token), then a single-partition
+    row_number over the tiny distinct set — key tables are small by
+    definition (genre ~30, profession ~50), so the 1-partition sort is fine.
+    """
+    p = load(spark, sf_dir, "part")
+    names = p.select(F.explode(F.split("p_type", " ")).alias("name")).distinct()
+    return names.select(
+        F.row_number().over(Window.orderBy("name")).alias("id"), "name"
+    )
+
+
+@register(
+    "q_left_join_coalesce",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           coalesce(agg.sum_qty, 0.0)  AS sum_qty,
+           coalesce(agg.n_lines, 0)    AS n_lines
+    FROM part p
+    LEFT JOIN (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    ) agg ON agg.l_partkey = p.p_partkey
+    """,
+)
+def q_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+P4 (SURVEY §2.3): left outer join + NULL-default coalesce — the
+    shape of build_title_table's ratings join (database.py:907-918) where
+    unrated titles get average_rating=0.
+
+    Scale: aggregate the fact side BEFORE the join (shrinks it to one row
+    per key), then join; part is the smaller side at TPC-H ratios but the
+    pre-agg is what keeps the join cheap.
+    """
+    p = load(spark, sf_dir, "part")
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        p.join(agg, p.p_partkey == agg.l_partkey, "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.coalesce("sum_qty", F.lit(0.0)).alias("sum_qty"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_self_join_pairs",
+    oracle="""
+    SELECT o1.o_custkey AS custkey,
+           count(*) AS n_pairs,
+           sum(CASE WHEN o2.o_totalprice > o1.o_totalprice THEN 1 ELSE 0 END) AS n_increasing
+    FROM orders o1
+    JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+    GROUP BY o1.o_custkey
+    """,
+)
+def q_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (SURVEY §2.3): self-join with two aliases of the same table — the
+    shape of build_episode_table's double self-join (database.py:944-980).
+
+    Scale: self-join on o_custkey; per-key fan-out is bounded (orders per
+    customer is a constant ~10 at any SF), so output grows linearly. Both
+    sides share the same shuffle partitioning, which Spark reuses.
+    """
+    o = load(spark, sf_dir, "orders")
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o1.o_orderkey") < F.col("o2.o_orderkey")),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("o2.o_totalprice") > F.col("o1.o_totalprice"), 1).otherwise(0)
+            ).alias("n_increasing"),
+        )
+    )
+
+
+@register(
+    "q_composite_key_join",
+    oracle="""
+    SELECT l1.l_orderkey AS orderkey,
+           l1.l_linenumber AS linenumber,
+           l1.l_extendedprice AS price,
+           l2.l_extendedprice AS next_price
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+    """,
+)
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (SURVEY §2.3): composite-key equi-join (multi-condition ON) — the
+    shape of build_title_alias_to_title_alias_type_table's
+    (titleId AND ordering) join (database.py:1085-1088).
+
+    Scale: both sides hash-partition on l_orderkey only (the equi part);
+    the +1 arithmetic rides along as a join condition, no extra shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l2.l_linenumber") == F.col("l1.l_linenumber") + 1),
+    ).select(
+        F.col("l1.l_orderkey").alias("orderkey"),
+        F.col("l1.l_linenumber").alias("linenumber"),
+        F.col("l1.l_extendedprice").alias("price"),
+        F.col("l2.l_extendedprice").alias("next_price"),
+    )
+
+
+@register(
+    "q_multiway_distinct",
+    oracle="""
+    SELECT DISTINCT r.r_name, n.n_name, o.o_orderpriority, l.l_returnflag
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_multiway_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (SURVEY §2.3): 5-way join then DISTINCT — the shape of
+    build_participation_to_character_table (database.py:765-811).
+
+    Scale: dims broadcast; distinct is a partial+final hash agg over a
+    low-cardinality result.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "o_orderpriority", "l_returnflag")
+        .distinct()
+    )
+
+
+@register(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS totalprice,
+           CAST(o_orderdate AS VARCHAR) AS orderdate_s
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (SURVEY §2.5): ORDER BY + LIMIT top-k.
+    Scale: Catalyst plans TakeOrderedAndProject — per-partition heaps, no
+    global sort; deterministic via the o_orderkey tiebreak.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderdate").cast("string").alias("orderdate_s"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 window functions: per-group top-N via row_number.
+    Scale: one shuffle on o_custkey; Spark 3.5+/4.x inserts a
+    WindowGroupLimit (partial top-k before the shuffle) for rank filters.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "q_count_star",
+    oracle="SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+)
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (SURVEY §2.4): scalar counts (table_count / check_table_count,
+    database.py:398-401,925-935).  Scale: count(*) reads parquet row-group
+    metadata only when no filter is present."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "q_union_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: UNION (distinct) then EXCEPT.
+    Scale: each set op is a hash-based shuffle on the single key column.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct().exceptAll(f.distinct())
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (SURVEY §2.6): JSON string column parsed in-engine — the Spark
+    form of pimdb's json.loads over TitlePrincipals.characters
+    (database.py:715-728), as a built-in expression, not a UDF.
+    Scale: get_json_object is JVM-side codegen; no Python boundary.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q_sql_passthrough",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING count(*) > 2
+    """,
+)
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 query surface: arbitrary SQL text over registered views —
+    pimdb's `query` verb (command.py:223-237) becomes spark.sql over temp
+    views. Scale: identical plan to the DataFrame form; Catalyst parses,
+    optimizes, broadcasts nation."""
+    for t in ("customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING count(*) > 2
+        """
+    )

@@ -1,0 +1,27 @@
+"""Import-all module: importing this registers every catalog module's
+queries into pimdb_spark.catalog._REGISTRY.  __spark_entry__.py and
+bench.py import from here so the registry is always complete.
+"""
+
+from __future__ import annotations
+
+import pimdb_spark.catalog  # noqa: F401  (core relational operators)
+
+try:
+    import pimdb_spark.catalog_explode  # noqa: F401  (explode/flatten family)
+except ImportError:
+    pass
+try:
+    import pimdb_spark.catalog_text  # noqa: F401  (text analysis + dedup)
+except ImportError:
+    pass
+try:
+    import pimdb_spark.catalog_similarity  # noqa: F401  (embeddings / ANN)
+except ImportError:
+    pass
+try:
+    import pimdb_spark.catalog_temporal  # noqa: F401  (event-time / sessionize)
+except ImportError:
+    pass
+
+from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401
