@@ -1,0 +1,56 @@
+"""Parquet 'database' directory (SURVEY §2.1 S8/S9 and §7 architecture).
+
+A database is a directory with one parquet dataset per table.  Writing with
+mode=overwrite is the Spark form of pimdb's truncate-before-load
+(database.py:369-371); dropping obsolete tables (database.py:582-586) is
+deleting datasets not in the current table list.  Every table is registered
+as a temp view so ``spark.sql`` serves the pass-through query surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetDatabase:
+    def __init__(self, spark: SparkSession, db_dir: str):
+        self.spark = spark
+        self.db_dir = db_dir
+        os.makedirs(db_dir, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.db_dir, f"{table}.parquet")
+
+    def write(self, df: DataFrame, table: str) -> None:
+        df.write.mode("overwrite").parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def drop(self, table: str) -> None:
+        if self.exists(table):
+            shutil.rmtree(self.path(table))
+
+    def table_names(self) -> list[str]:
+        return sorted(
+            f[: -len(".parquet")] for f in os.listdir(self.db_dir) if f.endswith(".parquet")
+        )
+
+    def drop_obsolete(self, keep: list[str]) -> None:
+        for t in self.table_names():
+            if t not in keep:
+                self.drop(t)
+
+    def register_all(self) -> None:
+        for t in self.table_names():
+            self.read(t).createOrReplaceTempView(t)
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_all()
+        return self.spark.sql(query)

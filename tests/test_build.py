@@ -1,0 +1,215 @@
+"""Normalized-build semantics: every step of the 14-step DAG
+(SURVEY §3.2) asserted against hand-computed expectations on the fixture."""
+
+from __future__ import annotations
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def ids_by_name(db, table):
+    return {r.name: r.id for r in db.read(table).collect()}
+
+
+def test_key_tables_sorted_rank_ids(built_db):
+    """O1: id == 1-based rank of name in sorted order (database.py:631-635).
+    'actor' only occurs on a dedup-dropped row, so it must NOT appear."""
+    assert rows(built_db.read("genre"), "id", "name") == [
+        (1, "Action"),
+        (2, "Comedy"),
+        (3, "Drama"),
+    ]
+    assert rows(built_db.read("title_type"), "id", "name") == [
+        (1, "movie"),
+        (2, "tvEpisode"),
+        (3, "tvSeries"),
+    ]
+    assert rows(built_db.read("profession"), "id", "name") == [
+        (1, "actress"),
+        (2, "director"),
+        (3, "self"),
+    ]
+
+
+def test_title_alias_type_static(built_db):
+    """Static 8-value key table, sorted ids (database.py:637-639)."""
+    expected = sorted(
+        ["alternative", "dvd", "festival", "tv", "video", "working", "original", "imdbDisplay"]
+    )
+    assert rows(built_db.read("title_alias_type"), "id", "name") == [
+        (i + 1, n) for i, n in enumerate(expected)
+    ]
+
+
+def test_title_rating_defaults_and_ids(built_db):
+    """J1: left join ratings, coalesce to 0 (database.py:907-918); ids are
+    rank-by-tconst."""
+    t = built_db.read("title")
+    got = {r.tconst: r for r in t.collect()}
+    assert [got[k].id for k in sorted(got)] == [1, 2, 3, 4]
+    assert got["tt0000001"].average_rating == 7.5
+    assert got["tt0000001"].rating_count == 1000
+    assert got["tt0000003"].average_rating == 0.0
+    assert got["tt0000003"].rating_count == 0
+    assert got["tt0000004"].title_type_id == 1  # movie
+
+
+def test_name_projection(built_db):
+    n = built_db.read("name")
+    got = {r.nconst: r for r in n.collect()}
+    assert len(got) == 3
+    assert got["nm0000001"].primary_name == "Alice Actor"
+    assert got["nm0000001"].primary_professions == "actress,producer"
+    assert got["nm0000003"].birth_year is None
+
+
+def test_episode_drops_unknown_parent(built_db):
+    """J3: inner self-joins drop episodes whose parentTconst is unknown
+    (database.py:944-980)."""
+    e = built_db.read("episode")
+    assert rows(e, "title_id", "parent_title_id", "season", "episode") == [(3, 2, 1, 1)]
+
+
+def test_known_for_title_skip_and_renumber(built_db):
+    """E2: dangling tconsts are skipped and ordering renumbers densely
+    (database.py:858-874)."""
+    db = built_db
+    name_id = {r.nconst: r.id for r in db.read("name").collect()}
+    title_id = {r.tconst: r.id for r in db.read("title").collect()}
+    got = rows(db.read("name_to_known_for_title"), "name_id", "ordering", "title_id")
+    assert got == sorted(
+        [
+            (name_id["nm0000001"], 1, title_id["tt0000001"]),  # tt9999999 skipped
+            (name_id["nm0000001"], 2, title_id["tt0000002"]),  # renumbered densely
+            (name_id["nm0000002"], 1, title_id["tt0000002"]),
+        ]
+    )
+
+
+def test_title_to_genre_ordering(built_db):
+    """E1: ordering follows comma-list position (database.py:996-1001)."""
+    db = built_db
+    title_id = {r.tconst: r.id for r in db.read("title").collect()}
+    genre_id = ids_by_name(db, "genre")
+    got = rows(db.read("title_to_genre"), "title_id", "ordering", "genre_id")
+    assert got == sorted(
+        [
+            (title_id["tt0000001"], 1, genre_id["Action"]),
+            (title_id["tt0000001"], 2, genre_id["Comedy"]),
+            (title_id["tt0000002"], 1, genre_id["Drama"]),
+            (title_id["tt0000003"], 1, genre_id["Drama"]),
+            (title_id["tt0000003"], 2, genre_id["Comedy"]),
+        ]
+    )
+
+
+def test_character_and_temp_map(built_db):
+    """E3: distinct JSONs parsed once; character ids ranked by name; per-JSON
+    list order preserved (database.py:705-763)."""
+    db = built_db
+    assert rows(db.read("character"), "id", "name") == [(1, "Jane"), (2, "Queen"), (3, "Self")]
+    got = rows(db.read("temp_characters_to_character"), "characters", "ordering", "character_id")
+    assert got == sorted(
+        [
+            ('["Jane", "Queen"]', 1, 1),
+            ('["Jane", "Queen"]', 2, 2),
+            ('["Self"]', 1, 3),
+        ]
+    )
+
+
+def test_participation(built_db):
+    """J2: one row per surviving principals row; profession resolved;
+    ids ranked by (title_id, ordering) (database.py:669-703)."""
+    db = built_db
+    p = db.read("participation")
+    assert p.count() == 5
+    prof_id = ids_by_name(db, "profession")
+    name_id = {r.nconst: r.id for r in db.read("name").collect()}
+    got = rows(p, "id", "title_id", "ordering", "name_id", "profession_id")
+    assert got == [
+        (1, 1, 1, name_id["nm0000001"], prof_id["actress"]),
+        (2, 1, 2, name_id["nm0000002"], prof_id["director"]),
+        (3, 2, 1, name_id["nm0000001"], prof_id["actress"]),
+        (4, 2, 2, name_id["nm0000003"], prof_id["self"]),
+        (5, 3, 1, name_id["nm0000003"], prof_id["self"]),
+    ]
+
+
+def test_participation_to_character(built_db):
+    """J6: 5-way join + DISTINCT (database.py:765-811)."""
+    db = built_db
+    char_id = ids_by_name(db, "character")
+    got = rows(db.read("participation_to_character"), "participation_id", "ordering", "character_id")
+    assert got == sorted(
+        [
+            (1, 1, char_id["Jane"]),
+            (1, 2, char_id["Queen"]),
+            (3, 1, char_id["Jane"]),
+            (3, 2, char_id["Queen"]),
+            (4, 1, char_id["Self"]),
+            (5, 1, char_id["Self"]),
+        ]
+    )
+
+
+def test_title_alias(built_db):
+    """J4: ordering/region/language pass through; dedup dropped the
+    (tt0000001, 1) duplicate before the join (database.py:1031-1063)."""
+    db = built_db
+    ta = db.read("title_alias")
+    assert ta.count() == 4
+    title_id = {r.tconst: r.id for r in db.read("title").collect()}
+    got = {
+        (r.title_id, r.ordering): (r.title, r.region_code, r.is_original_title)
+        for r in ta.collect()
+    }
+    assert got[(title_id["tt0000001"], 1)] == ("First Movie", "US", False)
+    assert got[(title_id["tt0000001"], 2)] == ("Erste Film", "DE", None)
+    assert got[(title_id["tt0000002"], 1)] == ("The Series", None, True)
+
+
+def test_alias_type_greedy_decomposition(built_db):
+    """E4 (database.py:1003-1029): tokens matched in DECLARATION order
+    (alternative, dvd, festival, tv, video, working, original, imdbDisplay),
+    each match removed from the remainder; unknown leftovers ignored.
+
+    'festivalworking'      -> [festival, working]
+    'originalalternative'  -> [alternative, original]  (declaration order!)
+    'bogustype'            -> []
+    'imdbDisplay'          -> [imdbDisplay]
+    """
+    db = built_db
+    ta = db.read("title_alias")
+    title_id = {r.tconst: r.id for r in db.read("title").collect()}
+    alias_id = {(r.title_id, r.ordering): r.id for r in ta.collect()}
+    tat_id = ids_by_name(db, "title_alias_type")
+    got = rows(
+        db.read("title_alias_to_title_alias_type"),
+        "title_alias_id",
+        "ordering",
+        "title_alias_type_id",
+    )
+    assert got == sorted(
+        [
+            (alias_id[(title_id["tt0000001"], 1)], 1, tat_id["imdbDisplay"]),
+            (alias_id[(title_id["tt0000001"], 2)], 1, tat_id["festival"]),
+            (alias_id[(title_id["tt0000001"], 2)], 2, tat_id["working"]),
+            (alias_id[(title_id["tt0000002"], 1)], 1, tat_id["alternative"]),
+            (alias_id[(title_id["tt0000002"], 1)], 2, tat_id["original"]),
+        ]
+    )
+
+
+def test_mappable_title_alias_types_unit():
+    from pimdb_spark.plans.build import mappable_title_alias_types as m
+
+    assert m(None) == []
+    assert m("") == []
+    assert m("imdbDisplay") == ["imdbDisplay"]
+    assert m("festivalworking") == ["festival", "working"]
+    assert m("originalalternative") == ["alternative", "original"]
+    assert m("bogustype") == []
+    # removal is global: repeated token contributes once
+    assert m("dvddvd") == ["dvd"]
