@@ -1,0 +1,119 @@
+"""Similarity-search operators over the embeddings table: exact cosine
+top-k (brute force), sign-LSH bucketed ANN, and embedding near-dup pairs.
+
+Numeric parity: the dot product is a sequential left-to-right fold in
+double precision on both engines (Spark aggregate / DuckDB list_reduce),
+and cosines are rounded to 4 digits — rank ties at that precision are
+broken by candidate id on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.operators import similarity as S
+
+_COS_RAW = """
+    (list_reduce(list_transform(range(1, 65),
+                  i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE),
+                  (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(range(1, 65),
+               i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE), (x, y) -> x + y))))
+"""
+
+_COS = "round(" + _COS_RAW + ", 4)"
+
+_BUCKET = """
+    list_reduce(list_transform(range(1, 9),
+                i -> CASE WHEN {v}.embedding[i] > 0 THEN 1 ELSE 0 END),
+                (acc, b) -> acc * 2 + b)
+"""
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {_COS.format(a='q', b='c')} AS cos
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT q_id, rank, c_id, cos FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    bench=True,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 8 query vectors
+    (operators/similarity.cosine_topk).  Scale: queries broadcast; one
+    pass over candidates; per-query top-k via WindowGroupLimit."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.cosine_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
+
+
+@register(
+    "q_lsh_ann_topk",
+    oracle=f"""
+    WITH side AS (
+      SELECT vec_id, embedding, {_BUCKET.format(v='embeddings')} AS bucket
+      FROM embeddings
+    ), q AS (SELECT * FROM side WHERE vec_id < 16),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
+             {_COS.format(a='q', b='c')} AS cos
+      FROM side c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT q_id, bucket, rank, c_id, cos FROM (
+      SELECT q_id, bucket, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-LSH bucketing on the first 8 dimensions
+    (operators/similarity.lsh_ann_topk): candidates shrink ~2^8, the
+    classic recall/cost trade.  Scale: equi-join on bucket id replaces the
+    cross join."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return S.lsh_ann_topk(queries, emb, "vec_id", "vec_id", "embedding", k=3, n_bits=8)
+
+
+@register(
+    "q_embedding_dup_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+    ), side AS (
+      SELECT vec_id, embedding, {_BUCKET.format(v='base')} AS bucket FROM base
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a='a', b='b')} AS cos
+    FROM side a JOIN side b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_RAW.format(a='a', b='b')} >= 0.95
+    """,
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets
+    (operators/similarity.embedding_dup_pairs); every 7th vector is
+    duplicated (id + 100,000) so the expected pairs are known.
+    Scale: bucket join bounds pairs; threshold filters before output."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.union(copies)
+    return S.embedding_dup_pairs(base, "vec_id", "embedding", n_bits=8, threshold=0.95)

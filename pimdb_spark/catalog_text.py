@@ -1,0 +1,320 @@
+"""Text-analysis + deduplication operators over the documents table
+(the LLM-training-data-pipeline surface): stats/quality, language id,
+token counting, fingerprinting, exact dedup, n-gram Jaccard pairs,
+MinHash signatures, MinHash+LSH near-dup pairs, SimHash sketches.
+
+Every oracle recomputes the same md5-based hashing in DuckDB, so the
+correctness check covers the hash plumbing end-to-end, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.operators import dedup as D
+from pimdb_spark.operators import text as T
+
+_SW = T.LANG_STOPWORDS
+
+
+def _sw_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _SW[lang]) + "]"
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           len(list_filter(toks, x -> list_contains({_sw_sql('en')}, x))) AS n_stopwords,
+           CAST(len(list_filter(toks, x -> list_contains({_sw_sql('en')}, x))) AS DOUBLE)
+             / len(toks) AS stop_ratio,
+           (CAST(len(list_filter(toks, x -> length(x) BETWEEN 2 AND 20)) AS DOUBLE) / len(toks))
+             * (1.0 - CAST(len(list_filter(toks, x -> list_contains({_sw_sql('en')}, x))) AS DOUBLE)
+                      / (2 * len(toks))) AS quality
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document statistics + quality score (operators/text.doc_stats):
+    token/char/stopword counts, stopword ratio, wordlike-fraction quality.
+    Scale: one projection, whole-stage codegen, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    stats = T.doc_stats("text")
+    return docs.select(
+        "doc_id",
+        stats["n_tokens"].alias("n_tokens"),
+        stats["n_chars"].alias("n_chars"),
+        stats["n_stopwords"].alias("n_stopwords"),
+        stats["stop_ratio"].alias("stop_ratio"),
+        stats["quality"].alias("quality"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> list_contains({_sw_sql('de')}, x))) AS s_de,
+             len(list_filter(string_split(text,' '), x -> list_contains({_sw_sql('en')}, x))) AS s_en,
+             len(list_filter(string_split(text,' '), x -> list_contains({_sw_sql('es')}, x))) AS s_es,
+             len(list_filter(string_split(text,' '), x -> list_contains({_sw_sql('fr')}, x))) AS s_fr,
+             len(list_filter(string_split(text,' '), x -> list_contains({_sw_sql('zh')}, x))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by stopword overlap (operators/text
+    .language_id): per-language function-word hit counts, argmax with
+    alphabetical tie-break.  Scale: pure projection."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        T.language_id("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_token_counts",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_ws_tokens,
+           sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_nonempty
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counting per source (whitespace tokens + non-empty),
+    the budget-accounting primitive of a training-data pipeline.
+    Scale: partial agg; shuffle carries one row per source."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_ws_tokens"),
+        F.sum(F.size(F.filter(toks, lambda t: t != F.lit("")))).alias("total_nonempty"),
+    )
+
+
+@register(
+    "q_doc_fingerprint_dedup",
+    oracle="""
+    SELECT md5(lower(text)) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY md5(lower(text))
+    """,
+)
+def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (operators/dedup.exact_dedup):
+    md5-of-normalized-text hash-groupBy keeping the lowest id.
+    Scale: shuffles (hash, id) only — content never moves."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, toks[1] AS first_tok,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM d WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jacc
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.first_tok = b.first_tok AND a.doc_id < b.doc_id
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity between documents, blocked on
+    (lang, first token) to bound the pair count (the blocking key is the
+    operator parameter; LSH banding in q_minhash_lsh_pairs is the
+    principled scale path).  Scale: equi-join on the block key — pair count
+    is sum of per-block squares, not n^2."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.element_at(toks, 1).alias("first_tok"),
+        D.word_shingles(toks, 3).alias("s"),
+    ).filter(F.size("s") > 0)
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("first_tok").alias("ft_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("first_tok").alias("ft_b"),
+        F.col("s").alias("s_b"),
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("ft_a") == F.col("ft_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", (inter / union).alias("jacc"))
+    )
+
+
+@register(
+    "q_minhash_signatures",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM d WHERE len(toks) >= 3
+    ), xs AS (
+      SELECT doc_id,
+             list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS x
+      FROM sh
+    )
+    SELECT doc_id,
+           unnest(range(0, 16)) AS h,
+           unnest(list_transform(range(0, 16),
+                  i -> list_aggregate(list_transform(x,
+                         v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                               + i * 1000003) % 4294967311),
+                       'min'))) AS minhash
+    FROM xs
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 hashes over 3-word shingles), exploded to
+    (doc_id, h, minhash) rows.  The md5-keyed min is engine-reproducible —
+    the oracle recomputes identical signatures.  Scale: one projection;
+    md5 cost is num_hashes x shingles per doc, all JVM-side."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id", D.word_shingles(toks, 3).alias("s")
+    ).filter(F.size("s") > 0)
+    sig = base.select("doc_id", D.minhash_signature(F.col("s"), 16).alias("sig"))
+    return sig.select("doc_id", F.posexplode("sig").alias("pos", "minhash")).select(
+        "doc_id", F.col("pos").alias("h"), "minhash"
+    )
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM base
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM d WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, s,
+             unnest(range(0, 4)) AS band,
+             unnest(list_transform(range(0, 4),
+                    b -> md5(array_to_string(sg[b*4+1:b*4+4], ',')))) AS band_hash
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS s_a, b.s AS s_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+             / (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) AS jacc
+    FROM cand
+    WHERE CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+            / (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) >= 0.8
+    """,
+    bench=True,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection (operators/dedup
+    .minhash_lsh_pairs): the corpus is augmented with exact copies of every
+    5th document (id + 1,000,000) so the expected duplicate pairs are known;
+    banding (4 bands x 4 rows) buckets candidates, true Jaccard >= 0.8
+    verifies.  Scale: see operators/dedup docstring — the all-pairs problem
+    becomes an equi-join on band hashes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    base = docs.union(copies)
+    return D.minhash_lsh_pairs(
+        base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    )
+
+
+@register(
+    "q_simhash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+               t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32),
+             b -> CASE WHEN list_sum(list_transform(hs,
+                         h -> ((h >> b) & 1) * 2 - 1)) > 0
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+    FROM d
+    """,
+    bench=True,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (operators/dedup.simhash32):
+    per-bit +-1 votes from each distinct token's md5-derived hash.
+    Scale: one projection; near-dup search then blocks on sketch prefix
+    and filters by hamming32."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(D.token_hashes_sql("split(text, ' ')")).alias("hs"),
+    ).select(
+        "doc_id", F.expr(D.simhash32_from_hashes_sql("hs")).alias("simhash")
+    )

@@ -1,0 +1,216 @@
+"""Deduplication operators: exact (hash-groupBy), MinHash+LSH banding,
+SimHash, and n-gram Jaccard — each as pure DataFrame transforms.
+
+Design for 100 TB:
+- Exact dedup shuffles once on the 128-bit content hash (not the content).
+- MinHash signatures are one projection (md5 is JVM-side); LSH banding
+  turns the quadratic all-pairs problem into an equi-join on band hashes,
+  so the shuffle is O(n_docs * n_bands) rows and candidate verification
+  touches only same-bucket pairs.
+- SimHash is one projection producing a 32-bit sketch; hamming-radius
+  blocking can then bucket by sketch prefix.
+- All hashing is md5-based, byte-stable across engines (oracle-friendly)
+  and across JVM versions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per identical (lowercased) text.
+    Scale: shuffles the md5 hash + id only."""
+    fp = F.md5(F.lower(F.col(text_col))).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (element_at is 1-based)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+# Universal-hash minhash family: one md5 per shingle yields a 32-bit
+# integer x; h_i(x) = (a_i*x + b_i) mod P with P prime > 2^32.  a_i < 2^30
+# keeps a_i*x < 2^62 (no int64 overflow).  16x fewer md5 calls than hashing
+# per (i, shingle), and identical integer arithmetic on every engine.
+MINHASH_P = 4294967311
+_A_MUL, _A_ADD, _A_MASK = 1103515245, 12345, (1 << 30) - 1
+_B_MUL = 1000003
+
+
+def _minhash_a(i: Column) -> Column:
+    i = i.cast("bigint")  # i*_A_MUL overflows int32 under ANSI mode
+    return ((i * _A_MUL + _A_ADD).bitwiseAND(F.lit(_A_MASK))).bitwiseOR(F.lit(1))
+
+
+def shingle_int_hashes(shingles: Column) -> Column:
+    """32-bit integer hash per shingle (first 8 hex chars of md5)."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def minhash_signature_from_hashes(xs: Column, num_hashes: int = 16) -> Column:
+    """Array of num_hashes minhash values (bigint) from precomputed shingle
+    int hashes.  IMPORTANT: materialize xs (persist or shuffle boundary)
+    before calling — Catalyst's CollapseProject would otherwise inline the
+    md5 hashing into all num_hashes lambda bodies and recompute it per
+    hash function (higher-order functions are interpreted, not codegen'd,
+    so that costs ~num_hashes x the whole hashing pass)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                xs, lambda x: (_minhash_a(i) * x + i.cast("bigint") * _B_MUL) % MINHASH_P
+            )
+        ),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Convenience single-expression form (fine for small inputs; prefer
+    the from_hashes form with a materialized hash column at scale)."""
+    return minhash_signature_from_hashes(shingle_int_hashes(shingles), num_hashes)
+
+
+def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: one md5 per band over its rows_per_band slice
+    (values joined as text so the band hash is engine-reproducible)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-duplicate pairs: shingle → minhash → band → bucket
+    join → verify true Jaccard ≥ threshold.  Returns (id_a, id_b, jacc)
+    with id_a < id_b.
+
+    Scale: the bucket join shuffles (id, band_hash) pairs; verification
+    re-joins shingle sets only for candidates.  Skewed buckets (boilerplate
+    docs) are handled by AQE skew-join; a bucket-size cap can be added
+    upstream for adversarial inputs.
+    """
+    rows_per_band = num_hashes // bands
+    toks = F.split(F.col(text_col), " ")
+    # Spread the CPU-heavy shingling/hashing across all cores: a small
+    # parquet input arrives as 1-2 splits, which would serialize the
+    # interpreted higher-order-function work.  At 100 TB the input already
+    # has thousands of splits and this repartition is a cheap row shuffle.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col).alias("doc"), word_shingles(toks, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("xs", shingle_int_hashes(F.col("shingles")))
+        .persist()  # materializes xs (md5 once per shingle) and serves the
+        # banding pass plus both sides of candidate verification
+    )
+    sig = base.withColumn("sig", minhash_signature_from_hashes(F.col("xs"), num_hashes))
+    # band join on (doc, band_hash) ONLY — the wide shingle arrays stay out
+    # of the O(n_docs x bands) shuffle and are re-joined just for the
+    # (typically tiny) candidate set
+    banded = sig.select(
+        "doc",
+        F.posexplode(lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band", "band_hash"
+        ),
+    )
+    left = banded.select(F.col("doc").alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col("doc").alias("id_b"), "band", "band_hash")
+    cand_ids = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand_ids.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+def simhash32_sql(toks_sql: str) -> str:
+    """SQL text for a 32-bit SimHash over the distinct tokens of the array
+    expression ``toks_sql``: per bit, sum +-1 votes from each token's
+    32-bit hash (first 8 hex chars of md5); bit set if the sum is positive.
+    One projection, no shuffle.  (SQL text because the per-bit shifts need
+    column-valued shift amounts, which the Python shiftright API doesn't
+    accept; SQL `>>` does.)"""
+    return simhash32_from_hashes_sql(token_hashes_sql(toks_sql))
+
+
+def token_hashes_sql(toks_sql: str) -> str:
+    """SQL text: 32-bit md5-derived hash per distinct token.  Materialize
+    this in its own projection before simhash32_from_hashes_sql so md5 runs
+    once per token, not once per (token, bit)."""
+    return (
+        f"transform(array_distinct({toks_sql}), "
+        "t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+    )
+
+
+def simhash32_from_hashes_sql(hashes_sql: str) -> str:
+    votes = (
+        f"aggregate({hashes_sql}, CAST(0 AS BIGINT), "
+        "(acc, h) -> acc + (((h >> b) & 1) * 2 - 1))"
+    )
+    bits = (
+        f"transform(sequence(0, 31), b -> CASE WHEN {votes} > 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return f"aggregate({bits}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+
+def simhash32(toks_sql: str) -> Column:
+    return F.expr(simhash32_sql(toks_sql))
+
+
+def hamming32_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text for the Hamming distance between two 32-bit sketches."""
+    return (
+        f"aggregate(sequence(0, 31), 0, (acc, bit) -> "
+        f"acc + CAST(((({a_sql}) ^ ({b_sql})) >> bit) & 1 AS INT))"
+    )
+
+
+def hamming32(a_sql: str, b_sql: str) -> Column:
+    return F.expr(hamming32_sql(a_sql, b_sql))

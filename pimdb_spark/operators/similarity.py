@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k as the exact baseline, and sign-LSH bucketed ANN
+as the scale path.
+
+Design for 100 TB:
+- Brute force is a broadcast nested-loop of the (small) query set against
+  the candidate scan — one pass, no shuffle of the candidates; per-query
+  top-k via window rank (WindowGroupLimit pushes the k-filter down).
+- Sign-LSH buckets both sides by the sign pattern of the first b
+  dimensions (or of b random hyperplanes — here fixed axes for
+  determinism), turning the cross join into an equi-join on bucket id:
+  candidates shrink by ~2^b, the classic recall/cost trade.
+- The dot product is a sequential fold (zip_with + aggregate), JVM-side;
+  for very wide vectors a Pandas UDF over Arrow batches (numpy matmul)
+  becomes faster — that variant is in operators/multimodal.py's style and
+  can be swapped in per-column width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic
+    accumulation order — oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """LSH bucket id: bit b set iff vec[b] > 0 (1-based element_at).
+    Fixed-axis hyperplanes keep the bucketing deterministic across engines;
+    swap in seeded random hyperplanes for production recall."""
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        lambda i: F.when(F.element_at(vec, i) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, score every candidate, rank
+    per query (ties broken by candidate id).  Self-matches excluded."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    if round_digits is not None:
+        # round BEFORE ranking so rank ties at the output precision break
+        # by candidate id deterministically (oracle does the same)
+        scored = scored.withColumn("cos", F.round("cos", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos")
+    )
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's sign-LSH
+    bucket.  Equi-join on bucket id replaces the cross join."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "rank", "c_id", "cos")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    threshold: float = 0.95,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine within sign-LSH buckets: (id_a < id_b,
+    cos >= threshold).  The bucket equi-join bounds the pair count."""
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    if round_digits is not None:
+        pairs = pairs.withColumn("cos", F.round("cos", round_digits))
+    return pairs

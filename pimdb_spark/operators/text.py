@@ -1,0 +1,91 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, document stats, quality scoring, language identification,
+token counting, and fingerprinting.
+
+All operators are pure column expressions (JVM-side, whole-stage codegen —
+no Python UDFs in the hot path), so they cost one projection over the scan
+and scale linearly with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small deterministic "function word" lists per language used by the
+# stopword-overlap language scorer.  These are operator parameters, not
+# linguistics — callers supply their own lists for real corpora.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht"],
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "de", "et", "que"],
+    "zh": ["de", "le", "shi", "bu", "wo"],
+}
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, sep)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token-count proxy for BPE vocabularies: split on whitespace AND
+    between letter/digit/punctuation class transitions — a cheap regex
+    stand-in for subword tokenizers (counts, not token ids)."""
+    text = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(text, r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
+    return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def stopword_count(toks: Column, stopwords: list[str]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def doc_stats(text: Column | str) -> dict[str, Column]:
+    """Length/token/stopword statistics + a simple quality score in [0,1]:
+    fraction of tokens that are 'wordlike' (2..20 chars), damped by the
+    stopword ratio — deterministic integer/double arithmetic only."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text) if isinstance(text, str) else text)
+    n_stop = stopword_count(toks, LANG_STOPWORDS["en"])
+    n_wordlike = F.size(F.filter(toks, lambda t: (F.length(t) >= 2) & (F.length(t) <= 20)))
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_stopwords": n_stop,
+        "stop_ratio": n_stop.cast("double") / n_tokens,
+        "quality": (n_wordlike.cast("double") / n_tokens)
+        * (F.lit(1.0) - n_stop.cast("double") / (2 * n_tokens)),
+    }
+
+
+def language_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_count(toks, sw) for lang, sw in sorted(LANG_STOPWORDS.items())}
+
+
+def language_id(text: Column | str) -> Column:
+    """Argmax stopword-overlap language guess; ties break alphabetically
+    (the CASE checks languages in sorted order).  One projection, no
+    shuffle, no UDF."""
+    toks = tokens(text)
+    scores = language_scores(toks)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the lowercased text.
+    (The rolling-hash variant for shingle-level fingerprints lives in
+    operators/dedup.py as part of MinHash.)"""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(text))
