@@ -1,0 +1,39 @@
+"""Multimodal-column catalog entries.  The oracle-checkable part is the
+binary payload metadata (byte length, checksum); the mapInPandas decode /
+feature-extract paths are rows-only checks (no SQL equivalent) and are
+additionally asserted in tests/test_multimodal.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.operators import multimodal as M
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata (operators/multimodal.payload_meta): the
+    text column is materialized as an opaque binary payload and measured.
+    Scale: one projection; payloads stay columnar."""
+    return M.payload_meta(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("q_multimodal_decode", oracle=None)  # mapInPandas: rows-only check
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched stub decode over binary payloads
+    (operators/multimodal.decode_images): exercises the mapInPandas
+    schema/batching plumbing; deterministic fake decode in this container
+    (see module docstring), PIL when installed."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    with_payload = M.with_binary_payload(docs, "text")
+    return M.decode_images(with_payload, "doc_id", "payload")

@@ -23,5 +23,9 @@ try:
     import pimdb_spark.catalog_temporal  # noqa: F401  (event-time / sessionize)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_multimodal  # noqa: F401  (binary payload columns)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401

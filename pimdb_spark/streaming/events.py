@@ -1,0 +1,82 @@
+"""Structured Streaming variants of the event-time operators
+(SURVEY §2.9 notes the reference has no streaming; this is the
+beyond-parity extension for continuous ingestion).
+
+The batch twins live in catalog_temporal.py and produce identical results
+— the tests assert that.  Streaming adds:
+- a file source (new parquet files under a directory are picked up
+  incrementally — the Spark-native form of pimdb's Last-Modified
+  re-download loop),
+- a watermark bounding state for late data,
+- tumbling-window aggregation in update/append mode.
+
+events.ts is INT64 TIMESTAMP(NANOS) parquet; we read it as a raw long via
+an explicit schema (same trick as catalog.load) and convert to a proper
+timestamp column for the window/watermark machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000"))).drop("ts")
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with a watermark
+    bounding state.  Scale: partial aggregation per micro-batch; state is
+    O(open windows x types) and the watermark closes windows."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain the stream with availableNow (process-everything-then-stop)
+    into an in-memory table named query_name."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,54 @@
+"""Multimodal plumbing: binary payload columns, Arrow-batched stub decode,
+frame sampling, feature extraction — schema and determinism checks."""
+
+from __future__ import annotations
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+
+
+def test_with_binary_payload_schema(spark):
+    from pimdb_spark.operators.multimodal import with_binary_payload
+
+    df = with_binary_payload(_docs(spark), "text")
+    assert dict(df.dtypes)["payload"] == "binary"
+    row = df.select("media_meta.*").first()
+    assert row.mime == "application/octet-stream"
+    assert row.n_bytes > 0
+    assert len(row.checksum) == 32
+
+
+def test_decode_images_stub_deterministic(spark):
+    from pimdb_spark.operators.multimodal import decode_images, with_binary_payload
+
+    df = with_binary_payload(_docs(spark), "text")
+    out1 = {r.doc_id: (r.width, r.height, r.mode, r.n_bytes) for r in decode_images(df).collect()}
+    out2 = {r.doc_id: (r.width, r.height, r.mode, r.n_bytes) for r in decode_images(df).collect()}
+    assert out1 == out2
+    assert len(out1) == 50
+    for w, h, mode, n in out1.values():
+        assert 64 <= w < 256 and 64 <= h < 256
+        assert mode in ("RGB", "RGBA", "L")
+        assert n > 0
+
+
+def test_frame_sample(spark):
+    from pimdb_spark.operators.multimodal import frame_sample, with_binary_payload
+
+    df = with_binary_payload(_docs(spark), "text")
+    frames = frame_sample(df, "doc_id", "payload", n_frames=4)
+    assert frames.count() == 200  # 50 docs x 4 frames
+    assert frames.select("frame_no").distinct().count() == 4
+
+
+def test_feature_extract_shape(spark):
+    from pimdb_spark.operators.multimodal import feature_extract, with_binary_payload
+
+    df = with_binary_payload(_docs(spark), "text")
+    out = feature_extract(df, dim=8).collect()
+    assert len(out) == 50
+    for r in out:
+        vec = [float(x) for x in r.feature.split(",")]
+        assert len(vec) == 8
+        assert all(-1.0 <= v <= 1.0 for v in vec)

@@ -1,0 +1,83 @@
+"""Structured Streaming twin of the batch event pipeline: the windowed
+aggregation over a file-source stream must equal the batch result."""
+
+from __future__ import annotations
+
+import shutil
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+
+    stream = read_event_stream(spark, str(src))
+    assert stream.isStreaming
+    run_to_memory(windowed_counts(stream), "win_counts")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_counts").collect()
+    }
+
+    # batch twin on the same file
+    from pimdb_spark.streaming.events import EVENTS_SCHEMA
+
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.groupBy(
+            F.window("event_time", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_streaming_incremental_files(spark, tmp_path):
+    """New files are picked up incrementally (the streaming form of the
+    reference's Last-Modified re-download loop)."""
+    import duckdb
+
+    from pimdb_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    src = tmp_path / "events_incr"
+    src.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '/root/testdata/sf0.001/events.parquet'
+        WHERE event_id % 2 = 0) TO '{src}/a.parquet' (FORMAT PARQUET)"""
+    )
+    stream = windowed_counts(read_event_stream(spark, str(src)))
+    run_to_memory(stream, "incr_counts")
+    n1 = spark.table("incr_counts").agg({"n_events": "sum"}).collect()[0][0]
+
+    con.execute(
+        f"""COPY (SELECT * FROM '/root/testdata/sf0.001/events.parquet'
+        WHERE event_id % 2 = 1) TO '{src}/b.parquet' (FORMAT PARQUET)"""
+    )
+    run_to_memory(stream, "incr_counts2")
+    n2 = spark.table("incr_counts2").agg({"n_events": "sum"}).collect()[0][0]
+    assert n1 == 500
+    assert n2 == 1000
