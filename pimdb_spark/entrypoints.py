@@ -27,5 +27,13 @@ try:
     import pimdb_spark.catalog_multimodal  # noqa: F401  (binary payload columns)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_asof  # noqa: F401  (as-of / range joins)
+except ImportError:
+    pass
+try:
+    import pimdb_spark.catalog_sql_surface  # noqa: F401  (rollup/cube/subqueries)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401
