@@ -31,14 +31,24 @@ def main() -> None:
 
     bench = _ep.bench_queries()
     timings: dict[str, float] = {}
-    # warm-up: JVM + parquet footer caches, one tiny job
+    # Warm-up pass: run every query once untimed so the timed pass measures
+    # steady-state execution (whole-stage-codegen compilation, JIT, parquet
+    # footer/file-listing caches are one-time JVM costs, not query work).
     spark.range(1).count()
     for name, fn in bench.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        fn(spark, sf_dir).count()
+    spark.catalog.clearCache()  # drop warm-up persists; keep JIT/codegen warm
+    # Two timed iterations, report the min: local[32] on a shared box has
+    # multi-hundred-ms scheduler/GC jitter that would otherwise dominate
+    # sub-second queries.
+    for name, fn in bench.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -15,7 +15,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,30 +125,56 @@ def minhash_lsh_pairs(
     upstream for adversarial inputs.
     """
     rows_per_band = num_hashes // bands
-    toks = F.split(F.col(text_col), " ")
-    # Spread the CPU-heavy shingling/hashing across all cores: a small
-    # parquet input arrives as 1-2 splits, which would serialize the
-    # interpreted higher-order-function work.  At 100 TB the input already
-    # has thousands of splits and this repartition is a cheap row shuffle.
+    # ONE shuffle, everything heavy in whole-stage codegen.  Interpreted
+    # higher-order functions (transform/aggregate lambdas) cost ~5-10x the
+    # codegen'd scalar path, so the pipeline is row-oriented instead:
+    #   repartition(id)            <- the only shuffle that carries text
+    #   posexplode tokens          <- Generate, codegen
+    #   window lead(k-1) shingles  <- partitioning satisfied: sort only
+    #   md5 per shingle row        <- codegen scalar, once per shingle
+    #   groupBy(doc) 16x min()     <- partitioning satisfied: no exchange
+    # At 100 TB the input already has thousands of splits; the repartition
+    # keys the whole chain so window AND aggregate reuse one exchange.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.repartition(parallelism, F.col(id_col))
-        .select(F.col(id_col).alias("doc"), word_shingles(toks, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .withColumn("xs", shingle_int_hashes(F.col("shingles")))
-        .persist()  # materializes xs (md5 once per shingle) and serves the
-        # banding pass plus both sides of candidate verification
+    tok = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
     )
-    sig = base.withColumn("sig", minhash_signature_from_hashes(F.col("xs"), num_hashes))
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    sh = (
+        tok.select("doc", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
+        .filter(F.col("_t").isNotNull())  # drop the k-1 tail positions
+        .select("doc", "sh")
+    )
+    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint")
+    hashed = sh.select("doc", "sh", x.alias("x"))
+
+    def _a(i: int) -> int:  # same universal-hash family as _minhash_a
+        return ((i * _A_MUL + _A_ADD) & _A_MASK) | 1
+
+    mins = [
+        F.min((F.lit(_a(i)) * F.col("x") + F.lit(i * _B_MUL)) % MINHASH_P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    # duplicate shingles can't change a min; collect_set dedups for jaccard
+    sig = (
+        hashed.groupBy("doc")
+        .agg(*mins, F.collect_set("sh").alias("shingles"))
+        .persist()  # serves the banding pass + both verification sides
+    )
+    band_hash = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            )
+        )
+        for b in range(bands)
+    ]
     # band join on (doc, band_hash) ONLY — the wide shingle arrays stay out
     # of the O(n_docs x bands) shuffle and are re-joined just for the
     # (typically tiny) candidate set
-    banded = sig.select(
-        "doc",
-        F.posexplode(lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
-            "band", "band_hash"
-        ),
-    )
+    banded = sig.select("doc", F.posexplode(F.array(*band_hash)).alias("band", "band_hash"))
     left = banded.select(F.col("doc").alias("id_a"), "band", "band_hash")
     right = banded.select(F.col("doc").alias("id_b"), "band", "band_hash")
     cand_ids = (
@@ -157,8 +183,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_a = sig.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         cand_ids.join(sh_a, "id_a")
         .join(sh_b, "id_b")
