@@ -121,6 +121,145 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube): per-flag,
+    per-status, and grand-total levels in one Expand + one shuffle."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_A,
+           CAST(sum(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_N,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (long → wide).  Listing the pivot
+    values keeps it a single-pass conditional aggregation — omitting them
+    would cost an extra distinct-scan job to discover the columns."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: INTERSECT (distinct).  Plans as a left-semi hash join
+    over distincts — one shuffle per side on the key."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (both engines use
+    the type-7 quantile definition; l_quantity values are small integers so
+    the interpolation arithmetic is exact in binary floating point).
+    Scale: exact percentile buffers per-group values — fine for bounded
+    groups; unbounded cardinality should switch to approx_percentile
+    (t-digest, mergeable sketches)."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25D, 0.50D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.col("_p")[0].alias("p25"),
+            F.col("_p")[1].alias("p50"),
+            F.col("_p")[2].alias("p75"),
+        )
+    )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (operators/skew.salted_join): lineitem's
+    orderkey spread over 8 salts, orders replicated 8x, then the same
+    aggregate as the plain join — the oracle IS the plain join, proving the
+    salting is semantically invisible.  Scale: heavy-hitter orderkeys can't
+    flood one reducer; salting composes where AQE skew-split can't reach
+    (broadcast-ineligible, bucketed, or streaming joins)."""
+    from pimdb_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+    )
+
+
 @register("q_approx_distinct", oracle=None)  # HLL sketches differ per engine
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per group next to the exact

@@ -1,0 +1,45 @@
+"""Skew-resilient equi-join (salting).
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime,
+but it only works for sort-merge joins and after-the-fact; salting is the
+declarative form that also composes with bucketing and streaming.  The
+reference has no counterpart (its RDBMS handled physical join choice —
+SURVEY §2.3/§4); this is part of the 100 TB scale surface.
+
+How it works: the skewed (large, heavy-hitter-keyed) side gets a
+deterministic salt in [0, n); the other side is replicated once per salt
+value; the join runs on (key, salt).  A key that used to land on one
+reducer now spreads over n of them.  Cost: other side shuffles n x its
+size — choose the smaller side as ``other`` and n ~ the worst observed
+key-skew multiple.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `skewed ⋈ other` on column(s) ``on``, spreading each join
+    key of the skewed side over ``n_salts`` reducers.
+
+    The salt is derived from a hash of the skewed side's whole row
+    (xxhash64), so the plan stays deterministic — no rand(), results and
+    oracle comparisons are reproducible.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn(SALT_COL, salt.cast("int"))
+    right = other.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, keys + [SALT_COL], how).drop(SALT_COL)

@@ -54,3 +54,29 @@ class ParquetDatabase:
     def sql(self, query: str) -> DataFrame:
         self.register_all()
         return self.spark.sql(query)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int,
+    sort_cols: str | list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
+    parquet table in the session catalog.
+
+    Bucketing is the Spark replacement for the reference's join-key indexes
+    (SURVEY §4): two tables bucketed on the same key with the same bucket
+    count join WITHOUT any shuffle — each task zips bucket i with bucket i.
+    At 100 TB this turns the fact⋈fact join (e.g. orders⋈lineitem on
+    orderkey) from the dominant shuffle into a local merge; sortBy
+    additionally removes the sort from sort-merge joins."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = (
+        df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *cols)
+    )
+    if sort_cols:
+        s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*s)
+    writer.saveAsTable(table)

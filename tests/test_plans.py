@@ -115,3 +115,57 @@ def test_rollup_single_expand(spark):
 
     plan = plan_of(q_rollup(spark, SF))
     assert "Expand" in plan  # all levels in one pass, not one scan per level
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO exchanges — the 100 TB co-located-join path."""
+    from pimdb_spark.plans.store import write_bucketed
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(o.select("o_orderkey", "o_orderstatus"), "b_orders", "o_orderkey", 4)
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the bucketed path (not a broadcast) is chosen
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        plan = plan_of(joined)
+        assert count_op(plan, "Exchange") == 0
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_spreads_keys(spark):
+    """The salted join must plan as an equi-join on (key, salt) — no
+    nested loop — and return exactly the plain join's aggregate."""
+    from pimdb_spark.catalog_sql_surface import q_salted_join
+
+    df = q_salted_join(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {r.o_orderstatus: (r.n, r.sum_price) for r in df.collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    import pyspark.sql.functions as F
+
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    expected = {r.o_orderstatus: (r.n, r.sum_price) for r in plain.collect()}
+    assert got == expected

@@ -1,0 +1,103 @@
+"""The stateful streaming sessionizer (applyInPandasWithState) must match
+the batch sessionize query when the stream is drained in one batch, and
+must carry session state ACROSS micro-batches when events arrive split."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def _event_stream(spark, src_dir):
+    from pimdb_spark.streaming.events import EVENTS_SCHEMA
+
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src_dir))
+    return raw.select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+
+
+def _batch_sessions(spark, parquet_path):
+    from pimdb_spark.catalog_temporal import q_sessionize
+    import os
+
+    sf_dir = os.path.dirname(parquet_path)
+    return {
+        (r.user_id, r.session_id): (r.n_events, r.duration_us)
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+
+
+def test_stateful_sessions_match_batch(spark, tmp_path):
+    from pimdb_spark.streaming.sessions import sessionize_stream
+    from pimdb_spark.streaming.events import run_to_memory
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "part-0.parquet")
+
+    out = sessionize_stream(_event_stream(spark, src))
+    run_to_memory(out, "sessions_stream", output_mode="update")
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_us)
+        for r in spark.table("sessions_stream").collect()
+    }
+    expected = _batch_sessions(spark, "/root/testdata/sf0.001/events.parquet")
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stateful_sessions_survive_batch_split(spark, tmp_path):
+    """A session spanning two micro-batches keeps its id and accumulates
+    its event count — the state-store handoff works."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pimdb_spark.streaming.sessions import SESSION_GAP_US, sessionize_stream
+    from pimdb_spark.streaming.events import run_to_memory
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    chk = tmp_path / "chk"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), src / name)
+
+    base = 1_700_000_000 * 1_000_000_000  # epoch nanos
+    m = 60 * 1_000_000_000
+    # batch 1: user 1 events at t0, t0+1min (one open session)
+    write_batch("b1.parquet", [(1, base, 1, "click", 1.0, "{}"), (2, base + m, 1, "click", 1.0, "{}")])
+
+    rows: dict = {}  # (user_id, session_id) -> latest (n_events, duration_us)
+
+    def drain():
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                rows[(r.user_id, r.session_id)] = (r.n_events, r.duration_us)
+
+        q = (
+            sessionize_stream(_event_stream(spark, src))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # batch 2: +2min continues session 1; + a gap-exceeding event opens session 2
+    gap_ns = (SESSION_GAP_US + 60 * 1_000_000) * 1000
+    write_batch(
+        "b2.parquet",
+        [(3, base + 2 * m, 1, "click", 1.0, "{}"), (4, base + 2 * m + gap_ns, 1, "click", 1.0, "{}")],
+    )
+    drain()
+    # update mode re-emits session 1 with its batch-2 continuation
+    assert rows[(1, 1)] == (3, 120 * 1_000_000)
+    assert rows[(1, 2)] == (1, 0)
