@@ -110,6 +110,39 @@ def test_approx_distinct_error_bound(spark):
         assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.1
 
 
+def _all_entries():
+    from pimdb_spark import entrypoints  # noqa: F401 — loads every catalog module
+    from pimdb_spark.catalog import _REGISTRY
+
+    return sorted(_REGISTRY.items())
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name,entry", _all_entries(), ids=[n for n, _ in _all_entries()])
+def test_no_plan_red_flags(spark, name, entry):
+    """Sweep EVERY catalog query's physical plan for patterns that are fatal
+    at 100 TB: cartesian/nested-loop joins anywhere, and row-at-a-time
+    Python UDF eval (BatchEvalPython) in the hot path.  Arrow-batched
+    evaluation (mapInPandas / ArrowEvalPython) is the sanctioned slow path.
+
+    Allowed exceptions, each deliberate:
+    - q_token_decompose: BatchEvalPython over DISTINCT values only — the
+      UDF input cardinality is the token-combination count, not the row
+      count (the reference's lru_cache/temp-table trick, SURVEY E4).
+    - q_cosine_topk: brute-force exact ANN IS a broadcast nested-loop by
+      design — a small bounded query set broadcast against the candidate
+      scan is one shuffle-free pass; the LSH variant (q_lsh_ann_topk) is
+      the scale path and must stay an equi-join."""
+    plan = plan_of(entry.fn(spark, SF))
+    if name != "q_cosine_topk":
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    if name != "q_token_decompose":
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_rollup_single_expand(spark):
     from pimdb_spark.catalog_sql_surface import q_rollup
 
