@@ -90,6 +90,72 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(queries, emb, "vec_id", "vec_id", "embedding", k=3, n_bits=8)
 
 
+_SQD = """
+    list_reduce(list_transform(range(1, 65),
+      i -> ({v}[i]::DOUBLE - c[i]::DOUBLE) * ({v}[i]::DOUBLE - c[i]::DOUBLE)),
+      (x, y) -> x + y)
+"""
+
+_COS_VEC = """
+    round((list_reduce(list_transform(range(1, 65),
+                  i -> {qa}[i]::DOUBLE * {qb}[i]::DOUBLE), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> {qa}[i]::DOUBLE * {qa}[i]::DOUBLE), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(range(1, 65),
+               i -> {qb}[i]::DOUBLE * {qb}[i]::DOUBLE), (x, y) -> x + y)))), 4)
+"""
+
+
+@register(
+    "q_ivf_ann_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), dc AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform((SELECT cvecs FROM cent),
+               c -> {_SQD.format(v='e.embedding')}) AS dists
+      FROM embeddings e
+    ), assigned AS (
+      SELECT vec_id AS c_id, embedding AS c_vec,
+             list_position(dists, list_min(dists))::BIGINT AS cell
+      FROM dc
+    ), probes AS (
+      SELECT q_id, q_vec, cell FROM (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               unnest(range(1, len(dists) + 1)) AS cell,
+               unnest(dists) AS dist
+        FROM dc WHERE vec_id < 16
+      ) x QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) <= 2
+    ), scored AS (
+      SELECT p.q_id, a.c_id,
+             {_COS_VEC.format(qa='p.q_vec', qb='a.c_vec')} AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE p.q_id <> a.c_id
+    )
+    SELECT q_id, rank, c_id, cos FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 (operators/similarity.ivf_topk): 8 coarse
+    cells (training-free deterministic centroids = the 8 lowest-id
+    vectors), nprobe=2.  Scale: assignment is a projection over the
+    candidate scan with a one-row broadcast centroid set; the probe join
+    is an equi-join on cell id — the IVF counterpart of q_lsh_ann_topk's
+    sign-bucketing."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return S.ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_centroids=8, nprobe=2, k=3,
+    )
+
+
 @register(
     "q_embedding_dup_pairs",
     oracle=f"""

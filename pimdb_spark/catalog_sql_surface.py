@@ -260,6 +260,41 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rolling_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_30d
+    FROM orders
+    """,
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the 30-day trailing revenue
+    at each order (range frame over epoch seconds, not row counts — peers
+    at the same timestamp aggregate together on both engines).
+    Scale: one shuffle on o_custkey; the running frame is a single sorted
+    pass per partition."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d"),
+    )
+
+
 @register("q_approx_distinct", oracle=None)  # HLL sketches differ per engine
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per group next to the exact

@@ -40,6 +40,95 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential double fold (oracle-reproducible)."""
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every vector to its nearest centroid cell; each query probes only the
+    ``nprobe`` nearest cells and scores exact cosine inside them.
+
+    The coarse quantizer here is training-free and deterministic — the
+    ``n_centroids`` lowest-id candidate vectors, in id order — so results
+    are engine-reproducible (a production build would plug k-means
+    centroids into the same plan shape).  Cell id = 1-based index of the
+    first minimum distance (ties break toward the lower centroid id on
+    both engines).
+
+    Scale: the centroid set is one broadcast row; assignment is a
+    projection over the candidate scan (no shuffle of candidates); the
+    probe join is an equi-join on cell id, so scored pairs shrink by
+    ~n_centroids/nprobe versus brute force.  For large K x dim, swap the
+    per-row fold for an Arrow-batched numpy matmul (mapInPandas) with the
+    same output contract.
+    """
+    cents = (
+        candidates.orderBy(cand_id)
+        .limit(n_centroids)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cvec"))
+                    )
+                ),
+                lambda s: s.cvec,
+            ).alias("cvecs")
+        )
+    )
+
+    def with_dists(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.select(F.col(query_id if id_alias == "q_id" else cand_id).alias(id_alias),
+                      F.col(vec_col).alias(id_alias[0] + "_vec"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "dists",
+                F.transform(F.col("cvecs"), lambda c: sqdist(F.col(id_alias[0] + "_vec"), c)),
+            )
+        )
+
+    assigned = with_dists(candidates, "c_id").select(
+        "c_id", "c_vec", F.array_position("dists", F.array_min("dists")).alias("cell")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy("dist", "cell")
+    probes = (
+        with_dists(queries, "q_id")
+        .select("q_id", "q_vec", F.posexplode("dists").alias("pos", "dist"))
+        .withColumn("cell", (F.col("pos") + 1).cast("bigint"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("q_id", "q_vec", "cell")
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos")
+    )
+
+
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     """LSH bucket id: bit b set iff vec[b] > 0 (1-based element_at).
     Fixed-axis hyperplanes keep the bucketing deterministic across engines;

@@ -134,9 +134,12 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_cosine_topk: brute-force exact ANN IS a broadcast nested-loop by
       design — a small bounded query set broadcast against the candidate
       scan is one shuffle-free pass; the LSH variant (q_lsh_ann_topk) is
-      the scale path and must stay an equi-join."""
+      the scale path and must stay an equi-join.
+    - q_ivf_ann_topk: the cross join attaches the ONE-ROW broadcast
+      centroid array to every row (O(n) work, no pairing); the actual
+      probe join is a hash equi-join on cell id."""
     plan = plan_of(entry.fn(spark, SF))
-    if name != "q_cosine_topk":
+    if name not in ("q_cosine_topk", "q_ivf_ann_topk"):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     if name != "q_token_decompose":
