@@ -26,6 +26,7 @@ RANGE_RADIUS_US = 12 * 3600 * 1_000_000  # 12 hours
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
+    bench=True,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase is matched to the user's most recent

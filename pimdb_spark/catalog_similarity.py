@@ -140,6 +140,7 @@ _COS_VEC = """
       FROM scored
     ) WHERE rank <= 3
     """,
+    bench=True,
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3 (operators/similarity.ivf_topk): 8 coarse

@@ -239,6 +239,7 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
+    bench=True,
 )
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient salted join (operators/skew.salted_join): lineitem's
