@@ -85,7 +85,10 @@ def range_join_pairs(
     """Pairs (id_a < id_b) of rows sharing `key` with
     |time_a - time_b| <= radius (integer time units).
     Scale: equi-join on (key, bucket) after neighbor-bucket explode."""
-    bucket = (F.col(time_col) / radius).cast("bigint")
+    # integer division, not float-divide-and-cast: epoch-microsecond times
+    # exceed double's 2^53 exact range, and a 1-ulp misround at a bucket
+    # boundary on ONE side would silently drop a qualifying pair
+    bucket = F.expr(f"`{time_col}` div {int(radius)}")
     a = df.select(
         F.col(key),
         F.col(id_col).alias("id_a"),

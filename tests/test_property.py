@@ -1,0 +1,118 @@
+"""Property-based checks (hypothesis) for the semantics that are easiest
+to get subtly wrong, each against an independent brute-force Python model:
+
+- as-of join: union + carry-forward must equal "the right row with the
+  greatest time <= left time" for arbitrary key/time layouts, including
+  no-match (NULL) and exact-tie (t_left == t_right) cases.
+- range join: neighbor-bucket explode must produce EXACTLY the |dt| <= R
+  pairs — no duplicates from the triple-bucket explode, no misses at
+  bucket boundaries, negative times included.
+- E4 greedy token decomposition invariants on random concatenations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+# -- pure-python E4 ---------------------------------------------------------
+
+
+@given(st.lists(st.sampled_from(
+    ["alternative", "dvd", "festival", "tv", "video", "working", "original",
+     "imdbDisplay", "xx", "7"]), max_size=6),
+)
+@settings(max_examples=200, deadline=None)  # first example pays the import
+def test_e4_decomposition_invariants(tokens):
+    from pimdb_spark.plans.build import mappable_title_alias_types
+    from pimdb_spark.schemas import IMDB_TITLE_ALIAS_TYPES
+
+    raw = "".join(tokens)
+    out = mappable_title_alias_types(raw)
+    # unique, in declaration order, and each output type occurred in raw
+    assert out == [t for t in IMDB_TITLE_ALIAS_TYPES if t in out]
+    assert len(out) == len(set(out))
+    for t in out:
+        assert t in raw
+    # every declared type present verbatim in raw is found (greedy removal
+    # only deletes matched types, which cannot create new occurrences of an
+    # EARLIER-checked type, and 'tv'/'video' overlaps resolve in order)
+    first_pass = [t for t in IMDB_TITLE_ALIAS_TYPES if t in raw]
+    assert out[:1] == first_pass[:1]
+
+
+# -- spark operators vs brute force ----------------------------------------
+
+times = st.integers(min_value=-100, max_value=100)
+keys = st.integers(min_value=0, max_value=3)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_asof_join_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n_l, n_r = rng.randint(0, 12), rng.randint(0, 12)
+    left = [(rng.randint(0, 3), rng.randint(-50, 50), 1000 + i) for i in range(n_l)]
+    # unique (key, time) on the right: the as-of contract requires it (two
+    # right rows at the identical key+time have no defined winner)
+    seen = set()
+    right = []
+    for i in range(n_r):
+        k, t = rng.randint(0, 3), rng.randint(-50, 50)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right.append((k, t, 2000 + i))
+
+    from pimdb_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left or [(0, 0, 0)], "k int, t int, lid int")
+    rdf = spark.createDataFrame(right or [(0, 0, 0)], "k int, t int, rid int")
+    if not left:
+        ldf = ldf.filter("false")
+    if not right:
+        rdf = rdf.filter("false")
+
+    got = {
+        (r.k, r.t, r.lid): (r.asof_rid, r.asof_time)
+        for r in asof_join(ldf, rdf, on="k", left_time="t", right_time="t",
+                           right_value_cols=["rid"]).collect()
+    }
+
+    expected = {}
+    for k, t, lid in left:
+        matches = [(rt, rid) for (rk, rt, rid) in right if rk == k and rt <= t]
+        if matches:
+            rt, rid = max(matches)
+            expected[(k, t, lid)] = (rid, rt)
+        else:
+            expected[(k, t, lid)] = (None, None)
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_range_join_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    radius = rng.choice([1, 3, 7])
+    rows = [
+        (rng.randint(0, 2), rng.randint(-40, 40), i) for i in range(rng.randint(0, 15))
+    ]
+
+    from pimdb_spark.operators.asof import range_join_pairs
+
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "k int, t bigint, i int")
+    if not rows:
+        df = df.filter("false")
+    got = sorted(
+        (r.k, r.id_a, r.id_b, r.t_a, r.t_b)
+        for r in range_join_pairs(df, "k", "t", "i", radius).collect()
+    )
+    expected = sorted(
+        (k1, i1, i2, t1, t2)
+        for (k1, t1, i1) in rows
+        for (k2, t2, i2) in rows
+        if k1 == k2 and i1 < i2 and abs(t1 - t2) <= radius
+    )
+    assert got == expected
