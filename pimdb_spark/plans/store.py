@@ -24,8 +24,19 @@ class ParquetDatabase:
     def path(self, table: str) -> str:
         return os.path.join(self.db_dir, f"{table}.parquet")
 
-    def write(self, df: DataFrame, table: str) -> None:
-        df.write.mode("overwrite").parquet(self.path(table))
+    def write(
+        self, df: DataFrame, table: str, partition_by: str | list[str] | None = None
+    ) -> None:
+        """Overwrite-write a table; ``partition_by`` hive-partitions the
+        dataset so equality/range filters on those columns prune whole
+        directories at scan time (PartitionFilters — the Spark form of
+        coarse indexing; use low-cardinality columns only, high-cardinality
+        partitioning makes small files)."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*cols)
+        w.parquet(self.path(table))
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))

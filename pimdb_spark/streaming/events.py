@@ -67,6 +67,20 @@ def windowed_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key within
+    the watermark horizon (dropDuplicatesWithinWatermark) — the streaming
+    twin of S3 keep-first dedup and the continuous form of the exact-dedup
+    pipeline stage.  Scale: state holds one entry per key only until the
+    watermark passes it, so memory is bounded by the duplicate-arrival
+    window, not the stream length."""
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

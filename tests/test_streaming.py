@@ -81,3 +81,35 @@ def test_streaming_incremental_files(spark, tmp_path):
     n2 = spark.table("incr_counts2").agg({"n_events": "sum"}).collect()[0][0]
     assert n1 == 500
     assert n2 == 1000
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids arriving within the watermark horizon are
+    dropped; the drained output equals the batch distinct-by-key count."""
+    import duckdb
+
+    from pimdb_spark.streaming.events import (
+        dedup_within_watermark,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    src = tmp_path / "events_dup"
+    src.mkdir()
+    con = duckdb.connect()
+    # the source file plus a duplicated 10% slice in a second file
+    con.execute(
+        f"""COPY (SELECT * FROM '/root/testdata/sf0.001/events.parquet')
+        TO '{src}/a.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '/root/testdata/sf0.001/events.parquet'
+        WHERE event_id % 10 = 0) TO '{src}/dups.parquet' (FORMAT PARQUET)"""
+    )
+    stream = dedup_within_watermark(read_event_stream(spark, str(src)))
+    run_to_memory(stream, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream").count()
+    expected = con.sql(
+        "SELECT count(DISTINCT event_id) FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+    assert got == expected
