@@ -114,6 +114,34 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_token_counts",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(list_filter(string_split_regex(
+               regexp_replace(regexp_replace(text, '([a-z])([0-9])', '\1 \2', 'g'),
+                              '([0-9])([a-z])', '\1 \2', 'g'),
+               '\s+'), x -> x <> ''))) AS total_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token counting per source (operators/text
+    .bpe_ish_token_count): splits at whitespace AND letter<->digit class
+    transitions — the cheap proxy for BPE vocabulary token budgets.  The
+    Spark side uses lookaround splits; the oracle reproduces identical
+    semantics in RE2 (no lookaround) via two marker regexp_replace passes.
+    Scale: one projection + partial agg; shuffle carries one row per
+    source."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+    )
+
+
+@register(
     "q_doc_fingerprint_dedup",
     oracle="""
     SELECT md5(lower(text)) AS fp,
