@@ -262,6 +262,36 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_full_outer",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment, oc.o_custkey, oc.n_orders
+    FROM customer c
+    FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+    WHERE c.c_custkey IS NULL OR c.c_custkey % 3 = 0
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the reference has only inner + left outer, SURVEY
+    §2.3): customers with no orders and order-keys with no customer row
+    both survive with NULLs.  Scale: full outer forces a shuffle join on
+    both sides (no broadcast) — exactly one exchange per side."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = c.join(oc, c.c_custkey == oc.o_custkey, "full_outer")
+    return joined.filter(
+        F.col("c_custkey").isNull() | (F.col("c_custkey") % 3 == 0)
+    )
+
+
+@register(
     "q_rolling_window",
     oracle="""
     SELECT o_custkey, o_orderkey,
