@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -125,7 +127,7 @@ def feature_extract(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     schema = StructType(
         [
             StructField("doc_id", LongType()),
-            StructField("feature", StringType()),  # csv of dim floats
+            StructField("feature", ArrayType(FloatType())),
         ]
     )
 
@@ -135,7 +137,7 @@ def feature_extract(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 h = hashlib.md5(bytes(payload)).digest()
                 vec = [round((h[i] - 128) / 128.0, 6) for i in range(dim)]
-                out.append((int(doc_id), ",".join(str(v) for v in vec)))
+                out.append((int(doc_id), vec))
             yield pd.DataFrame(out, columns=["doc_id", "feature"])
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema)

@@ -46,9 +46,10 @@ def test_feature_extract_shape(spark):
     from pimdb_spark.operators.multimodal import feature_extract, with_binary_payload
 
     df = with_binary_payload(_docs(spark), "text")
-    out = feature_extract(df, dim=8).collect()
+    fe = feature_extract(df, dim=8)
+    assert dict(fe.dtypes)["feature"] == "array<float>"
+    out = fe.collect()
     assert len(out) == 50
     for r in out:
-        vec = [float(x) for x in r.feature.split(",")]
-        assert len(vec) == 8
-        assert all(-1.0 <= v <= 1.0 for v in vec)
+        assert len(r.feature) == 8
+        assert all(-1.0 <= v <= 1.0 for v in r.feature)
