@@ -108,10 +108,12 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4
     byte ranges (the real implementation seeks keyframes).  Pure column
     expressions — the explode pattern is the part that matters at scale."""
     total = F.length(F.col(payload_col))
+    # substring works on BINARY natively — no string cast, which would
+    # corrupt non-UTF-8 payloads; frame_head stays bytes
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
         lambda i: F.substring(
-            F.col(payload_col).cast("string"), (i * (total / n_frames)).cast("int") + 1, 8
+            F.col(payload_col), (i * (total / n_frames)).cast("int") + 1, 8
         ),
     )
     return df.select(
