@@ -311,11 +311,13 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
+    # timestampdiff on TIMESTAMP_NTZ is timezone-free — unix_timestamp would
+    # interpret the naive timestamp in the SESSION timezone and shift frame
+    # boundaries under a non-UTC driver session
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
     )
+    w = Window.partitionBy("o_custkey").orderBy(epoch_s).rangeBetween(-30 * 86400, 0)
     return o.select(
         "o_custkey",
         "o_orderkey",
