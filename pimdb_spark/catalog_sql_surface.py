@@ -328,6 +328,77 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_window_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           first_value(o_orderkey) OVER w AS first_ok,
+           lead(o_orderkey, 1) OVER w AS next_ok,
+           lag(o_orderkey, 1)  OVER w AS prev_ok
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window-function family in one pass: ntile,
+    percent_rank, cume_dist, first_value, lead, lag — all sharing ONE
+    window spec, so Catalyst evaluates them in a single Window operator
+    over a single shuffle+sort on o_custkey."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.lead("o_orderkey", 1).over(w).alias("next_ok"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
+    )
+
+
+@register(
+    "q_scalar_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_u,
+           trim(c_mktsegment) AS seg_t,
+           substring(c_name, 1, 8) AS name_8,
+           length(c_name) AS name_len,
+           CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS order_month,
+           CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(extract(dow FROM o_orderdate) AS INT) AS order_dow
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common scalar string/date functions in one projection (upper, trim,
+    substring, length, date_trunc, extract year/dow) — all codegen'd
+    JVM-side, no UDF.  DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        F.trim("c_mktsegment").alias("seg_t"),
+        F.substring("c_name", 1, 8).alias("name_8"),
+        F.length("c_name").alias("name_len"),
+        # cast to date first: DuckDB's date_trunc('month', ts) renders as a
+        # DATE ('1995-06-01'), Spark's as a timestamp ('1995-06-01 00:00:00')
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+    )
+
+
 @register("q_approx_distinct", oracle=None)  # HLL sketches differ per engine
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per group next to the exact
