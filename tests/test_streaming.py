@@ -113,3 +113,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         "SELECT count(DISTINCT event_id) FROM '/root/testdata/sf0.001/events.parquet'"
     ).fetchone()[0]
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join within a 1-hour horizon equals the
+    equivalent batch join on the drained data."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.streaming.events import read_event_stream, run_to_memory
+    from pimdb_spark.streaming.joins import join_within_horizon
+
+    src = tmp_path / "events_ssj"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+
+    stream = read_event_stream(spark, str(src))
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    signups = stream.filter(F.col("event_type") == "signup")
+    out = join_within_horizon(purchases, signups, horizon="1 hour")
+    run_to_memory(out, "ssj", output_mode="append")
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("ssj").collect()
+    }
+
+    from pimdb_spark.streaming.events import EVENTS_SCHEMA
+
+    ev = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("event_time").alias("pt")
+    )
+    s = ev.filter("event_type = 'signup'").select(
+        F.col("user_id").alias("su"), F.col("event_id").alias("sid"), F.col("event_time").alias("st")
+    )
+    expected = {
+        (r.pu, r.pid, r.sid)
+        for r in p.join(
+            s,
+            (F.col("pu") == F.col("su"))
+            & (F.col("st") <= F.col("pt"))
+            & (F.col("pt") <= F.col("st") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
