@@ -159,6 +159,26 @@ def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(length(text) - 7, 1) + 1, 7),
+             i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 8))::BIGINT
+           )) AS rfp
+    FROM documents
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (operators/text
+    .rolling_fingerprint): min md5-derived hash over strided character
+    8-grams — edit-tolerant content anchoring, vs whole-doc md5 in
+    q_doc_fingerprint_dedup.  Scale: one projection, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_fingerprint("text").alias("rfp"))
+
+
+@register(
     "q_ngram_jaccard_pairs",
     oracle="""
     WITH d AS (

@@ -103,6 +103,52 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    max_side: int = 32,
+) -> DataFrame:
+    """Arrow-batched resize: decode → scale longest side to ``max_side`` →
+    re-encode.  Uses PIL when installed; the stub derives deterministic
+    scaled dimensions from the fake decode and truncates the payload as the
+    'thumbnail' so schema, batching, and output size behavior are real."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if _HAVE_PIL:  # pragma: no cover - not in this container
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data))
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    rows.append((int(doc_id), img.width, img.height, buf.getvalue()))
+                else:
+                    w, h, _mode = _fake_decode(data)
+                    scale = max_side / max(w, h)
+                    rows.append(
+                        (int(doc_id), max(1, int(w * scale)), max(1, int(h * scale)),
+                         data[: max_side * max_side // 8])
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "thumb"])
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4) -> DataFrame:
     """'Video' frame sampling stub: split the payload into n_frames equal
     byte ranges (the real implementation seeks keyframes).  Pure column

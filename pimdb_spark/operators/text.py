@@ -89,3 +89,22 @@ def fingerprint(text: Column | str) -> Column:
     operators/dedup.py as part of MinHash.)"""
     text = F.col(text) if isinstance(text, str) else text
     return F.md5(F.lower(text))
+
+
+def rolling_fingerprint(
+    text: Column | str, k: int = 8, stride: int = 7
+) -> Column:
+    """Winnowing-style rolling fingerprint: hash the character k-gram at
+    every ``stride``-th position and keep the MINIMUM hash — a content-
+    anchored fingerprint that survives edits outside the minimizing gram
+    (unlike whole-document md5, where any edit changes everything).
+    Texts shorter than k fall back to the whole-text hash.
+    Scale: one projection; ~len/stride md5 calls per document."""
+    text = F.col(text) if isinstance(text, str) else text
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)), F.lit(stride)
+    )
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.substring(text, i, k)), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.array_min(F.transform(positions, gram_hash))

@@ -53,3 +53,14 @@ def test_feature_extract_shape(spark):
     for r in out:
         assert len(r.feature) == 8
         assert all(-1.0 <= v <= 1.0 for v in r.feature)
+
+
+def test_resize_images_stub(spark):
+    from pimdb_spark.operators.multimodal import resize_images, with_binary_payload
+
+    df = with_binary_payload(_docs(spark), "text")
+    out = resize_images(df, max_side=32).collect()
+    assert len(out) == 50
+    for r in out:
+        assert 1 <= max(r.width, r.height) <= 32
+        assert isinstance(r.thumb, (bytes, bytearray))
