@@ -90,6 +90,72 @@ def test_asof_join_matches_bruteforce(spark, seed):
     assert got == expected
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_minhash_pipeline_matches_python_model(spark, seed):
+    """The codegen minhash pipeline (explode → window shingles → md5 →
+    16x min aggregate) must equal a from-scratch Python reimplementation
+    of the same universal-hash family on random documents."""
+    import hashlib
+    import random
+
+    from pimdb_spark.operators.dedup import (
+        MINHASH_P,
+        _A_ADD,
+        _A_MASK,
+        _A_MUL,
+        _B_MUL,
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(12)
+    ]
+    # duplicate doc 0 as doc 100 so at least one certain pair exists
+    docs.append((100, docs[0][1]))
+
+    def py_signature(text):
+        toks = text.split(" ")
+        shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if not shingles:
+            return None
+        xs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+        sig = []
+        for i in range(16):
+            a = ((i * _A_MUL + _A_ADD) & _A_MASK) | 1
+            sig.append(min((a * x + i * _B_MUL) % MINHASH_P for x in xs))
+        return tuple(sig)
+
+    def py_jaccard(t1, t2):
+        a = {" ".join(t1.split(" ")[i : i + 3]) for i in range(len(t1.split(" ")) - 2)}
+        b = {" ".join(t2.split(" ")[i : i + 3]) for i in range(len(t2.split(" ")) - 2)}
+        return len(a & b) / len(a | b)
+
+    expected = set()
+    sigs = {i: py_signature(t) for i, t in docs}
+    for i, ti in docs:
+        for j, tj in docs:
+            if i < j and sigs[i] and sigs[j]:
+                # same band hash in any of 4 bands (4 rows each)
+                banded = any(
+                    sigs[i][b * 4 : b * 4 + 4] == sigs[j][b * 4 : b * 4 + 4]
+                    for b in range(4)
+                )
+                if banded and py_jaccard(ti, tj) >= 0.8:
+                    expected.add((i, j))
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == expected
+    if sigs[0] is not None:  # doc 0 long enough to shingle
+        assert (0, 100) in got  # the planted exact duplicate
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_range_join_matches_bruteforce(spark, seed):
     import random
