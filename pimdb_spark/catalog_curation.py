@@ -1,0 +1,192 @@
+"""Training-data curation catalog: deterministic splits, quota sampling,
+sequence packing, and near-dup cluster assignment (operators/curation.py)
+over the documents/embeddings tables.
+
+All randomness is md5-derived integer arithmetic — identical in DuckDB
+(``('0x' || substring(md5(x),1,8))::BIGINT`` ≡ Spark ``conv(substring(
+md5(x),1,8),16,10)``) so every "random" choice is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.catalog_similarity import _BUCKET, _COS_RAW
+from pimdb_spark.operators import curation as C
+from pimdb_spark.operators import similarity as S
+
+# DuckDB spelling of hash_bucket()/pack order keys
+_H8 = "('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT"
+_H8B = "('0x' || substring(md5(CAST({c} AS VARCHAR)), 9, 8))::BIGINT"
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN {_H8.format(c='doc_id')} % 100 < 80 THEN 'train'
+                  WHEN {_H8.format(c='doc_id')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs, sum(toks) AS total_tokens
+    FROM s GROUP BY split, source
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash
+    (operators/curation.hash_split), summarized per (split, source).
+
+    Scale: the split is a projection — zero shuffle, no RNG state, and any
+    engine/run/partitioning assigns every id identically (seeded rand() is
+    partition-layout-dependent and would not survive a re-run)."""
+    docs = C.hash_split(load(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+@register(
+    "q_domain_quota",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_H8.format(c='doc_id')} % 2147483648, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    """,
+)
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (operators/curation.domain_quota): keep at
+    most 15 docs per source, chosen by deterministic hash order — the
+    source-mix rebalancing step of corpus assembly.
+
+    Scale: one shuffle on source; WindowGroupLimit stops each group's sort
+    at rank 15.  Hash order = reproducible uniform sample."""
+    docs = load(spark, sf_dir, "documents")
+    return C.domain_quota(docs, "source", "doc_id", 15).select("doc_id", "source", "rk")
+
+
+@register(
+    "q_seq_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS toks,
+             {_H8.format(c='doc_id')} % 8 AS shard,
+             {_H8B.format(c='doc_id')} AS ord
+      FROM documents
+    ), c AS (
+      SELECT shard, doc_id, toks,
+             sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT shard, (cum - toks) // 2000 AS seq_id,
+           count(*) AS n_docs, sum(toks) AS seq_tokens
+    FROM c GROUP BY shard, (cum - toks) // 2000
+    """,
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/curation.pack_sequences):
+    documents are streamed in deterministic hash order within 8 independent
+    shards and cut into 2000-token training sequences
+    (concatenate-then-chunk; a doc belongs to the sequence it starts in).
+
+    Scale: shards are independent writer streams — the running sum is a
+    per-shard window, so parallelism = shards (set shards ≈ cluster write
+    parallelism); no global sort ever happens."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("toks")
+    )
+    packed = C.pack_sequences(docs, "doc_id", "toks", budget=2000, shards=8)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("seq_tokens")
+    )
+
+
+@register(
+    "q_quality_funnel",
+    oracle="""
+    SELECT source,
+           count(*) AS n_total,
+           count_if(n_chars >= 150) AS n_len,
+           count_if(n_chars >= 150 AND lang IN ('en', 'de')) AS n_lang,
+           count_if(n_chars >= 150 AND lang IN ('en', 'de')
+                    AND len(string_split(text, ' ')) >= 30) AS n_tok
+    FROM documents GROUP BY source
+    """,
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel: per source, survivors of each successive filter
+    (length → language → token count) in one pass — the acceptance-rate
+    dashboard of a cleaning pipeline.
+
+    Scale: conditional aggregation (sum-of-when), one partial-agg shuffle
+    carrying a row per source; never N passes over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    g_len = F.col("n_chars") >= 150
+    g_lang = g_len & F.col("lang").isin("en", "de")
+    g_tok = g_lang & (toks >= 30)
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt_if(g_len).alias("n_len"),
+        cnt_if(g_lang).alias("n_lang"),
+        cnt_if(g_tok).alias("n_tok"),
+    )
+
+
+@register(
+    "q_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+    ), side AS (
+      SELECT vec_id, embedding, {_BUCKET.format(v='base')} AS bucket FROM base
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM side a JOIN side b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_COS_RAW.format(a='a', b='b')} >= 0.95
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(id, r) AS (
+      SELECT vec_id, vec_id FROM base
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster assignment: embedding-cosine dup pairs (same
+    edge set as q_embedding_dup_pairs) → connected components by hash-min
+    label propagation (operators/curation.connected_components); every
+    node gets component = min reachable id, so "keep one per component"
+    is a deterministic dedup policy.  The oracle computes the same
+    transitive closure with a recursive CTE.
+
+    Scale: O(diameter) rounds of join+min-agg, one node-id shuffle each;
+    near-dup components are quasi-cliques (diameter 2-3).  Lineage is cut
+    per round with localCheckpoint."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.union(copies)
+    pairs = S.embedding_dup_pairs(base, "vec_id", "embedding", n_bits=8, threshold=0.95)
+    return C.connected_components(
+        pairs, "id_a", "id_b", nodes=base.select("vec_id")
+    )

@@ -35,5 +35,9 @@ try:
     import pimdb_spark.catalog_sql_surface  # noqa: F401  (rollup/cube/subqueries)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_curation  # noqa: F401  (splits/quota/packing/clusters)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401

@@ -1,0 +1,168 @@
+"""Training-data curation operators: deterministic hash splits, per-domain
+quota sampling, token-budget sequence packing, and connected-components
+cluster assignment over near-duplicate pairs.
+
+These are the corpus-assembly steps of an LLM data pipeline that sit
+*after* scoring/dedup (operators/text.py, operators/dedup.py,
+operators/similarity.py) and turn row-level signals into the final
+training mix.
+
+Design for 100 TB:
+- Splits are pure projections on an md5-derived bucket — no shuffle, no
+  RNG state, reproducible across engines/runs/partitionings (a seeded
+  `rand()` is partition-layout-dependent; a content hash is not).
+- Quota sampling is one window shuffle on the group key; the hash order
+  key makes the sample "random" yet deterministic.
+- Sequence packing is a running sum over a deterministic global order —
+  one range-partitioned sort (Spark's global Window without partitionBy
+  is single-partition, so the operator packs *per shard* by a hash shard
+  key: shards are independent, which is exactly how a distributed
+  packing job runs in practice).
+- Connected components uses hash-min label propagation: O(diameter)
+  rounds of (join + min-agg), each one shuffle on the node id.  Near-dup
+  graphs have tiny diameters (clusters are quasi-cliques), so 3-5 rounds
+  close even billion-edge graphs; for adversarial long-chain graphs
+  switch to large-star/small-star (same join primitives, O(log n)
+  rounds).  Lineage is cut with localCheckpoint each round so plans
+  don't grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(c: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of the
+    value's string form, as an integer, mod buckets.  Engine-stable
+    (identical in DuckDB: ``conv``/``from_hex`` arithmetic on md5)."""
+    c = F.col(c) if isinstance(c, str) else c
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return (h % buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign train/val/test by hashing the id: bucket<train_pct → train,
+    <train+val → val, else test.  A projection — rows never move, and a
+    re-run (or a different engine) assigns every id identically."""
+    b = hash_bucket(F.col(id_col))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def domain_quota(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Keep at most k rows per group, chosen by deterministic hash order
+    (a reproducible uniform sample per domain).  One shuffle on the group
+    key; WindowGroupLimit prunes beyond rank k before the sort completes."""
+    order = hash_bucket(F.col(id_col), 1 << 31)
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence:
+    documents are laid out in deterministic hash order and the stream is
+    cut every `budget` tokens (concatenate-then-chunk packing — documents
+    may straddle a boundary; seq_id is where the document *starts*).
+
+    Sharding: a global order would serialize on one partition, so packing
+    runs independently inside `shards` hash shards — the standard
+    distributed layout (each shard is one writer's output stream).
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % shards
+    ).alias("shard")
+    order = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    # integer div, not float: cumulative token counts exceed double's 2^53
+    # exact range long before 100 TB does
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("cum_tokens", cum)
+        .withColumn("seq_id", F.expr(f"(cum_tokens - {tokens_col}) div {budget}"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) where component is the minimum node id reachable in
+    the undirected graph — the cluster-assignment step of near-duplicate
+    deduplication (pick one representative per component, drop the rest).
+
+    Hash-min label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; terminates when a round changes
+    nothing.  Rounds = graph diameter (small for near-dup quasi-cliques).
+    Each round is one shuffle join on the node id + one min-aggregate;
+    lineage is cut per round with localCheckpoint.  `nodes` adds isolated
+    vertices (components of size 1).
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    node_ids = sym.select(F.col("s").alias("id"))
+    if nodes is not None:
+        node_ids = node_ids.union(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    labels = node_ids.distinct().withColumn("component", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

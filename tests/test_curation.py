@@ -1,0 +1,149 @@
+"""Curation operators (operators/curation.py): hash splits, domain quota,
+sequence packing, connected components — each against an independent
+Python model or invariant set."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _h8(val: str, start: int = 0) -> int:
+    return int(hashlib.md5(str(val).encode()).hexdigest()[start : start + 8], 16)
+
+
+def test_hash_split_matches_python_model_and_is_stable(spark):
+    from pimdb_spark.operators.curation import hash_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    for doc_id in range(500):
+        b = _h8(str(doc_id)) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[doc_id] == want
+    # repartitioning cannot change the assignment (no RNG state)
+    again = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(7), "doc_id").collect()
+    }
+    assert again == got
+
+
+def test_domain_quota_matches_python_model(spark):
+    rng = random.Random(7)
+    rows = [(i, f"g{rng.randint(0, 4)}") for i in range(200)]
+    from pimdb_spark.operators.curation import domain_quota
+
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = domain_quota(df, "grp", "doc_id", 10).collect()
+    # model: per group, order by (md5 % 2^31, id), take 10
+    by_grp: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_grp.setdefault(g, []).append(i)
+    want = set()
+    for g, ids in by_grp.items():
+        ids.sort(key=lambda i: (_h8(str(i)) % (1 << 31), i))
+        want |= {(i, g, rk + 1) for rk, i in enumerate(ids[:10])}
+    assert {(r.doc_id, r.grp, r.rk) for r in out} == want
+
+
+def test_pack_sequences_matches_python_model(spark):
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 400)) for i in range(120)]
+    from pimdb_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    out = pack_sequences(df, "doc_id", "toks", budget=1000, shards=4).collect()
+    # model: per shard, stream docs in (md5[9:17] % 2^32, id) order and cut
+    # every 1000 tokens
+    shard_of = {i: _h8(str(i)) % 4 for i, _ in rows}
+    order_of = {i: (_h8(str(i), start=8), i) for i, _ in rows}
+    want: dict[int, tuple[int, int, int]] = {}
+    for s in range(4):
+        docs = sorted((i for i, _ in rows if shard_of[i] == s), key=order_of.get)
+        cum = 0
+        for i in docs:
+            toks = dict(rows)[i]
+            want[i] = (s, cum // 1000, cum + toks)
+            cum += toks
+    got = {r.doc_id: (r.shard, r.seq_id, r.cum_tokens) for r in out}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_connected_components_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(2, 30)
+    edges = [
+        (rng.randint(0, n - 1), rng.randint(0, n - 1))
+        for _ in range(rng.randint(0, 2 * n))
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    from pimdb_spark.operators.curation import connected_components
+
+    nodes_df = spark.range(0, n).withColumnRenamed("id", "node")
+    if not edges:
+        edges_df = spark.createDataFrame([], "id_a long, id_b long")
+    else:
+        edges_df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = connected_components(edges_df, nodes=nodes_df).collect()
+    # union-find model
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for x in range(n):
+        root = find(x)
+        want[x] = min(y for y in range(n) if find(y) == root)
+    assert {r.id: r.component for r in out} == want
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a path graph is the worst case for hash-min (diameter = n-1); the
+    # propagation must still reach the fixpoint within max_iter
+    from pimdb_spark.operators.curation import connected_components
+
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    out = connected_components(edges_df, max_iter=15).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == 13
+
+
+def test_quality_funnel_is_monotone(spark):
+    from pimdb_spark.catalog_curation import q_quality_funnel
+
+    rows = q_quality_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_total >= r.n_len >= r.n_lang >= r.n_tok >= 0
+
+
+def test_seq_packing_budget_invariants(spark):
+    """Every sequence except the last one per shard must cross the budget
+    boundary: total tokens of seqs 0..s-1 >= s * budget."""
+    from pimdb_spark.catalog_curation import q_seq_packing
+
+    rows = q_seq_packing(spark, "/root/testdata/sf0.001").collect()
+    per_shard: dict[int, dict[int, int]] = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, {})[r.seq_id] = r.seq_tokens
+    for shard, seqs in per_shard.items():
+        ids = sorted(seqs)
+        # seq ids are dense from 0
+        assert ids == list(range(len(ids)))
+        cum = 0
+        for s in ids[:-1]:
+            cum += seqs[s]
+            assert cum >= (s + 1) * 2000
