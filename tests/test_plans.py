@@ -220,3 +220,33 @@ def test_salted_join_spreads_keys(spark):
     )
     expected = {r.o_orderstatus: (r.n, r.sum_price) for r in plain.collect()}
     assert got == expected
+
+
+def test_hash_split_is_shuffle_free_projection(spark):
+    """The split assignment itself must be a pure projection — rows never
+    move.  (q_hash_split's single Exchange is its summary groupBy.)"""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.catalog_curation import q_hash_split
+    from pimdb_spark.operators.curation import hash_split
+
+    assigned = hash_split(load(spark, SF, "documents"), "doc_id")
+    assert count_op(plan_of(assigned), "Exchange") == 0
+    assert count_op(plan_of(q_hash_split(spark, SF)), "Exchange") == 1
+
+
+def test_domain_quota_group_limit(spark):
+    """Per-domain quota must plan WindowGroupLimit: each group's sort stops
+    at rank k instead of fully sorting every domain's documents."""
+    from pimdb_spark.catalog_curation import q_domain_quota
+
+    assert "WindowGroupLimit" in plan_of(q_domain_quota(spark, SF))
+
+
+def test_seq_packing_single_shuffle(spark):
+    """Packing = one Exchange on the shard key; the running-sum window AND
+    the (shard, seq_id) aggregate both reuse that partitioning (hash
+    partitioning on a subset of the grouping keys satisfies the agg's
+    clustering requirement)."""
+    from pimdb_spark.catalog_curation import q_seq_packing
+
+    assert count_op(plan_of(q_seq_packing(spark, SF)), "Exchange") == 1
