@@ -1,0 +1,126 @@
+"""Snapshot-maintenance catalog (operators/delta.py): CDC-style diff and
+upsert merge, exercised on a deterministic synthetic "new snapshot" of the
+orders table (changed / removed / added rows derived by key arithmetic so
+both engines construct the identical scenario).
+
+The oracle verifies SEMANTICS, not implementation: the Spark side detects
+changes via md5 row-digests (so only (key, digest) pairs shuffle); the
+DuckDB side compares column values directly with IS DISTINCT FROM.  The
+two agree iff the digest is change-faithful (distinct doubles stringify
+distinctly; NULL is digest-distinct from every value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.operators import delta as D
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+# new snapshot, derived from orders by key arithmetic:
+#   keys %10==0  -> price bumped (+1.0, exact in ieee754)   => changed
+#   keys %97==3  -> dropped                                  => removed
+#   keys %200==0 -> re-inserted under key+10000000           => added
+_NEW_SNAP_SQL = """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 3
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 200 = 0
+"""
+
+
+def _old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(*_COLS)
+
+
+def _new_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _old(spark, sf_dir)
+    kept = o.filter(F.col("o_orderkey") % 97 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 200 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    return kept.unionByName(added)
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH new_snap AS ({_NEW_SNAP_SQL})
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (o.o_totalprice   IS DISTINCT FROM n.o_totalprice)
+                  OR (o.o_orderstatus  IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_custkey      IS DISTINCT FROM n.o_custkey)
+                THEN 'changed' END AS status
+    FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    WHERE coalesce(o.o_orderkey, n.o_orderkey) IS NOT NULL
+      AND (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR (o.o_totalprice  IS DISTINCT FROM n.o_totalprice)
+           OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+           OR (o.o_custkey     IS DISTINCT FROM n.o_custkey))
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff of two snapshots (operators/delta.snapshot_diff): every
+    key classified added/removed/changed via md5 row-digest comparison;
+    unchanged keys never leave the join.
+
+    Scale: the full-outer join shuffles (key, 32-byte digest) only — the
+    row payload stays in the scans; on partitioned tables both sides
+    prune to partitions that can differ."""
+    old = _old(spark, sf_dir)
+    new = _new_snapshot(spark, sf_dir)
+    return D.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
+    "q_snapshot_merge",
+    oracle=f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 200 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM upd
+    UNION ALL
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+)
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert merge (operators/delta.snapshot_merge): an update set
+    (changed prices + brand-new keys) overrides the base table; untouched
+    rows pass through.  Emits the full merged table — the driver hashes
+    every row, so the whole upsert semantics is value-checked.
+
+    Scale: one anti-join shuffle on the key; with a small update set the
+    anti join broadcasts and the merge is shuffle-free."""
+    base = _old(spark, sf_dir)
+    changed = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    )
+    added = base.filter(F.col("o_orderkey") % 200 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    updates = changed.unionByName(added)
+    return D.snapshot_merge(base, updates, ["o_orderkey"])

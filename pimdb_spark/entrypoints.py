@@ -39,5 +39,9 @@ try:
     import pimdb_spark.catalog_curation  # noqa: F401  (splits/quota/packing/clusters)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_delta  # noqa: F401  (snapshot diff / upsert merge)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401
