@@ -1,0 +1,148 @@
+"""Corpus-statistics catalog (operators/corpus.py): document frequency /
+IDF, corpus top n-grams, eval-set decontamination, source-priority dedup,
+repetition scoring, PII-style redaction.
+
+Oracle notes: IDF deliberately omits the log (monotone, so rankings are
+unchanged) because libm log implementations differ across engines and the
+driver hash-compares float bit patterns; the ratio form is exact IEEE
+arithmetic from integers in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.operators import corpus as C
+
+_TOKS = "string_split(text, ' ')"
+
+
+@register(
+    "q_token_df_idf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_distinct({_TOKS})) AS token FROM documents
+    ), df AS (
+      SELECT token, count(*) AS df FROM tok GROUP BY token
+    )
+    SELECT token, df,
+           (CAST((SELECT count(*) FROM documents) AS DOUBLE) - df + 0.5)
+             / (df + 0.5) AS idf
+    FROM df
+    """,
+)
+def q_token_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token document frequency + log-free IDF (operators/corpus.py):
+    distinct-tokens-per-doc explode, one partial-aggregated groupBy, corpus
+    size joined in as a 1-row broadcast.
+
+    Scale: map-side combine absorbs the head tokens before the single
+    shuffle; no driver-side collect anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    return C.with_idf(C.doc_frequency(docs), docs)
+
+
+@register(
+    "q_top_bigrams",
+    oracle=f"""
+    WITH g AS (
+      SELECT unnest(list_transform(range(1, len({_TOKS})),
+                                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS ngram
+      FROM documents
+    )
+    SELECT ngram, count(*) AS cnt FROM g
+    GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 20 most frequent bigrams (operators/corpus.top_ngrams),
+    ties broken by bigram text for a deterministic total order.
+
+    Scale: partial agg + TakeOrderedAndProject — the full bigram
+    distribution never lands on one node."""
+    docs = load(spark, sf_dir, "documents")
+    return C.top_ngrams(docs, n=2, k=20)
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents e
+      WHERE e.doc_id % 13 = 0 AND md5(e.text) = md5(d.text)
+    )
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/corpus.decontaminate): drop
+    training docs whose exact text fingerprint appears in the held-out set
+    (here: every 13th doc, so both engines build the identical eval set).
+
+    Scale: the eval side reduces to distinct md5 fingerprints and
+    broadcasts — the corpus scan stays shuffle-free."""
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 13 == 0)
+    return C.decontaminate(docs, eval_docs).select("doc_id", "source")
+
+
+@register(
+    "q_priority_dedup",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY source, doc_id) = 1
+    """,
+)
+def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority exact dedup (operators/corpus.priority_dedup):
+    among identical texts keep the row from the best source (then lowest
+    doc_id) — the cross-corpus 'keep the canonical copy' pass.
+
+    Scale: one window shuffle on the fingerprint; fingerprint computed in
+    the scan projection."""
+    docs = load(spark, sf_dir, "documents")
+    return C.priority_dedup(docs, ["source", "doc_id"]).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "q_repetition_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+             AS rep_ratio
+    FROM documents
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (operators/corpus.repetition_ratio):
+    1 - distinct/total tokens, the standard boilerplate/degenerate-text
+    quality gate.  Pure projection, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", C.repetition_ratio("text").alias("rep_ratio")
+    )
+
+
+@register(
+    "q_redact",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '[a-zA-Z0-9]+@[a-zA-Z0-9.]+',
+                                         '<EMAIL>', 'g'),
+                          '[0-9]+', '<NUM>', 'g') AS redacted
+    FROM events
+    """,
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (operators/corpus.redact): email-like tokens
+    then digit runs replaced with typed placeholders, exercised on the
+    digit-heavy events.props JSON strings.  Two JVM regexp_replace calls
+    in one projection — no UDF, no shuffle."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id", C.redact("props").alias("redacted")
+    )

@@ -43,5 +43,9 @@ try:
     import pimdb_spark.catalog_delta  # noqa: F401  (snapshot diff / upsert merge)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_corpus  # noqa: F401  (df/idf, n-grams, decontamination)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401

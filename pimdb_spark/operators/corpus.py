@@ -1,0 +1,146 @@
+"""Corpus-level statistics and hygiene operators for training-data
+pipelines: token document-frequency / IDF, corpus top n-grams, eval-set
+decontamination, source-priority dedup, repetition scoring, and PII-style
+redaction.
+
+The reference's query surface is per-table SQL (pimdb/command.py:223-237);
+these are the corpus-wide analyses a 100 TB text pipeline runs on top of
+that surface.  All hot paths are JVM column expressions (whole-stage
+codegen); the only shuffles are the aggregations/windows that the
+semantics require, and each one is partial-aggregated map-side first.
+
+Scale notes per operator:
+- doc_frequency: explode(distinct tokens per doc) -> groupBy(token).
+  Partial aggregation collapses each task's token multiset before the
+  single shuffle; skewed head tokens ("the") are exactly the case
+  map-side combine handles.
+- top_ngrams: same shape + TakeOrderedAndProject — the global top-k never
+  materializes the full n-gram distribution on one node.
+- decontaminate: anti-join docs against a (small) eval fingerprint set —
+  broadcast, so the corpus scan is shuffle-free.
+- priority_dedup: one hash-partition window over fingerprint; digest-only
+  shuffle is impossible here (the winning row's payload must survive),
+  but the fingerprint is computed in the scan projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _text_col(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def doc_frequency(
+    docs: DataFrame, text_col: str = "text", sep: str = " "
+) -> DataFrame:
+    """(token, df): number of documents containing each token.
+    `array_distinct` before the explode keeps within-document repetition
+    out of the count and shrinks the exploded row count."""
+    toks = F.array_distinct(F.split(F.col(text_col), sep))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def idf(df_col: Column | str, n_docs: Column) -> Column:
+    """BM25-flavored inverse document frequency WITHOUT the log:
+    (N - df + 0.5) / (df + 0.5).  Rationale: the log is monotone, so every
+    ranking downstream is unchanged, and pure IEEE-754 arithmetic from
+    integers is bit-identical across engines (libm log implementations are
+    not) — which keeps the operator oracle-checkable by value hash."""
+    d = F.col(df_col) if isinstance(df_col, str) else df_col
+    return (n_docs.cast("double") - d + F.lit(0.5)) / (d + F.lit(0.5))
+
+
+def with_idf(doc_freq: DataFrame, docs: DataFrame) -> DataFrame:
+    """Attach idf to a doc_frequency result.  The corpus size joins in as
+    a 1-row broadcast (never collected to the driver)."""
+    n = docs.agg(F.count("*").alias("_n_docs"))
+    return doc_freq.crossJoin(F.broadcast(n)).select(
+        "token", "df", idf("df", F.col("_n_docs")).alias("idf")
+    )
+
+
+def ngrams(text: Column | str, n: int, sep: str = " ") -> Column:
+    """Array of space-joined n-grams of the whitespace tokens; empty array
+    when the document has fewer than n tokens."""
+    toks = F.split(_text_col(text), sep)
+    starts = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide k most frequent n-grams, ties broken by n-gram text so
+    the result is a deterministic total order."""
+    return (
+        docs.select(F.explode(ngrams(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop every training document whose exact text fingerprint appears
+    in the held-out eval set (train/test contamination removal).  The eval
+    side reduces to distinct md5 fingerprints and is broadcast."""
+    fp = F.md5(F.col(text_col))
+    eval_fps = eval_docs.select(fp.alias("_fp")).distinct()
+    return (
+        docs.withColumn("_fp", fp)
+        .join(F.broadcast(eval_fps), "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def priority_dedup(
+    docs: DataFrame,
+    priority_cols: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Among exact-duplicate documents (same md5(text)), keep the single
+    row that sorts first by `priority_cols` (e.g. source rank, then doc_id
+    as the deterministic tie-break).  One window shuffle on the
+    fingerprint."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        *[F.col(c) for c in priority_cols]
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def repetition_ratio(text: Column | str, sep: str = " ") -> Column:
+    """1 - distinct_tokens/total_tokens: 0.0 for no repeated tokens,
+    approaching 1.0 for degenerate repetition (a standard quality gate for
+    generated/boilerplate text)."""
+    toks = F.split(_text_col(text), sep)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks).cast(
+        "double"
+    )
+
+
+def redact(text: Column | str) -> Column:
+    """Replace email-like tokens then digit runs with typed placeholders —
+    the shape of a PII scrub pass (real deployments swap in their own
+    pattern set).  Two JVM regexp_replace calls, no UDF."""
+    t = _text_col(text)
+    t = F.regexp_replace(t, "[a-zA-Z0-9]+@[a-zA-Z0-9.]+", "<EMAIL>")
+    return F.regexp_replace(t, "[0-9]+", "<NUM>")
