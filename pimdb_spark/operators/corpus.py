@@ -61,7 +61,11 @@ def idf(df_col: Column | str, n_docs: Column) -> Column:
 
 def with_idf(doc_freq: DataFrame, docs: DataFrame) -> DataFrame:
     """Attach idf to a doc_frequency result.  The corpus size joins in as
-    a 1-row broadcast (never collected to the driver)."""
+    a ONE-ROW broadcast (never collected to the driver).  This plans as a
+    BroadcastNestedLoopJoin, which is fine here and only here: the build
+    side is exactly one row, so the "nested loop" is a constant attach —
+    O(n) work, no pairing blowup (a constant-key equi-join folds back to
+    the same plan anyway)."""
     n = docs.agg(F.count("*").alias("_n_docs"))
     return doc_freq.crossJoin(F.broadcast(n)).select(
         "token", "df", idf("df", F.col("_n_docs")).alias("idf")

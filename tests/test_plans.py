@@ -137,9 +137,11 @@ def test_no_plan_red_flags(spark, name, entry):
       the scale path and must stay an equi-join.
     - q_ivf_ann_topk: the cross join attaches the ONE-ROW broadcast
       centroid array to every row (O(n) work, no pairing); the actual
-      probe join is a hash equi-join on cell id."""
+      probe join is a hash equi-join on cell id.
+    - q_token_df_idf: same one-row-broadcast shape — the corpus size
+      (a 1-row aggregate) attaches to every (token, df) row."""
     plan = plan_of(entry.fn(spark, SF))
-    if name not in ("q_cosine_topk", "q_ivf_ann_topk"):
+    if name not in ("q_cosine_topk", "q_ivf_ann_topk", "q_token_df_idf"):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     if name != "q_token_decompose":
