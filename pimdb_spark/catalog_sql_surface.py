@@ -262,6 +262,41 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_partial_salted_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_partial_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial (heavy-hitter-only) salted join (operators/skew.
+    partial_salted_join): keys above the skew threshold fan out over 8
+    salts, light keys join unsalted, so the replication cost is confined
+    to the flood keys.  The oracle is the plain join — salting must be
+    semantically invisible.  The threshold is set low here so the test
+    data actually exercises both the salted and unsalted paths.
+
+    Scale: full salting replicates the entire build side n_salts-fold;
+    this replicates only rows whose key is genuinely hot, which for real
+    skew (a handful of flood keys) is near-free, while those keys still
+    spread over n reducers."""
+    from pimdb_spark.operators.skew import partial_salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = partial_salted_join(li, o, on="l_orderkey", n_salts=8, heavy_threshold=4)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
     "q_full_outer",
     oracle="""
     WITH oc AS (

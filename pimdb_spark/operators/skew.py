@@ -43,3 +43,52 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return left.join(right, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def partial_salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    heavy_threshold: int = 10_000,
+) -> DataFrame:
+    """Salted inner join that replicates `other` ONLY for heavy-hitter
+    keys.  Full salting (salted_join) pays an n_salts-fold replication of
+    the entire other side; here light keys join unsalted (salt 0 on both
+    sides), and only keys whose skewed-side row count exceeds
+    ``heavy_threshold`` fan out — so the replication cost is
+    n_salts x |other rows with heavy keys|, which for real skew (a handful
+    of flood keys) is near zero.
+
+    The heavy-key set is an exact count over the skewed side's key column
+    — one extra shuffle of (key) pairs, cheap relative to the join, and
+    deterministic (no sampling) so plans and results are reproducible.
+    The result is broadcast to tag both sides without another shuffle.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    heavy = (
+        skewed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > heavy_threshold)
+        .select(*keys, F.lit(True).alias("_heavy"))
+    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = (
+        skewed.join(F.broadcast(heavy), keys, "left")
+        .withColumn(
+            SALT_COL,
+            F.when(F.col("_heavy"), salt.cast("int")).otherwise(F.lit(0)),
+        )
+        .drop("_heavy")
+    )
+    salts_all = F.array(*[F.lit(i) for i in range(n_salts)])
+    right = (
+        other.join(F.broadcast(heavy), keys, "left")
+        .withColumn(
+            "_salts",
+            F.when(F.col("_heavy"), salts_all).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn(SALT_COL, F.explode("_salts"))
+        .drop("_heavy", "_salts")
+    )
+    return left.join(right, keys + [SALT_COL], "inner").drop(SALT_COL)

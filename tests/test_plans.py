@@ -224,6 +224,34 @@ def test_salted_join_spreads_keys(spark):
     assert got == expected
 
 
+def test_partial_salted_join_replicates_only_heavy_keys(spark):
+    """Partial salting: row-identical to the plain join, broadcasts the
+    heavy-key set, and replicates the build side only for heavy keys."""
+    from pyspark.sql import Row
+    import pyspark.sql.functions as F
+
+    from pimdb_spark.operators.skew import partial_salted_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(20)]      # heavy key
+        + [Row(k=2, v=100), Row(k=3, v=200)]    # light keys
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, name="hot"), Row(k=2, name="a"), Row(k=3, name="b"), Row(k=4, name="c")]
+    )
+    joined = partial_salted_join(left, right, on="k", n_salts=4, heavy_threshold=5)
+    got = joined.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("name").alias("names")
+    )
+    rows = {r.k: (r.n, r.names) for r in got.collect()}
+    assert rows == {1: (20, 1), 2: (1, 1), 3: (1, 1)}  # k=4 unmatched, no dup rows
+
+    plan = plan_of(joined)
+    assert count_op(plan, "BroadcastHashJoin") >= 1  # heavy-set tagging
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hash_split_is_shuffle_free_projection(spark):
     """The split assignment itself must be a pure projection — rows never
     move.  (q_hash_split's single Exchange is its summary groupBy.)"""
