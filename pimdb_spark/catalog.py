@@ -44,6 +44,45 @@ TABLE_NAMES = [
 ]
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_worker_code(spark: SparkSession) -> None:
+    """Ship this package to executor-side Python workers via ``addPyFile``.
+
+    The driver process has the repo on ``sys.path`` (``__spark_entry__``
+    inserts it), but executor Python workers see only PYTHONPATH plus the
+    JVM's working directory — when the session was created from some other
+    directory, any Pandas UDF pickled by reference to this package dies on
+    the worker with ``ModuleNotFoundError: pimdb_spark``.  Shipping a zip of
+    the package once per SparkContext is the cluster-correct fix: on a
+    1000-executor cluster the same call distributes the code to every
+    worker, exactly as it does here."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="pimdb_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "pimdb_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED_APPS.add(app)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan; filters/column pruning push down into this scan.
 
@@ -55,6 +94,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timezone-independent on both Spark and the DuckDB oracle (which itself
     truncates TIMESTAMP_NS to microseconds on scan).
     """
+    ensure_worker_code(spark)
     if name == "events":
         from pyspark.sql.types import (
             DoubleType,

@@ -584,3 +584,93 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty")
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→global aggregate, no grouping key.
+
+    Scale: the whole query is one narrow map stage plus a single-row final
+    aggregate; all four predicates and the 3-column projection push into
+    the parquet scan (`PushedFilters` in the plan), so I/O — not CPU — is
+    the cost at 100 TB.  Revenue in exact DECIMAL for cross-engine parity."""
+    from pimdb_spark.catalog import dec2, frac2
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts_lit("1995-01-01"))
+            & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * frac2("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                    ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS promo_revenue_pct,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-12-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
+    fact⋈dim join — the promo-revenue percentage.
+
+    Scale: `part` is the small side and is broadcast, so the only wide
+    operation is the single-row final aggregate; the date filter prunes
+    the lineitem scan before the join.  Both sums run in exact DECIMAL,
+    the ratio is computed in DOUBLE at the very end."""
+    from pimdb_spark.catalog import dec2, frac2
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec2("l_extendedprice") * (one - frac2("l_discount"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), disc_price
+    ).otherwise(F.lit(0).cast("decimal(15,4)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts_lit("1995-09-01"))
+            & (F.col("l_shipdate") < ts_lit("1995-12-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

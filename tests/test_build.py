@@ -213,3 +213,36 @@ def test_mappable_title_alias_types_unit():
     assert m("bogustype") == []
     # removal is global: repeated token contributes once
     assert m("dvddvd") == ["dvd"]
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from pimdb_spark.plans.store import ParquetDatabase
+
+    db = ParquetDatabase(spark, str(tmp_path / "db"))
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(db.path("t"))  # simulate small-file debris
+    before = len(glob.glob(db.path("t") + "/*.parquet"))
+    assert before >= 40
+
+    n = db.compact("t", target_file_mb=512)  # tiny table -> single file
+    after = len(glob.glob(db.path("t") + "/*.parquet"))
+    assert n == 1 and after == 1
+    got = db.read("t")
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_ensure_worker_code_ships_once(spark):
+    from pimdb_spark import catalog
+
+    catalog.ensure_worker_code(spark)
+    app = spark.sparkContext.applicationId
+    assert app in catalog._SHIPPED_APPS
+    n = len(catalog._SHIPPED_APPS)
+    catalog.ensure_worker_code(spark)  # idempotent per context
+    assert len(catalog._SHIPPED_APPS) == n
+    # the shipped zip is visible to the context (and thus to every executor)
+    files = spark.sparkContext.listFiles
+    assert any("pimdb_spark_" in f for f in files)
