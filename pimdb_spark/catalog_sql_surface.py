@@ -674,3 +674,115 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal_d,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: rank customers by revenue lost to returned items —
+    fact⋈fact⋈dim join, grouped aggregate, global top-20.
+
+    Scale: the orders date filter and the lineitem returnflag filter both
+    push into their scans before the orderkey shuffle; nation is broadcast;
+    the final ORDER BY + LIMIT plans as TakeOrderedAndProject, so no
+    executor ever materializes a full sort.  The custkey tiebreak makes the
+    top-20 deterministic across engines."""
+    from pimdb_spark.catalog import dec2, frac2
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = dec2("l_extendedprice") * (one - frac2("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= ts_lit("1995-01-01"))
+                & (F.col("o_orderdate") < ts_lit("1996-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal_d"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 45
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with a disjunction of conjunctive
+    residual predicates (OR across three brand/size/quantity clauses).
+
+    Scale: Catalyst keeps the p_partkey equality as the join key (hash
+    join, never nested-loop) and evaluates the OR as a post-join filter;
+    single-column predicates that appear in every branch are not needed
+    here, but the small `part` side is broadcast so the disjunction never
+    forces a shuffle of its own."""
+    from pimdb_spark.catalog import dec2, frac2
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = dec2("l_extendedprice") * (one - frac2("l_discount"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 45) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
