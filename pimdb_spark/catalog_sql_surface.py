@@ -786,3 +786,53 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND CAST(l.l_quantity AS DECIMAL(12,2))
+          * 5
+          * (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+             FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AGGREGATE subqueries — revenue
+    from orders of less than 20% of a part's average quantity.
+
+    Catalyst decorrelates each subquery into a groupBy on the correlation
+    key joined back to the outer lineitem, so the plan is aggregate+join,
+    never a per-row re-scan.  The textbook form compares against
+    ``0.2 * avg(...)`` — a double whose last-ulp depends on partial-sum
+    order; multiplying out to ``qty * 5 * count < sum`` keeps every
+    operand in exact DECIMAL/integer arithmetic, so both engines agree on
+    row membership bit-for-bit."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               count(*) AS n
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND CAST(l.l_quantity AS DECIMAL(12,2))
+              * 5
+              * (SELECT count(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+                 FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
