@@ -534,7 +534,8 @@ def q_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o1.o_custkey AS custkey,
            count(*) AS n_pairs,
-           sum(CASE WHEN o2.o_totalprice > o1.o_totalprice THEN 1 ELSE 0 END) AS n_increasing
+           CAST(sum(CASE WHEN o2.o_totalprice > o1.o_totalprice THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_increasing
     FROM orders o1
     JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
     GROUP BY o1.o_custkey
@@ -737,7 +738,8 @@ def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     WHERE props IS NOT NULL

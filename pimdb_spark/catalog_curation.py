@@ -33,7 +33,8 @@ _H8B = "('0x' || substring(md5(CAST({c} AS VARCHAR)), 9, 8))::BIGINT"
              len(string_split(text, ' ')) AS toks
       FROM documents
     )
-    SELECT split, source, count(*) AS n_docs, sum(toks) AS total_tokens
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
     FROM s GROUP BY split, source
     """,
 )
@@ -85,12 +86,13 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT shard, doc_id, toks,
-             sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             CAST(sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
       FROM d
     )
     SELECT shard, (cum - toks) // 2000 AS seq_id,
-           count(*) AS n_docs, sum(toks) AS seq_tokens
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens
     FROM c GROUP BY shard, (cum - toks) // 2000
     """,
 )
@@ -117,10 +119,10 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_total,
-           count_if(n_chars >= 150) AS n_len,
-           count_if(n_chars >= 150 AND lang IN ('en', 'de')) AS n_lang,
-           count_if(n_chars >= 150 AND lang IN ('en', 'de')
-                    AND len(string_split(text, ' ')) >= 30) AS n_tok
+           CAST(count_if(n_chars >= 150) AS BIGINT) AS n_len,
+           CAST(count_if(n_chars >= 150 AND lang IN ('en', 'de')) AS BIGINT) AS n_lang,
+           CAST(count_if(n_chars >= 150 AND lang IN ('en', 'de')
+                    AND len(string_split(text, ' ')) >= 30) AS BIGINT) AS n_tok
     FROM documents GROUP BY source
     """,
 )

@@ -54,14 +54,16 @@ def q_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY epoch_us(ts), event_id) AS prev_us
       FROM events
     ), flagged AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, ts_us, event_id,
              CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ), sessions AS (
       SELECT user_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                    ROWS UNBOUNDED PRECEDING) AS session_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id,
              ts_us
       FROM flagged
     )
@@ -81,7 +83,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    w_run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+    # Tie-break on event_id too: two events sharing ts_us at a session
+    # boundary must get the same session id on every engine/run.
+    w_run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     flagged = ev.withColumn("prev_us", F.lag("ts_us").over(w_order)).withColumn(

@@ -94,8 +94,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_ws_tokens,
-           sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_nonempty
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS total_nonempty
     FROM documents
     GROUP BY source
     """,
@@ -118,10 +119,10 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(list_filter(string_split_regex(
+           CAST(sum(len(list_filter(string_split_regex(
                regexp_replace(regexp_replace(text, '([a-z])([0-9])', '\1 \2', 'g'),
                               '([0-9])([a-z])', '\1 \2', 'g'),
-               '\s+'), x -> x <> ''))) AS total_bpe_tokens
+               '\s+'), x -> x <> ''))) AS BIGINT) AS total_bpe_tokens
     FROM documents
     GROUP BY source
     """,
