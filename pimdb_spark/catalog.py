@@ -710,18 +710,28 @@ def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_union_except",
+    "q_set_ops",
     oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    SELECT 'union_except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
     """,
 )
-def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set operations: UNION (distinct) then EXCEPT.
-    Scale: each set op is a hash-based shuffle on the single key column.
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations in one tagged result: UNION (distinct) then
+    EXCEPT, plus INTERSECT (distinct, plans as a left-semi hash join over
+    distincts).  Scale: each set op is a hash-based shuffle on the single
+    key column.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -730,7 +740,14 @@ def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return a.union(b).distinct().exceptAll(f.distinct())
+    ue = a.union(b).distinct().exceptAll(f.distinct())
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    ix = a.intersect(open_cust)
+    return ue.select(F.lit("union_except").alias("op"), "c_custkey").unionByName(
+        ix.select(F.lit("intersect").alias("op"), "c_custkey")
+    )
 
 
 @register(

@@ -14,43 +14,67 @@ from pimdb_spark.catalog import load, register, ts_lit
 
 
 @register(
-    "q_rollup",
+    "q_grouping_analytics",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS op, l_returnflag AS k1, l_linestatus AS k2,
            count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP multi-level aggregation: (flag, status), (flag), () levels in
-    one pass.  Scale: Spark expands rollup into a single Expand + hash agg
-    — one shuffle for all levels."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
-    )
-
-
-@register(
-    "q_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
            count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'grouping_sets' AS op, l_returnflag AS k1, l_linestatus AS k2,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 4 grouping combinations in one pass."""
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level grouping analytics in one tagged result: ROLLUP ((flag,
+    status), (flag), () levels), CUBE (all 4 combinations), and explicit
+    GROUPING SETS (per-flag, per-status, grand total — neither a rollup
+    nor a cube).  Scale: Spark expands each into a single Expand + hash
+    agg — one shuffle per grouping op for all its levels, never one scan
+    per level."""
+    li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total"),
+    ).select(
+        F.lit("rollup").alias("op"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n",
+        "total",
     )
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    ).select(
+        F.lit("cube").alias("op"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n",
+        "total",
+    )
+    li.createOrReplaceTempView("lineitem")
+    gsets = spark.sql(
+        """
+        SELECT 'grouping_sets' AS op, l_returnflag AS k1, l_linestatus AS k2,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @register(
@@ -122,31 +146,6 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (neither a rollup nor a cube): per-flag,
-    per-status, and grand-total levels in one Expand + one shuffle."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-@register(
     "q_pivot",
     oracle="""
     SELECT l_linestatus,
@@ -176,26 +175,6 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N").alias("qty_N"),
         F.col("R").alias("qty_R"),
     )
-
-
-@register(
-    "q_intersect",
-    oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set ops: INTERSECT (distinct).  Plans as a left-semi hash join
-    over distincts — one shuffle per side on the key."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = o.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return a.intersect(b)
 
 
 @register(
@@ -323,43 +302,6 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(oc, c.c_custkey == oc.o_custkey, "full_outer")
     return joined.filter(
         F.col("c_custkey").isNull() | (F.col("c_custkey") % 3 == 0)
-    )
-
-
-@register(
-    "q_rolling_window",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
-                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS rolling_30d
-    FROM orders
-    """,
-)
-def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-RANGE window frame: per customer, the 30-day trailing revenue
-    at each order (range frame over epoch seconds, not row counts — peers
-    at the same timestamp aggregate together on both engines).
-    Scale: one shuffle on o_custkey; the running frame is a single sorted
-    pass per partition."""
-    from pyspark.sql import Window
-
-    o = load(spark, sf_dir, "orders")
-    # timestampdiff on TIMESTAMP_NTZ is timezone-free — unix_timestamp would
-    # interpret the naive timestamp in the SESSION timezone and shift frame
-    # boundaries under a non-UTC driver session
-    epoch_s = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
-    )
-    w = Window.partitionBy("o_custkey").orderBy(epoch_s).rangeBetween(-30 * 86400, 0)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .over(w)
-        .cast("double")
-        .alias("rolling_30d"),
     )
 
 

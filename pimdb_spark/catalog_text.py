@@ -96,29 +96,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
            CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
-                AS BIGINT) AS total_nonempty
-    FROM documents
-    GROUP BY source
-    """,
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token counting per source (whitespace tokens + non-empty),
-    the budget-accounting primitive of a training-data pipeline.
-    Scale: partial agg; shuffle carries one row per source."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("total_ws_tokens"),
-        F.sum(F.size(F.filter(toks, lambda t: t != F.lit("")))).alias("total_nonempty"),
-    )
-
-
-@register(
-    "q_bpe_token_counts",
-    oracle=r"""
-    SELECT source,
-           count(*) AS n_docs,
+                AS BIGINT) AS total_nonempty,
            CAST(sum(len(list_filter(string_split_regex(
                regexp_replace(regexp_replace(text, '([a-z])([0-9])', '\1 \2', 'g'),
                               '([0-9])([a-z])', '\1 \2', 'g'),
@@ -127,17 +105,21 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source
     """,
 )
-def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subword-ish token counting per source (operators/text
-    .bpe_ish_token_count): splits at whitespace AND letter<->digit class
-    transitions — the cheap proxy for BPE vocabulary token budgets.  The
-    Spark side uses lookaround splits; the oracle reproduces identical
-    semantics in RE2 (no lookaround) via two marker regexp_replace passes.
-    Scale: one projection + partial agg; shuffle carries one row per
-    source."""
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counting per source — whitespace tokens, non-empty
+    tokens, and subword-ish tokens (operators/text.bpe_ish_token_count:
+    splits at whitespace AND letter<->digit class transitions, the cheap
+    proxy for BPE vocabulary token budgets) — the budget-accounting
+    primitives of a training-data pipeline in one pass.  The Spark side
+    uses lookaround splits; the oracle reproduces identical semantics in
+    RE2 (no lookaround) via two marker regexp_replace passes.
+    Scale: partial agg; shuffle carries one row per source."""
     docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_ws_tokens"),
+        F.sum(F.size(F.filter(toks, lambda t: t != F.lit("")))).alias("total_nonempty"),
         F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
     )
 
@@ -145,24 +127,10 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_doc_fingerprint_dedup",
     oracle="""
-    SELECT md5(lower(text)) AS fp,
-           min(doc_id) AS keep_id,
-           count(*) AS n_dups
-    FROM documents
-    GROUP BY md5(lower(text))
-    """,
-)
-def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content fingerprint (operators/dedup.exact_dedup):
-    md5-of-normalized-text hash-groupBy keeping the lowest id.
-    Scale: shuffles (hash, id) only — content never moves."""
-    return D.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-@register(
-    "q_rolling_fingerprint",
-    oracle="""
     SELECT doc_id,
+           md5(lower(text)) AS fp,
+           min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_id,
+           CAST(count(*) OVER (PARTITION BY md5(lower(text))) AS BIGINT) AS n_dups,
            list_min(list_transform(
              range(1, greatest(length(text) - 7, 1) + 1, 7),
              i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 8))::BIGINT
@@ -170,13 +138,23 @@ def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint (operators/text
-    .rolling_fingerprint): min md5-derived hash over strided character
-    8-grams — edit-tolerant content anchoring, vs whole-doc md5 in
-    q_doc_fingerprint_dedup.  Scale: one projection, no shuffle."""
+def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, both flavors per doc in one result: exact
+    content fingerprint dedup (operators/dedup.exact_dedup: md5-of-
+    normalized-text hash-groupBy keeping the lowest id, joined back to each
+    doc) and the winnowing-style rolling-hash fingerprint (operators/text
+    .rolling_fingerprint: min md5-derived hash over strided character
+    8-grams — edit-tolerant content anchoring vs whole-doc md5).
+    Scale: the dedup groupBy shuffles (hash, id) only — content never
+    moves; the rolling fingerprint is a pure projection."""
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.rolling_fingerprint("text").alias("rfp"))
+    groups = D.exact_dedup(docs, "text", "doc_id")
+    per_doc = docs.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("fp"),
+        T.rolling_fingerprint("text").alias("rfp"),
+    )
+    return per_doc.join(groups, "fp").select("doc_id", "fp", "keep_id", "n_dups", "rfp")
 
 
 @register(
