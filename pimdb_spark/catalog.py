@@ -176,12 +176,60 @@ def register(name: str, oracle: str | None, bench: bool = False):
     return deco
 
 
+# The driver's CORRECTNESS check only covers the first 50 entries of
+# queries().  Entries listed here are emitted FIRST so queries that have
+# never had a driver CORRECTNESS row (registry positions >50 in rounds
+# 1-2) — plus entries added this round — land inside that window.  The
+# long-verified remainder (green in CORRECTNESS_r01/r02) follows in
+# registration order; its attestation is already on record.
+_CHECK_FIRST: list[str] = [
+    # TPC-H shapes unchecked in rounds 1-2
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q_approx_distinct",
+    # new this round: anti-join family + restored RANGE-frame window
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q16_supplier_parts",
+    "q_rolling_window",
+    # curation / delta / corpus family unchecked in rounds 1-2
+    "q_hash_split",
+    "q_domain_quota",
+    "q_seq_packing",
+    "q_quality_funnel",
+    "q_dup_clusters",
+    "q_snapshot_diff",
+    "q_snapshot_merge",
+    "q_token_df_idf",
+    "q_top_bigrams",
+    "q_decontaminate",
+    "q_priority_dedup",
+    "q_repetition_ratio",
+    "q_redact",
+]
+
+
+def _ordered_names() -> list[str]:
+    first = [n for n in _CHECK_FIRST if n in _REGISTRY]
+    seen = set(first)
+    return first + [n for n in _REGISTRY if n not in seen]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: e.fn for name, e in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _ordered_names()
+        if _REGISTRY[name].oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -64,15 +64,21 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
-    li.createOrReplaceTempView("lineitem")
-    gsets = spark.sql(
-        """
-        SELECT 'grouping_sets' AS op, l_returnflag AS k1, l_linestatus AS k2,
-               count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+    # DataFrame-native GROUPING SETS (no temp-view side effect on the
+    # shared session): per-flag, per-status, grand total.
+    gsets = li.groupingSets(
+        [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total"),
+    ).select(
+        F.lit("grouping_sets").alias("op"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n",
+        "total",
     )
     return rollup.unionByName(cube).unionByName(gsets)
 
@@ -218,7 +224,6 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
-    bench=True,
 )
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient salted join (operators/skew.salted_join): lineitem's
@@ -249,14 +254,17 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
+    bench=True,
 )
 def q_partial_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial (heavy-hitter-only) salted join (operators/skew.
     partial_salted_join): keys above the skew threshold fan out over 8
     salts, light keys join unsalted, so the replication cost is confined
     to the flood keys.  The oracle is the plain join — salting must be
-    semantically invisible.  The threshold is set low here so the test
-    data actually exercises both the salted and unsalted paths.
+    semantically invisible.  The threshold sits in the tail of the
+    per-key count distribution (<1% of orderkeys at sf0.1, ~100 keys at
+    sf0.01) so both the salted and unsalted paths are exercised while the
+    replication cost stays where it belongs: near zero.
 
     Scale: full salting replicates the entire build side n_salts-fold;
     this replicates only rows whose key is genuinely hot, which for real
@@ -268,7 +276,7 @@ def q_partial_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
-    joined = partial_salted_join(li, o, on="l_orderkey", n_salts=8, heavy_threshold=4)
+    joined = partial_salted_join(li, o, on="l_orderkey", n_salts=8, heavy_threshold=9)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
@@ -777,4 +785,221 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM lineitem l2
                  WHERE l2.l_partkey = l.l_partkey)
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join family (TPC-H Q21/Q22/Q16 shapes) — the NOT EXISTS chain and
+# null-aware NOT IN surfaces the reference inherits from its backing RDBMS
+# (pass-through SQL, pimdb/command.py:223-237) and this engine from Spark.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE returned-flag lineitem
+    in a finished multi-supplier order — a correlated EXISTS (another
+    supplier participated) chained with a correlated NOT EXISTS (no other
+    supplier's item was returned), both with an inequality correlation
+    term on top of the equi-key.
+
+    Expressed DataFrame-native: both subqueries become left_semi /
+    left_anti joins whose condition is the l_orderkey equi-key plus the
+    l_suppkey inequality — Spark plans the pair as two hash joins on
+    l_orderkey (the inequality rides along as a join residual), so the
+    whole chain is two shuffles on the same key, never a per-row re-scan.
+    Supplier⋈nation broadcasts.  (l_returnflag='R' stands in for the
+    receipt-after-commit predicate; this testdata has no receipt dates.)
+    """
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+
+    nat_suppliers = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+
+    cand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("ck_order"),
+            F.col("l_suppkey").alias("ck_supp"),
+        )
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("ck_order") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
+        .join(F.broadcast(nat_suppliers), F.col("ck_supp") == F.col("s_suppkey"))
+    )
+
+    others = li.select(
+        F.col("l_orderkey").alias("ot_order"),
+        F.col("l_suppkey").alias("ot_supp"),
+        "l_returnflag",
+    )
+    other_supplier = (F.col("ot_order") == F.col("ck_order")) & (
+        F.col("ot_supp") != F.col("ck_supp")
+    )
+    cand = cand.join(others, other_supplier, "left_semi")
+    cand = cand.join(
+        others.filter(F.col("l_returnflag") == "R"), other_supplier, "left_anti"
+    )
+    return cand.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (1, 5, 9, 13, 17)
+      AND CAST(c_acctbal AS DECIMAL(12,2))
+          * (SELECT count(*) FROM customer
+             WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17))
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+             WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in a nation group
+    with no urgent orders — an uncorrelated scalar aggregate threshold
+    plus a correlated NOT EXISTS anti-join.
+
+    The textbook form compares against avg(c_acctbal), a division whose
+    rounding differs across engines; multiplying out to
+    ``bal * count > sum`` keeps both sides exact DECIMAL, so row
+    membership is bit-identical.  Scale: the scalar subqueries reduce to
+    one-row aggregates evaluated once (SubqueryExec, no join in the main
+    plan); the NOT EXISTS plans as a LeftAnti hash join on c_custkey —
+    one shuffle.  (No-urgent-orders stands in for no-orders; every
+    customer in this testdata has orders.)"""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM q22_customer c
+        WHERE c_nationkey IN (1, 5, 9, 13, 17)
+          AND CAST(c_acctbal AS DECIMAL(12,2))
+              * (SELECT count(*) FROM q22_customer
+                 WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17))
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM q22_customer
+                 WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17))
+          AND NOT EXISTS (
+            SELECT 1 FROM q22_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@register(
+    "q16_supplier_parts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 9, 16, 25)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class, excluding
+    a NOT IN subquery of disqualified suppliers (negative balance stands
+    in for the complaints LIKE; this testdata has no s_comment).
+
+    NOT IN is the null-aware anti-join: Spark's single-column NAAJ
+    optimization plans it as a BroadcastHashJoin LeftAnti (isNullAware)
+    against the broadcast-able disqualified set — no nested loop even
+    though NULL semantics are honored.  Brand/size predicates push into
+    the part scan; part broadcasts into lineitem."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem l
+        JOIN q16_part p ON p.p_partkey = l.l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_size IN (1, 4, 9, 16, 25)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "q_rolling_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_30d
+    FROM orders
+    """,
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the 30-day trailing revenue
+    at each order (range frame over epoch seconds, not row counts — peers
+    at the same timestamp aggregate together on both engines).
+    Scale: one shuffle on o_custkey; the running frame is a single sorted
+    pass per partition."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    # timestampdiff on TIMESTAMP_NTZ is timezone-free — unix_timestamp would
+    # interpret the naive timestamp in the SESSION timezone and shift frame
+    # boundaries under a non-UTC driver session
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(epoch_s).rangeBetween(-30 * 86400, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d"),
     )

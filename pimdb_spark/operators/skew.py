@@ -35,7 +35,20 @@ def salted_join(
     The salt is derived from a hash of the skewed side's whole row
     (xxhash64), so the plan stays deterministic — no rand(), results and
     oracle comparisons are reproducible.
+
+    Only join types whose semantics survive replicating `other` are
+    accepted: inner / left / left_semi / left_anti (an unmatched LEFT row
+    surfaces once regardless of salt; a matched one pairs only with its
+    own salt replicate).  right/full outer would emit every unmatched
+    `other` row n_salts times — refused rather than silently wrong.
     """
+    normalized = how.replace("_", "").replace("outer", "")
+    if normalized not in ("inner", "left", "leftsemi", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the non-skewed side is "
+            "replicated n_salts times, so right/full outer joins would emit "
+            "unmatched rows once per salt. Use inner/left/left_semi/left_anti."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn(SALT_COL, salt.cast("int"))

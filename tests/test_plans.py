@@ -148,11 +148,14 @@ def test_no_plan_red_flags(spark, name, entry):
         assert "BatchEvalPython" not in plan, name
 
 
-def test_rollup_single_expand(spark):
-    from pimdb_spark.catalog_sql_surface import q_rollup
+def test_grouping_analytics_expand(spark):
+    """ROLLUP/CUBE/GROUPING SETS each compile to a single Expand + hash
+    agg — all levels in one pass, never one scan per level."""
+    from pimdb_spark.catalog_sql_surface import q_grouping_analytics
 
-    plan = plan_of(q_rollup(spark, SF))
-    assert "Expand" in plan  # all levels in one pass, not one scan per level
+    plan = plan_of(q_grouping_analytics(spark, SF))
+    # one Expand per grouping op (rollup, cube, grouping sets)
+    assert count_op(plan, "Expand") == 3, plan
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):
@@ -280,3 +283,37 @@ def test_seq_packing_single_shuffle(spark):
     from pimdb_spark.catalog_curation import q_seq_packing
 
     assert count_op(plan_of(q_seq_packing(spark, SF)), "Exchange") == 1
+
+
+def test_anti_join_family_plans(spark):
+    """Q21/Q22/Q16 shapes must plan as hash semi/anti joins — the NOT
+    EXISTS chain and null-aware NOT IN never fall back to a nested loop."""
+    from pimdb_spark.catalog_sql_surface import (
+        q16_supplier_parts,
+        q21_waiting_suppliers,
+        q22_idle_customers,
+    )
+
+    p21 = plan_of(q21_waiting_suppliers(spark, SF))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    p16 = plan_of(q16_supplier_parts(spark, SF))
+    assert "LeftAnti" in p16, p16  # single-col NOT IN → null-aware anti join
+    p22 = plan_of(q22_idle_customers(spark, SF))
+    assert "LeftAnti" in p22, p22
+    for p in (p21, p16, p22):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_join_rejects_replication_unsafe_outer(spark):
+    """right/full outer would emit unmatched other-rows n_salts times —
+    salted_join must refuse rather than be silently wrong."""
+    from pimdb_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    for bad in ("right", "rightouter", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(li, li, on="l_orderkey", how=bad)
+    # the safe types still construct (no evaluation needed)
+    for ok in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(li, li, on="l_orderkey", how=ok)
