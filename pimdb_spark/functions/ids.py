@@ -26,6 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Frames persisted by with_surrogate_id: the cache must stay live until the
+# CALLER materializes the returned frame (the offset join re-reads it), so
+# unpersisting can't happen inside this function.  Callers that loop over
+# many tables (NormalizedBuild's 16-table run) call release_id_caches()
+# after each table is written, or executor storage accumulates one cached
+# range-partitioned copy of every large table in the build.
+_live_persists: list[DataFrame] = []
+
+
+def release_id_caches() -> None:
+    """Unpersist every frame with_surrogate_id has cached so far.  Call
+    after the frame returned by with_surrogate_id has been materialized
+    (written / counted); safe to call repeatedly."""
+    while _live_persists:
+        _live_persists.pop().unpersist()
+
 
 def with_key_table_id(df: DataFrame, name_col: str = "name") -> DataFrame:
     """Key-table ids: rank of name in lexicographic order (O1). Key tables
@@ -51,6 +67,7 @@ def with_surrogate_id(df: DataFrame, order_cols: list[str], id_col: str = "id") 
         "_pid", F.shiftright("_mid", 33).cast("int")
     ).withColumn("_local_rn", (F.col("_mid") % F.lit(1 << 33)) + 1)
     with_local = with_local.persist()
+    _live_persists.append(with_local)
     counts = dict(
         with_local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )  # metadata-sized: one row per partition
@@ -63,7 +80,7 @@ def with_surrogate_id(df: DataFrame, order_cols: list[str], id_col: str = "id") 
     offset_df = spark.createDataFrame(offsets, "_pid int, _offset bigint")
     out = (
         with_local.join(F.broadcast(offset_df), "_pid")
-        .withColumn(id_col, (F.col("_local_rn") + F.col("_offset")).cast("int"))
+        .withColumn(id_col, (F.col("_local_rn") + F.col("_offset")).cast("bigint"))
         .drop("_mid", "_pid", "_local_rn", "_offset")
     )
     return out.select(id_col, *[c for c in df.columns])

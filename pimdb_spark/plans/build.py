@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from pimdb_spark.functions.ids import with_key_table_id, with_surrogate_id
+from pimdb_spark.functions.ids import (
+    release_id_caches,
+    with_key_table_id,
+    with_surrogate_id,
+)
 from pimdb_spark.plans.store import ParquetDatabase
 from pimdb_spark.schemas import IMDB_TITLE_ALIAS_TYPES, NORMALIZED_TABLE_NAMES
 
@@ -334,24 +338,33 @@ class NormalizedBuild:
     def run(self) -> None:
         """Execute the DAG in the reference's dependency order
         (command.py:203-220), persisting each table before dependents read
-        it (cuts lineage and makes every step restartable)."""
+        it (cuts lineage and makes every step restartable).  Each write is
+        followed by release_id_caches() so the range-partitioned frame
+        with_surrogate_id caches for its offset join is freed as soon as
+        the table is on disk — otherwise executor storage accumulates a
+        cached copy of every large table across the 16-table build."""
         db = self.db
-        db.write(self.build_title_alias_type(), "title_alias_type")
-        db.write(self.build_genre(), "genre")
-        db.write(self.build_profession(), "profession")
-        db.write(self.build_title_type(), "title_type")
-        db.write(self.build_name(), "name")
-        db.write(self.build_title(), "title")
-        db.write(self.build_title_alias(), "title_alias")
-        db.write(self.build_title_alias_to_title_alias_type(), "title_alias_to_title_alias_type")
-        db.write(self.build_episode(), "episode")
-        db.write(self.build_participation(), "participation")
+
+        def write(df: DataFrame, name: str) -> None:
+            db.write(df, name)
+            release_id_caches()
+
+        write(self.build_title_alias_type(), "title_alias_type")
+        write(self.build_genre(), "genre")
+        write(self.build_profession(), "profession")
+        write(self.build_title_type(), "title_type")
+        write(self.build_name(), "name")
+        write(self.build_title(), "title")
+        write(self.build_title_alias(), "title_alias")
+        write(self.build_title_alias_to_title_alias_type(), "title_alias_to_title_alias_type")
+        write(self.build_episode(), "episode")
+        write(self.build_participation(), "participation")
         character, temp = self.build_character_and_temp_map()
-        db.write(character, "character")
-        db.write(temp, "temp_characters_to_character")
-        db.write(self.build_participation_to_character(), "participation_to_character")
-        db.write(self.build_name_to_known_for_title(), "name_to_known_for_title")
-        db.write(self.build_title_to_genre(), "title_to_genre")
+        write(character, "character")
+        write(temp, "temp_characters_to_character")
+        write(self.build_participation_to_character(), "participation_to_character")
+        write(self.build_name_to_known_for_title(), "name_to_known_for_title")
+        write(self.build_title_to_genre(), "title_to_genre")
         db.drop_obsolete(
             keep=NORMALIZED_TABLE_NAMES
             + [t for t in db.table_names() if t[0].isupper()]  # dataset tables

@@ -14,6 +14,47 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SWAP_OLD_SUFFIX = ".swap.old"
+
+
+def swap_directory(path: str, tmp: str) -> None:
+    """Replace the directory at ``path`` with the fully-written ``tmp``.
+
+    Two renames, NOT one atomic operation: a reader in the gap between
+    them sees ``path`` missing (it should retry), and a crash in the gap
+    leaves ``<path>.swap.old`` behind — recover_swap() rolls that forward
+    or back.  What this DOES guarantee is that no reader ever sees a
+    half-written mix of old and new files, and the old data is never
+    deleted before the new data is complete on disk — which is the
+    failure mode of read-then-overwrite-in-place (cache eviction or
+    executor loss mid-write recomputes from already-deleted input).
+    On a real deployment this is the rename dance HDFS/object-store
+    committers do; with Delta/Iceberg it becomes a metadata-only commit.
+    """
+    old = path + _SWAP_OLD_SUFFIX
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def recover_swap(path: str) -> bool:
+    """Repair an interrupted swap_directory: if a crash left
+    ``<path>.swap.old``, roll back (restore it as ``path`` when ``path``
+    is missing) or roll forward (delete it when ``path`` exists).
+    Returns True if anything was repaired."""
+    old = path + _SWAP_OLD_SUFFIX
+    if not os.path.exists(old):
+        return False
+    if os.path.exists(path):
+        shutil.rmtree(old)
+    else:
+        os.rename(old, path)
+    return True
+
 
 class ParquetDatabase:
     def __init__(self, spark: SparkSession, db_dir: str):
@@ -75,8 +116,9 @@ class ParquetDatabase:
         scheduling + footer reads, lost column-chunk locality).  The file
         count comes from the table's CURRENT on-disk size — measured, not
         guessed — and the rewrite is one narrow coalesce stage (no
-        shuffle) followed by an atomic directory swap, so a concurrent
-        reader sees the old or the new table, never a mix."""
+        shuffle) followed by a directory swap (swap_directory), so a
+        reader sees the old or the new table, never a half-written mix;
+        a crash mid-swap is repaired by recover_swap()."""
         path = self.path(table)
         size_b = sum(
             os.path.getsize(os.path.join(root, f))
@@ -89,10 +131,7 @@ class ParquetDatabase:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         self.spark.read.parquet(path).coalesce(int(n_files)).write.parquet(tmp)
-        old = path + ".compact.old"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        swap_directory(path, tmp)
         return int(n_files)
 
 

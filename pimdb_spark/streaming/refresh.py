@@ -49,19 +49,27 @@ def merge_batch(
     version_col: str,
 ) -> None:
     """foreachBatch body: dedup the batch per key, merge into the parquet
-    table at table_path, atomically swap via overwrite."""
+    table at table_path, then swap the merged result in.
+
+    The merged frame is fully written to a TEMP directory while the
+    current table is still intact on disk, then swapped in
+    (store.swap_directory).  Never read-then-overwrite-in-place: that
+    relies on a cache staying resident for correctness — evicted blocks
+    or a lost executor mid-write would recompute the merge from input
+    files the overwrite already deleted, corrupting the table.  (With
+    Delta/Iceberg this becomes MERGE INTO and the rewrite is confined to
+    touched files.)"""
+    from pimdb_spark.plans.store import recover_swap, swap_directory
+
     if not updates.take(1):
         return
+    recover_swap(table_path)  # repair any crash mid-swap from a prior batch
     best = latest_per_key(updates, key_cols, version_col)
     base = spark.read.parquet(table_path)
     merged = snapshot_merge(base, best.select(*base.columns), key_cols)
-    # Parquet has no row-level transaction: materialize then overwrite.
-    # (With Delta/Iceberg this becomes MERGE INTO and the rewrite is
-    # confined to touched files.)
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(table_path)
-    merged.unpersist()
+    tmp = table_path.rstrip("/") + ".merge.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap_directory(table_path, tmp)
 
 
 def incremental_refresh(

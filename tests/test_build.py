@@ -246,3 +246,31 @@ def test_ensure_worker_code_ships_once(spark):
     # the shipped zip is visible to the context (and thus to every executor)
     files = spark.sparkContext.listFiles
     assert any("pimdb_spark_" in f for f in files)
+
+
+def test_surrogate_id_bigint_and_cache_released(spark):
+    """with_surrogate_id must (a) assign bigint ids — int32 silently
+    overflows on billion-row tables — and (b) leave no persisted frame
+    behind once release_id_caches() runs (the 16-table build would
+    otherwise accumulate a cached copy of every large table)."""
+    from pyspark.sql.types import LongType
+
+    from pimdb_spark.functions import ids
+
+    df = spark.range(0, 5000).selectExpr("cast(id as string) AS v")
+    out = ids.with_surrogate_id(df, ["v"], id_col="rid")
+    assert isinstance(out.schema["rid"].dataType, LongType)
+    got = out.agg({"rid": "max"}).first()[0]
+    assert got == 5000
+    assert ids._live_persists  # cache held until the caller materializes
+    ids.release_id_caches()
+    assert not ids._live_persists
+
+
+def test_build_leaves_no_persisted_frames(built_db):
+    """After NormalizedBuild.run() every with_surrogate_id cache must have
+    been released — nothing from the build may still be pinned in executor
+    storage."""
+    from pimdb_spark.functions import ids
+
+    assert not ids._live_persists

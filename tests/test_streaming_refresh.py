@@ -68,3 +68,58 @@ def test_latest_per_key_deterministic(spark):
     )
     got = {r.k: r.v for r in latest_per_key(df, ["k"], "version").collect()}
     assert got == {1: "y", 2: "q"}
+
+
+def test_merge_batch_survives_cache_loss(spark, tmp_path):
+    """The merge must not depend on cached blocks staying resident: the
+    merged result is fully written to a temp dir while the old table is
+    intact, then swapped in.  Clearing every cache mid-merge (the old
+    read-then-overwrite implementation corrupted the table when eviction
+    or executor loss forced recomputation from deleted files) must leave
+    the table complete."""
+    from pyspark import StorageLevel
+
+    from pimdb_spark.streaming.refresh import merge_batch
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, ver int"
+    ).write.parquet(table)
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (3, "c", 2)], "k int, v string, ver int"
+    )
+    spark.catalog.clearCache()  # adversarial: nothing may rely on caching
+    merge_batch(spark, updates, table, ["k"], "ver")
+    spark.catalog.clearCache()
+    got = {(r.k, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+
+
+def test_swap_recovery_roll_back_and_forward(spark, tmp_path):
+    """A crash in the rename gap leaves <path>.swap.old — recover_swap
+    restores the table (roll back) or finishes the cleanup (roll
+    forward); merge_batch runs it before every merge."""
+    import os
+    import shutil
+
+    from pimdb_spark.plans.store import recover_swap, swap_directory
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(table)
+
+    # crash between the two renames: old moved aside, new never arrived
+    os.rename(table, table + ".swap.old")
+    assert recover_swap(table) is True
+    assert {r.k for r in spark.read.parquet(table).collect()} == {1}
+
+    # crash after the new table landed but before cleanup
+    shutil.copytree(table, table + ".swap.old")
+    assert recover_swap(table) is True
+    assert not os.path.exists(table + ".swap.old")
+    assert recover_swap(table) is False  # nothing to repair
+
+    # normal swap path replaces contents wholesale
+    tmp2 = str(tmp_path / "t2")
+    spark.createDataFrame([(9, "z")], "k int, v string").write.parquet(tmp2)
+    swap_directory(table, tmp2)
+    assert {r.k for r in spark.read.parquet(table).collect()} == {9}
