@@ -197,6 +197,8 @@ _CHECK_FIRST: list[str] = [
     "q22_idle_customers",
     "q16_supplier_parts",
     "q_rolling_window",
+    "q_cosine_topk_np",
+    "q_ivf_ann_topk_np",
     # curation / delta / corpus family unchecked in rounds 1-2
     "q_hash_split",
     "q_domain_quota",

@@ -50,7 +50,6 @@ _BUCKET = """
       FROM scored
     ) WHERE rank <= 5
     """,
-    bench=True,
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 8 query vectors
@@ -140,7 +139,6 @@ _COS_VEC = """
       FROM scored
     ) WHERE rank <= 3
     """,
-    bench=True,
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3 (operators/similarity.ivf_topk): 8 coarse
@@ -184,3 +182,42 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.union(copies)
     return S.embedding_dup_pairs(base, "vec_id", "embedding", n_bits=8, threshold=0.95)
+
+
+# -- numpy-scored bench variants --------------------------------------------
+# Same plan shape and the SAME oracle as the fold entries: the scoring
+# column comes from the Arrow-batched einsum (similarity.cosine_pandas)
+# instead of the JVM fold.  The round-to-4-digits contract absorbs the
+# last-ulp BLAS-order difference, so the DuckDB hash still matches — and
+# the bench measures the path you'd run at dim >> 8 in production.
+
+def q_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cosine_topk scored via Arrow-batched numpy einsum (the wide-vector
+    fast path; see scored_cosine)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", k=5, scorer="numpy"
+    )
+
+
+def q_ivf_ann_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ivf_ann_topk with numpy-scored probes (cell assignment stays a
+    JVM fold over the 8-centroid broadcast — that cost is O(n_centroids),
+    not O(pairs))."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return S.ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_centroids=8, nprobe=2, k=3, scorer="numpy",
+    )
+
+
+from pimdb_spark.catalog import _REGISTRY as _R  # noqa: E402
+
+register("q_cosine_topk_np", oracle=_R["q_cosine_topk"].oracle, bench=True)(
+    q_cosine_topk_np
+)
+register("q_ivf_ann_topk_np", oracle=_R["q_ivf_ann_topk"].oracle, bench=True)(
+    q_ivf_ann_topk_np
+)

@@ -85,6 +85,7 @@ def ivf_topk(
     nprobe: int = 2,
     k: int = 3,
     round_digits: int = 4,
+    scorer: str = "fold",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every vector to its nearest centroid cell; each query probes only the
@@ -142,17 +143,35 @@ def ivf_topk(
         .filter(F.col("probe_rank") <= nprobe)
         .select("q_id", "q_vec", "cell")
     )
-    scored = (
-        assigned.join(probes, "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
-    )
+    scored = scored_cosine(
+        assigned.join(probes, "cell").filter(F.col("q_id") != F.col("c_id")),
+        "q_vec",
+        "c_vec",
+        scorer,
+    ).withColumn("cos", F.round("cos", round_digits))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "cos")
     )
+
+
+def scored_cosine(df: DataFrame, a: str, b: str, scorer: str = "fold") -> DataFrame:
+    """Attach a ``cos`` column scoring df[a] x df[b].
+
+    scorer="fold": JVM-side sequential fold — deterministic accumulation
+    order, bit-reproducible against the DuckDB oracle.  scorer="numpy":
+    Arrow-batched einsum (cosine_pandas) — the fast path for wide vectors;
+    BLAS summation order may differ from the fold in the last ulp, which
+    the round-digits contract downstream absorbs (ranking happens on
+    values rounded to >=4 fewer digits than the ulp gap, ties break by
+    id)."""
+    if scorer == "numpy":
+        return df.withColumn("cos", cosine_pandas(a, b))
+    if scorer == "fold":
+        return df.withColumn("cos", cosine(F.col(a), F.col(b)))
+    raise ValueError(f"unknown scorer {scorer!r}: use 'fold' or 'numpy'")
 
 
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
@@ -174,6 +193,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int | None = 4,
+    scorer: str = "fold",
 ) -> DataFrame:
     """Exact top-k: broadcast the query set, score every candidate, rank
     per query (ties broken by candidate id).  Self-matches excluded."""
@@ -181,10 +201,11 @@ def cosine_topk(
         F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     c = candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = scored_cosine(
+        c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id")),
+        "q_vec",
+        "c_vec",
+        scorer,
     )
     if round_digits is not None:
         # round BEFORE ranking so rank ties at the output precision break
@@ -207,6 +228,7 @@ def lsh_ann_topk(
     k: int = 3,
     n_bits: int = 8,
     round_digits: int | None = 4,
+    scorer: str = "fold",
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's sign-LSH
     bucket.  Equi-join on bucket id replaces the cross join."""
@@ -220,10 +242,11 @@ def lsh_ann_topk(
         F.col(vec_col).alias("c_vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = scored_cosine(
+        c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("c_id")),
+        "q_vec",
+        "c_vec",
+        scorer,
     )
     if round_digits is not None:
         scored = scored.withColumn("cos", F.round("cos", round_digits))

@@ -79,6 +79,31 @@ class ParquetDatabase:
             w = w.partitionBy(*cols)
         w.parquet(self.path(table))
 
+    def to_jdbc(
+        self,
+        table: str,
+        url: str,
+        jdbc_table: str | None = None,
+        mode: str = "overwrite",
+        num_partitions: int | None = None,
+        **properties: str,
+    ) -> None:
+        """Escape hatch to a real RDBMS: push a stored table out over JDBC
+        — the literal form of the reference's batched-INSERT / COPY bulk
+        load (pimdb/bulk.py:22-113), which this engine otherwise renders
+        moot by writing parquet.
+
+        Each partition opens one connection and streams batched INSERTs,
+        so ``num_partitions`` bounds the connection count (coalesce, no
+        shuffle) — at scale, size it to what the target database accepts,
+        not to the cluster.  Requires the target's JDBC driver jar on the
+        Spark classpath; extra ``properties`` (user, password, driver,
+        batchsize, ...) pass through to the writer."""
+        df = self.read(table)
+        if num_partitions is not None:
+            df = df.coalesce(num_partitions)
+        df.write.mode(mode).jdbc(url, jdbc_table or table, properties=dict(properties))
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 

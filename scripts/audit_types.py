@@ -53,8 +53,14 @@ def arrow_matches(spark_t: str, arrow_t: str) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # argv[1] is the sf_dir only if it IS a directory — otherwise it's the
+    # first query-name filter (`audit_types.py q_set_ops` must not silently
+    # audit nothing by eating the name as a path)
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.001", set(args)
     spark = get_spark("type-audit")
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -274,3 +274,41 @@ def test_build_leaves_no_persisted_frames(built_db):
     from pimdb_spark.functions import ids
 
     assert not ids._live_persists
+
+
+def test_to_jdbc_plumbing(spark, tmp_path, monkeypatch):
+    """No JDBC driver ships in this environment, so the writer itself is
+    monkeypatched; what's under test is the plumbing contract: the stored
+    table is read back, coalesced to the requested connection count, and
+    handed to DataFrameWriter.jdbc with mode/url/table/properties intact."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from pimdb_spark.plans.store import ParquetDatabase
+
+    db = ParquetDatabase(spark, str(tmp_path / "db"))
+    db.write(spark.range(100).selectExpr("id AS k", "id * 2 AS v"), "t")
+
+    calls = {}
+
+    def fake_jdbc(self, url, table, mode=None, properties=None):
+        calls["url"] = url
+        calls["table"] = table
+        calls["mode"] = self._jwrite.toString()  # not inspectable; just record
+        calls["properties"] = properties
+        calls["rows"] = self._df.count()
+        calls["partitions"] = self._df.rdd.getNumPartitions()
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
+    db.to_jdbc(
+        "t",
+        "jdbc:postgresql://host/db",
+        num_partitions=2,
+        user="u",
+        password="p",
+        batchsize="500",
+    )
+    assert calls["url"] == "jdbc:postgresql://host/db"
+    assert calls["table"] == "t"
+    assert calls["properties"] == {"user": "u", "password": "p", "batchsize": "500"}
+    assert calls["rows"] == 100
+    assert calls["partitions"] == 2

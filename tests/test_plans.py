@@ -141,7 +141,13 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
       (a 1-row aggregate) attaches to every (token, df) row."""
     plan = plan_of(entry.fn(spark, SF))
-    if name not in ("q_cosine_topk", "q_ivf_ann_topk", "q_token_df_idf"):
+    if name not in (
+        "q_cosine_topk",
+        "q_cosine_topk_np",
+        "q_ivf_ann_topk",
+        "q_ivf_ann_topk_np",
+        "q_token_df_idf",
+    ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     if name != "q_token_decompose":
