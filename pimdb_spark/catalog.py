@@ -199,6 +199,10 @@ _CHECK_FIRST: list[str] = [
     "q_rolling_window",
     "q_cosine_topk_np",
     "q_ivf_ann_topk_np",
+    "q4_priority_count",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q_stratified_sample",
     # curation / delta / corpus family unchecked in rounds 1-2
     "q_hash_split",
     "q_domain_quota",

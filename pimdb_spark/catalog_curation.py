@@ -192,3 +192,43 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.connected_components(
         pairs, "id_a", "id_b", nodes=base.select("vec_id")
     )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH kept AS (
+      SELECT lang, doc_id, n_chars FROM documents
+      WHERE {_H8.format(c='doc_id')} % 1000 <
+            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM kept GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling
+    (operators/curation.stratified_sample): keep 50% of English, 25% of
+    German, 10% of everything else, selected by id hash — the corpus
+    rebalancing step of a training-data pipeline, reproducible across
+    engines, runs, and partitionings where sampleBy is not.
+
+    Scale: a pure projection + filter — zero shuffle, and the id-hash
+    membership test pushes no data anywhere; the summary groupBy is the
+    only exchange."""
+    docs = C.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        "lang",
+        "doc_id",
+        {"en": 500, "de": 250},
+        default_permille=100,
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

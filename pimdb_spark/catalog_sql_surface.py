@@ -1003,3 +1003,173 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_30d"),
     )
+
+
+@register(
+    "q4_priority_count",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a date window having at least one
+    late-shipping lineitem (correlated EXISTS with a cross-side date
+    comparison; ship > order+60d stands in for receipt > commit — this
+    testdata carries no commit/receipt dates), counted per priority.
+
+    DataFrame-native: the EXISTS is a left_semi join whose condition is
+    the l_orderkey equi-key plus the date inequality riding along as a
+    residual — one shuffle on the key, the semi-join short-circuits per
+    order, and both date filters push into the scans."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("lk"), "l_shipdate"
+    )
+    late = (F.col("lk") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume END) AS DOUBLE)
+               AS nation_volume,
+           CAST(sum(volume) AS DOUBLE) AS total_volume,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue delivered
+    into ASIA-region customers, per order year — the widest join in the
+    suite (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier ⋈
+    nation ⋈ part, the same dim joined twice under different roles).
+
+    Scale: every dim broadcasts; the only real shuffle is
+    orders⋈lineitem and the final year agg.  Both sums stay in exact
+    DECIMAL until ONE cast to double each, and the share divides those
+    two doubles — IEEE division is engine-identical, so the ratio is
+    reproducible where a summed-in-double ratio would not be."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+    ).cast("double")
+    tot = F.sum("volume").cast("double")
+    return base.groupBy("o_year").agg(
+        nat.alias("nation_volume"),
+        tot.alias("total_volume"),
+        (nat / tot).alias("mkt_share"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_rev
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT max(total) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals the
+    maximum over the aggregated revenue view — an uncorrelated scalar
+    aggregate over a CTE the outer query also consumes (the reference
+    expresses this as a VIEW; Spark reuses the exchange).
+
+    The max-equality compares exact DECIMAL totals, so 'the' top supplier
+    cannot differ across engines by a double ulp.  Scale: one shuffle for
+    the revenue agg; the scalar max is a one-row subquery result; the
+    supplier join broadcasts."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q15_lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q15_supplier")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total
+          FROM q15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_rev
+        FROM q15_supplier s
+        JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total = (SELECT max(total) FROM rev)
+        """
+    )

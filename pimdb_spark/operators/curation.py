@@ -60,6 +60,29 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    permille: dict[str, int],
+    default_permille: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its id hashes
+    below the stratum's rate (in 1/1000ths).  ``df.sampleBy`` draws from
+    partition-local RNG streams — the sample changes with partitioning,
+    retries, and engines; this is a pure projection (zero shuffle, no RNG
+    state) that every engine/run reproduces row-for-row, which is what a
+    training-data pipeline needs for re-runnable corpus construction.
+
+    Integer per-mille rates keep the threshold comparison exact — float
+    fractions would put rows on engine-dependent rounding boundaries."""
+    b = hash_bucket(F.col(id_col), 1000)
+    rate: Column = F.lit(default_permille)
+    for value, pm in permille.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(pm)).otherwise(rate)
+    return df.filter(b < rate)
+
+
 def domain_quota(
     df: DataFrame, group_col: str, id_col: str, k: int
 ) -> DataFrame:

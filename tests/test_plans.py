@@ -323,3 +323,36 @@ def test_salted_join_rejects_replication_unsafe_outer(spark):
     # the safe types still construct (no evaluation needed)
     for ok in ("inner", "left", "left_semi", "left_anti"):
         salted_join(li, li, on="l_orderkey", how=ok)
+
+
+def test_q8_widest_join_broadcasts_all_dims(spark):
+    """Q8's 8-table join must broadcast every dim (both nation roles,
+    region, customer, supplier, part) — the only real shuffle at scale is
+    orders⋈lineitem plus the year agg."""
+    from pimdb_spark.catalog_sql_surface import q8_market_share
+
+    plan = plan_of(q8_market_share(spark, SF))
+    assert count_op(plan, "BroadcastHashJoin") >= 6
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join_with_residual(spark):
+    """The correlated EXISTS with a cross-side date inequality must plan
+    as ONE hash semi-join on the order key (inequality as residual), not
+    a nested loop and not a join-then-distinct."""
+    from pimdb_spark.catalog_sql_surface import q4_priority_count
+
+    plan = plan_of(q4_priority_count(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_projection(spark):
+    """Membership is decided row-locally by id hash — the sample itself
+    must add no exchange (the summary agg is the only one)."""
+    from pimdb_spark.catalog_curation import q_stratified_sample
+
+    plan = plan_of(q_stratified_sample(spark, SF))
+    assert count_op(plan, "Exchange") <= 1, plan
