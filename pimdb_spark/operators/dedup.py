@@ -114,6 +114,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle → minhash → band → bucket
     join → verify true Jaccard ≥ threshold.  Returns (id_a, id_b, jacc)
@@ -121,8 +122,14 @@ def minhash_lsh_pairs(
 
     Scale: the bucket join shuffles (id, band_hash) pairs; verification
     re-joins shingle sets only for candidates.  Skewed buckets (boilerplate
-    docs) are handled by AQE skew-join; a bucket-size cap can be added
-    upstream for adversarial inputs.
+    docs) are handled by AQE skew-join; ``max_bucket_size`` is the
+    adversarial-input defense — a band bucket holding m docs emits m²/2
+    candidate pairs, so one flood bucket (mass-produced boilerplate, spam
+    templates) turns the join quadratic.  Buckets over the cap are dropped
+    from candidate generation (their members are by construction
+    near-identical floods, better handled by exact/fingerprint dedup
+    upstream); the flooded-bucket set is tiny by definition, so the
+    exclusion is a broadcast anti-join, not another shuffle.
     """
     rows_per_band = num_hashes // bands
     # ONE shuffle, everything heavy in whole-stage codegen.  Interpreted
@@ -175,6 +182,14 @@ def minhash_lsh_pairs(
     # of the O(n_docs x bands) shuffle and are re-joined just for the
     # (typically tiny) candidate set
     banded = sig.select("doc", F.posexplode(F.array(*band_hash)).alias("band", "band_hash"))
+    if max_bucket_size is not None:
+        flooded = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(F.broadcast(flooded), ["band", "band_hash"], "left_anti")
     left = banded.select(F.col("doc").alias("id_a"), "band", "band_hash")
     right = banded.select(F.col("doc").alias("id_b"), "band", "band_hash")
     cand_ids = (

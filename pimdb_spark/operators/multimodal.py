@@ -76,17 +76,37 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return width, height, mode
 
 
-def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
+    strict: bool = False,
+) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, payload) yielding typed
-    image metadata.  Uses PIL when installed, else the deterministic stub
-    (NotImplementedError would be raised here for strict mode)."""
+    image metadata.
+
+    Decoder resolution, in order: an injected ``decoder`` callable
+    (``bytes -> (width, height, mode)`` — how a production format handler
+    plugs in, and how tests exercise the real-decoder code path without
+    Pillow in the container), else PIL when installed, else the
+    deterministic stub.  ``strict=True`` refuses the stub: it raises
+    NotImplementedError at plan-build time rather than silently producing
+    fake metadata in a pipeline that expects real decoding."""
+    if strict and decoder is None and not _HAVE_PIL:
+        raise NotImplementedError(
+            "decode_images(strict=True): no real decoder available — install "
+            "Pillow or inject decoder=...; refusing to emit stub metadata"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                if _HAVE_PIL:  # pragma: no cover - not in this container
+                if decoder is not None:
+                    width, height, mode = decoder(data)
+                elif _HAVE_PIL:  # pragma: no cover - not in this container
                     import io
 
                     from PIL import Image
@@ -95,7 +115,7 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
                     width, height, mode = img.width, img.height, img.mode
                 else:
                     width, height, mode = _fake_decode(data)
-                rows.append((int(doc_id), width, height, mode, len(data)))
+                rows.append((int(doc_id), int(width), int(height), mode, len(data)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "mode", "n_bytes"]
             )

@@ -64,3 +64,49 @@ def test_resize_images_stub(spark):
     for r in out:
         assert 1 <= max(r.width, r.height) <= 32
         assert isinstance(r.thumb, (bytes, bytearray))
+
+
+def test_decode_images_injected_decoder(spark):
+    """The injectable decoder is the real-format plug point: payloads are
+    parsed (not hashed) and the parsed metadata lands in the typed schema
+    through the same Arrow-batched mapInPandas plumbing.  Defined inline
+    so cloudpickle ships it by VALUE — a module-level function in tests/
+    would be pickled by reference and die on workers (the same
+    foreign-CWD failure mode ensure_worker_code guards for package code)."""
+    from pimdb_spark.operators.multimodal import decode_images
+
+    def _header_decoder(data: bytes):
+        # 9-byte header: 'IMG' + width(u16be) + height(u16be) + 2-ascii mode
+        assert data[:3] == b"IMG"
+        width = int.from_bytes(data[3:5], "big")
+        height = int.from_bytes(data[5:7], "big")
+        mode = data[7:9].decode("ascii").strip()
+        return width, height, mode
+
+    payloads = [
+        (1, b"IMG" + (640).to_bytes(2, "big") + (480).to_bytes(2, "big") + b"L "),
+        (2, b"IMG" + (32).to_bytes(2, "big") + (64).to_bytes(2, "big") + b"RG"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.mode, r.n_bytes)
+        for r in decode_images(df, decoder=_header_decoder).collect()
+    }
+    assert got == {1: (640, 480, "L", 9), 2: (32, 64, "RG", 9)}
+
+
+def test_decode_images_strict_refuses_stub(spark):
+    """strict=True must raise at plan-build time when only the stub is
+    available — a real pipeline must never silently get fake metadata."""
+    import pytest as _pytest
+
+    from pimdb_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    if M._HAVE_PIL:  # pragma: no cover - not in this container
+        _pytest.skip("real decoder present")
+    with _pytest.raises(NotImplementedError, match="strict"):
+        M.decode_images(df, strict=True)
+    # strict + injected decoder is fine — strictness is about the STUB
+    out = M.decode_images(df, decoder=lambda b: (1, 1, "L"), strict=True)
+    assert out.count() == 1

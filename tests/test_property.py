@@ -182,3 +182,33 @@ def test_range_join_matches_bruteforce(spark, seed):
         if k1 == k2 and i1 < i2 and abs(t1 - t2) <= radius
     )
     assert got == expected
+
+
+def test_minhash_bucket_cap_drops_flood_keeps_true_pairs(spark):
+    """Adversarial flood: many identical boilerplate docs put every one of
+    their band buckets over the cap — those quadratic candidates are
+    dropped, while a genuine near-dup pair outside the flood still
+    surfaces.  Without the cap the flood contributes m²/2 pairs."""
+    import pyspark.sql.functions as F
+
+    from pimdb_spark.operators.dedup import minhash_lsh_pairs
+
+    flood = [(i, "spam template body repeated verbatim across the corpus")
+             for i in range(100)]
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm cat "
+        "watches from the old wooden fence nearby"
+    )
+    real = [(200, base), (201, base + " tonight")]  # jacc = 18/19 >= 0.8
+    df = spark.createDataFrame(flood + real, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (200, 201) in got                      # true pair survives
+    assert not any(a < 100 and b < 100 for a, b in got)  # flood suppressed
+
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text")
+    flood_pairs = sum(
+        1 for r in uncapped.collect() if r.id_a < 100 and r.id_b < 100
+    )
+    assert flood_pairs == 100 * 99 // 2  # what the cap is defending against
