@@ -183,11 +183,22 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: O(diameter) rounds of join+min-agg, one node-id shuffle each;
     near-dup components are quasi-cliques (diameter 2-3).  Lineage is cut
     per round with localCheckpoint."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    # every 7th vector duplicated via ONE scan + explode — NOT filter+union:
+    # a Union whose child carries a filter constraint can crash Catalyst's
+    # UnionBase.rewriteConstraints (NoSuchElementException "key not found:
+    # embedding#N", basicLogicalOperators.scala:527) depending on attribute
+    # ids, i.e. on what else ran in the session first; the explode form has
+    # no Union to rewrite and reads the table once instead of twice
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.explode(
+            F.when(
+                F.col("vec_id") % 7 == 0,
+                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+            ).otherwise(F.array(F.col("vec_id")))
+        ).alias("vec_id"),
+        "embedding",
     )
-    base = emb.union(copies)
     pairs = S.embedding_dup_pairs(base, "vec_id", "embedding", n_bits=8, threshold=0.95)
     return C.connected_components(
         pairs, "id_a", "id_b", nodes=base.select("vec_id")
@@ -232,3 +243,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dup_clusters via large-star/small-star contraction
+    (operators/curation.connected_components_star) — identical labeling
+    contract, O(log n) rounds on ANY topology where hash-min needs
+    O(diameter).  Same recursive-CTE oracle as q_dup_clusters."""
+    # every 7th vector duplicated via ONE scan + explode — NOT filter+union:
+    # a Union whose child carries a filter constraint can crash Catalyst's
+    # UnionBase.rewriteConstraints (NoSuchElementException "key not found:
+    # embedding#N", basicLogicalOperators.scala:527) depending on attribute
+    # ids, i.e. on what else ran in the session first; the explode form has
+    # no Union to rewrite and reads the table once instead of twice
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.explode(
+            F.when(
+                F.col("vec_id") % 7 == 0,
+                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+            ).otherwise(F.array(F.col("vec_id")))
+        ).alias("vec_id"),
+        "embedding",
+    )
+    pairs = S.embedding_dup_pairs(base, "vec_id", "embedding", n_bits=8, threshold=0.95)
+    return C.connected_components_star(
+        pairs, "id_a", "id_b", nodes=base.select("vec_id")
+    )
+
+
+from pimdb_spark.catalog import _REGISTRY as _R2  # noqa: E402
+
+register("q_dup_clusters_star", oracle=_R2["q_dup_clusters"].oracle)(
+    q_dup_clusters_star
+)

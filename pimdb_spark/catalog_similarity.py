@@ -56,7 +56,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.cosine_topk).  Scale: queries broadcast; one
     pass over candidates; per-query top-k via WindowGroupLimit."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return S.cosine_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
 
 
@@ -85,7 +88,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic recall/cost trade.  Scale: equi-join on bucket id replaces the
     cross join."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 16)
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
     return S.lsh_ann_topk(queries, emb, "vec_id", "vec_id", "embedding", k=3, n_bits=8)
 
 
@@ -148,7 +154,10 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join on cell id — the IVF counterpart of q_lsh_ann_topk's
     sign-bucketing."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 16)
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
     return S.ivf_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
         n_centroids=8, nprobe=2, k=3,
@@ -176,11 +185,22 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.embedding_dup_pairs); every 7th vector is
     duplicated (id + 100,000) so the expected pairs are known.
     Scale: bucket join bounds pairs; threshold filters before output."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    # every 7th vector duplicated via ONE scan + explode — NOT filter+union:
+    # a Union whose child carries a filter constraint can crash Catalyst's
+    # UnionBase.rewriteConstraints (NoSuchElementException "key not found:
+    # embedding#N", basicLogicalOperators.scala:527) depending on attribute
+    # ids, i.e. on what else ran in the session first; the explode form has
+    # no Union to rewrite and reads the table once instead of twice
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.explode(
+            F.when(
+                F.col("vec_id") % 7 == 0,
+                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+            ).otherwise(F.array(F.col("vec_id")))
+        ).alias("vec_id"),
+        "embedding",
     )
-    base = emb.union(copies)
     return S.embedding_dup_pairs(base, "vec_id", "embedding", n_bits=8, threshold=0.95)
 
 
@@ -195,7 +215,10 @@ def q_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_cosine_topk scored via Arrow-batched numpy einsum (the wide-vector
     fast path; see scored_cosine)."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return S.cosine_topk(
         queries, emb, "vec_id", "vec_id", "embedding", k=5, scorer="numpy"
     )
@@ -206,7 +229,10 @@ def q_ivf_ann_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM fold over the 8-centroid broadcast — that cost is O(n_centroids),
     not O(pairs))."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 16)
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
     return S.ivf_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
         n_centroids=8, nprobe=2, k=3, scorer="numpy",

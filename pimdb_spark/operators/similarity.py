@@ -121,30 +121,41 @@ def ivf_topk(
     )
 
     def with_dists(df: DataFrame, id_alias: str) -> DataFrame:
-        return (
-            df.select(F.col(query_id if id_alias == "q_id" else cand_id).alias(id_alias),
-                      F.col(vec_col).alias(id_alias[0] + "_vec"))
-            .crossJoin(F.broadcast(cents))
-            .withColumn(
-                "dists",
-                F.transform(F.col("cvecs"), lambda c: sqdist(F.col(id_alias[0] + "_vec"), c)),
-            )
+        side = df.select(
+            F.col(query_id if id_alias == "q_id" else cand_id).alias(id_alias),
+            F.col(vec_col).alias(id_alias[0] + "_vec"),
+        )
+        if id_alias == "q_id":
+            # query side lazily checkpointed — small by contract, and it
+            # prevents the optimizer re-merging query/candidate scans of
+            # the same table into a self-join with mis-rebound HOF
+            # lambdas (see embedding_dup_pairs docstring)
+            side = side.localCheckpoint(eager=False)
+        return side.crossJoin(F.broadcast(cents)).withColumn(
+            "dists",
+            F.transform(F.col("cvecs"), lambda c: sqdist(F.col(id_alias[0] + "_vec"), c)),
         )
 
+    # distinct per-side cell names + eqNullSafe probe join: both guard the
+    # Catalyst constraint-propagation / self-join HOF rebind bug (see
+    # lsh_ann_topk docstring) — cells are non-null, semantics identical,
+    # still a hash equi-join
     assigned = with_dists(candidates, "c_id").select(
-        "c_id", "c_vec", F.array_position("dists", F.array_min("dists")).alias("cell")
+        "c_id", "c_vec", F.array_position("dists", F.array_min("dists")).alias("c_cell")
     )
-    probe_w = Window.partitionBy("q_id").orderBy("dist", "cell")
+    probe_w = Window.partitionBy("q_id").orderBy("dist", "q_cell")
     probes = (
         with_dists(queries, "q_id")
         .select("q_id", "q_vec", F.posexplode("dists").alias("pos", "dist"))
-        .withColumn("cell", (F.col("pos") + 1).cast("bigint"))
+        .withColumn("q_cell", (F.col("pos") + 1).cast("bigint"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
-        .select("q_id", "q_vec", "cell")
+        .select("q_id", "q_vec", "q_cell")
     )
     scored = scored_cosine(
-        assigned.join(probes, "cell").filter(F.col("q_id") != F.col("c_id")),
+        assigned.join(probes, F.col("c_cell").eqNullSafe(F.col("q_cell"))).filter(
+            F.col("q_id") != F.col("c_id")
+        ),
         "q_vec",
         "c_vec",
         scorer,
@@ -196,10 +207,16 @@ def cosine_topk(
     scorer: str = "fold",
 ) -> DataFrame:
     """Exact top-k: broadcast the query set, score every candidate, rank
-    per query (ties broken by candidate id).  Self-matches excluded."""
+    per query (ties broken by candidate id).  Self-matches excluded.
+
+    The query side is lazily localCheckpoint-ed: queries usually scan the
+    same table as candidates, and identical scans are re-merged by the
+    optimizer into a self-join whose HOF lambdas Catalyst can mis-rebind
+    (see embedding_dup_pairs docstring); the query set is small by
+    contract (it broadcasts), so the checkpoint is cheap."""
     q = queries.select(
         F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).localCheckpoint(eager=False)
     c = candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
     scored = scored_cosine(
         c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id")),
@@ -231,19 +248,34 @@ def lsh_ann_topk(
     scorer: str = "fold",
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's sign-LSH
-    bucket.  Equi-join on bucket id replaces the cross join."""
+    bucket.  Equi-join on bucket id replaces the cross join.
+
+    Two Catalyst-bug guards (see embedding_dup_pairs docstring for the
+    failure mode): the query side is lazily localCheckpoint-ed (small by
+    contract), and each side's bucket column gets a DISTINCT name with an
+    explicit join condition — a USING-column join on the same computed
+    name over two scans of one table is exactly the shape whose HOF
+    lambdas the self-join dedup mis-rebinds.  The join uses eqNullSafe
+    (buckets are non-null, so semantics are identical and it still plans
+    as a hash join): plain attribute equality lets constraint propagation
+    transitively rewrite one side's HOF bucket expression onto the OTHER
+    side's output, where its lambda binds against attributes that no
+    longer exist (executor-side INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) —
+    EqualNullSafe is opaque to that transitive closure."""
     q = queries.select(
         F.col(query_id).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+        sign_bucket(F.col(vec_col), n_bits).alias("q_bucket"),
+    ).localCheckpoint(eager=False)
     c = candidates.select(
         F.col(cand_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        sign_bucket(F.col(vec_col), n_bits).alias("c_bucket"),
     )
     scored = scored_cosine(
-        c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("c_id")),
+        c.join(F.broadcast(q), F.col("q_bucket").eqNullSafe(F.col("c_bucket"))).filter(
+            F.col("q_id") != F.col("c_id")
+        ),
         "q_vec",
         "c_vec",
         scorer,
@@ -254,7 +286,7 @@ def lsh_ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "bucket", "rank", "c_id", "cos")
+        .select("q_id", F.col("q_bucket").alias("bucket"), "rank", "c_id", "cos")
     )
 
 
@@ -267,12 +299,19 @@ def embedding_dup_pairs(
     round_digits: int | None = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine within sign-LSH buckets: (id_a < id_b,
-    cos >= threshold).  The bucket equi-join bounds the pair count."""
+    cos >= threshold).  The bucket equi-join bounds the pair count.
+
+    The side frame is lazily localCheckpoint-ed before the self-join:
+    Catalyst's self-join attribute dedup mis-rebinds lambda variables
+    inside higher-order functions (executor-side INTERNAL_ERROR_ATTRIBUTE_
+    NOT_FOUND in BindReferences, dependent on session attribute-id state),
+    and a checkpointed leaf has no nested plan to mis-rewrite.  It also
+    means one scan+bucket computation serves both join sides."""
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
     pairs = (
