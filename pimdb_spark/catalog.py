@@ -204,6 +204,7 @@ _CHECK_FIRST: list[str] = [
     "q15_top_supplier",
     "q_stratified_sample",
     "q_dup_clusters_star",
+    "q9_product_profit",
     # curation / delta / corpus family unchecked in rounds 1-2
     "q_hash_split",
     "q_domain_quota",

@@ -1173,3 +1173,61 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.total = (SELECT max(total) FROM rev)
         """
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))
+                      * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, extract(year FROM o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year for parts whose
+    name matches a substring — the LIKE-filtered 5-table join with
+    cross-table arithmetic inside the aggregate.  (retailprice/10 stands
+    in for ps_supplycost; this testdata has no partsupp.)
+
+    All arithmetic stays in exact DECIMAL — the /10 divides by an exact
+    power of ten, so scale just shifts — with ONE cast to double at the
+    end.  Scale: part (LIKE pushed into its scan), supplier and nation
+    broadcast; orders⋈lineitem is the one real shuffle, then the
+    (nation, year) agg."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        - F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        # x0.1 as exact DECIMAL, never /10: DECIMAL / INT promotes to
+        # DOUBLE in DuckDB, breaking cross-engine bit parity
+        * F.lit("0.1").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
