@@ -205,6 +205,7 @@ _CHECK_FIRST: list[str] = [
     "q_stratified_sample",
     "q_dup_clusters_star",
     "q9_product_profit",
+    "q_multimodal_decode_pinned",
     # curation / delta / corpus family unchecked in rounds 1-2
     "q_hash_split",
     "q_domain_quota",

@@ -37,3 +37,35 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     with_payload = M.with_binary_payload(docs, "text")
     return M.decode_images(with_payload, "doc_id", "payload")
+
+
+@register(
+    "q_multimodal_decode_pinned",
+    oracle="""
+    SELECT doc_id,
+           64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS width,
+           64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS height,
+           CASE ('0x' || substring(md5(text), 5, 2))::INT % 3
+             WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END AS mode,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_decode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode plumbing, hash-checked: an EXPLICITLY injected
+    deterministic decoder (md5-header derivation — the same function the
+    stub uses, but pinned via the decoder= plug point so the contract
+    holds whether or not PIL is installed) runs through the identical
+    Arrow-batched mapInPandas path, and DuckDB reproduces the md5-derived
+    metadata byte-for-byte.  q_multimodal_decode stays rows-only: ITS
+    contract is real decoding, honestly stubbed.
+
+    Scale: same as q_multimodal_decode — payloads stream through Arrow
+    batches, one task holds batch_size payloads, zero shuffle."""
+    from pimdb_spark.operators.multimodal import _fake_decode
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    with_payload = M.with_binary_payload(docs, "text")
+    return M.decode_images(
+        with_payload, "doc_id", "payload", decoder=_fake_decode, strict=True
+    )
