@@ -206,6 +206,7 @@ _CHECK_FIRST: list[str] = [
     "q_dup_clusters_star",
     "q9_product_profit",
     "q_multimodal_decode_pinned",
+    "q_scd2_intervals",
     # curation / delta / corpus family unchecked in rounds 1-2
     "q_hash_split",
     "q_domain_quota",

@@ -124,3 +124,96 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = changed.unionByName(added)
     return D.snapshot_merge(base, updates, ["o_orderkey"])
+
+
+_VERSIONS_SQL = """
+      SELECT 1 AS version, o_orderkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT 2 AS version, o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT 3 AS version, o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE o_orderstatus END
+                 AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+"""
+
+
+@register(
+    "q_scd2_intervals",
+    oracle=f"""
+    WITH snaps AS ({_VERSIONS_SQL}),
+    flagged AS (
+      SELECT *,
+             CASE WHEN (o_orderstatus IS DISTINCT FROM
+                        lag(o_orderstatus) OVER w)
+                    OR (o_totalprice IS DISTINCT FROM
+                        lag(o_totalprice) OVER w)
+                  THEN 1 ELSE 0 END AS chg
+      FROM snaps
+      WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+    ), runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY o_orderkey ORDER BY version
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged
+    ), grouped AS (
+      SELECT o_orderkey, run,
+             min(version) AS valid_from,
+             count(*) AS n_versions,
+             min(o_orderstatus) AS o_orderstatus,
+             min(o_totalprice) AS o_totalprice
+      FROM runs GROUP BY o_orderkey, run
+    )
+    SELECT o_orderkey, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+               AS valid_to,
+           CAST(n_versions AS BIGINT) AS n_versions,
+           o_orderstatus, o_totalprice
+    FROM grouped
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history materialization (operators/delta.scd2_intervals) over
+    three synthetic snapshot versions of orders (v2 bumps every 10th
+    key's price, v3 flips every 7th key's status — both engines construct
+    the identical stack by key arithmetic).  Each key yields one row per
+    run of versions with unchanged attributes, with half-open
+    [valid_from, valid_to) validity.
+
+    Scale: the three-version union is a narrow scan; then ONE shuffle on
+    o_orderkey serves both windows and the run groupBy."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2_price = F.when(
+        F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1
+    ).otherwise(F.col("o_totalprice"))
+    v3_status = F.when(F.col("o_orderkey") % 7 == 0, F.lit("Z")).otherwise(
+        F.col("o_orderstatus")
+    )
+    snaps = (
+        o.select(F.lit(1).alias("version"), "o_orderkey", "o_orderstatus", "o_totalprice")
+        .unionByName(
+            o.select(
+                F.lit(2).alias("version"),
+                "o_orderkey",
+                "o_orderstatus",
+                v2_price.alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit(3).alias("version"),
+                "o_orderkey",
+                v3_status.alias("o_orderstatus"),
+                v2_price.alias("o_totalprice"),
+            )
+        )
+    )
+    return D.scd2_intervals(
+        snaps, ["o_orderkey"], "version", ["o_orderstatus", "o_totalprice"]
+    )

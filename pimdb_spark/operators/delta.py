@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Unit-separator joint: columns can't contain \x1f in our data model; a NULL
@@ -74,3 +74,42 @@ def snapshot_merge(
     cols = base.columns
     keep = base.join(updates.select(*key_cols), list(key_cols), "left_anti")
     return updates.select(*cols).unionByName(keep)
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a stack of versioned
+    snapshots: one row per (key, run of consecutive versions with
+    identical compare_cols values), carrying ``valid_from`` (first
+    version of the run), ``valid_to`` (first version of the NEXT run,
+    NULL while current — the half-open [from, to) convention), the run's
+    attribute values, and ``n_versions`` (snapshots the run spanned).
+    This is how a training-data pipeline materializes point-in-time
+    reproducibility from periodic snapshot dumps.
+
+    Change detection is eqNullSafe against the per-key previous version
+    (NULL-safe: NULL→value and value→NULL both open a new run); runs are
+    numbered by a running sum of change flags.  Scale: ONE shuffle on the
+    key — both windows and the groupBy share the same partitioning, so
+    Spark reuses the exchange."""
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    run_id = F.sum(F.when(changed, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = snapshots.withColumn("_run", run_id)
+    grouped = runs.groupBy(*key_cols, "_run").agg(
+        F.min(version_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_versions"),
+        *[F.min(c).alias(c) for c in compare_cols],  # constant within a run
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("valid_from")
+    return grouped.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).select(*key_cols, "valid_from", "valid_to", "n_versions", *compare_cols)

@@ -74,3 +74,49 @@ def test_merge_is_single_anti_join(spark):
     updates = spark.createDataFrame([Row(k=2, a="y2", b=99.0)])
     plan = plan_of(D.snapshot_merge(old, updates, ["k"]))
     assert "LeftAnti" in plan
+
+
+def test_scd2_intervals_model(spark):
+    """SCD2 runs against a hand-checked 3-version stack: unchanged keys
+    get one open interval; a changed key closes the old run at the
+    change version (half-open [from, to)) and opens a new one."""
+    from pimdb_spark.operators.delta import scd2_intervals
+
+    rows = [
+        # key 1: never changes
+        (1, 1, "A", 10.0), (2, 1, "A", 10.0), (3, 1, "A", 10.0),
+        # key 2: price changes at v3
+        (1, 2, "A", 10.0), (2, 2, "A", 10.0), (3, 2, "A", 11.0),
+        # key 3: appears at v2, status flips at v3, NULL price throughout
+        (2, 3, "A", None), (3, 3, "B", None),
+    ]
+    df = spark.createDataFrame(rows, "version int, k int, status string, price double")
+    out = {
+        (r.k, r.valid_from): (r.valid_to, r.n_versions, r.status, r.price)
+        for r in scd2_intervals(df, ["k"], "version", ["status", "price"]).collect()
+    }
+    assert out == {
+        (1, 1): (None, 3, "A", 10.0),
+        (2, 1): (3, 2, "A", 10.0),
+        (2, 3): (None, 1, "A", 11.0),
+        (3, 2): (3, 1, "A", None),
+        (3, 3): (None, 1, "B", None),
+    }
+
+
+def test_scd2_single_shuffle(spark):
+    """Both windows and the run groupBy must reuse ONE key exchange."""
+    import contextlib
+    import io
+
+    from pimdb_spark.catalog_delta import q_scd2_intervals
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_scd2_intervals(spark, "/root/testdata/sf0.001").explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    n_exchanges = sum(
+        1 for line in tree.splitlines() if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges == 1, plan
