@@ -207,6 +207,7 @@ _CHECK_FIRST: list[str] = [
     "q9_product_profit",
     "q_multimodal_decode_pinned",
     "q_scd2_intervals",
+    "q_interval_join",
     # curation / delta / corpus family unchecked in rounds 1-2
     "q_hash_split",
     "q_domain_quota",

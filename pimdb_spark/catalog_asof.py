@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pimdb_spark.catalog import load, register
-from pimdb_spark.operators.asof import asof_join, range_join_pairs
+from pimdb_spark.operators.asof import asof_join, interval_join, range_join_pairs
 
 RANGE_RADIUS_US = 12 * 3600 * 1_000_000  # 12 hours
 
@@ -70,3 +70,56 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, which would be a nested-loop at scale)."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
     return range_join_pairs(ev, "user_id", "ts_us", "event_id", RANGE_RADIUS_US)
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + (event_id % 5 + 1) * 60000000 AS e
+      FROM events
+    ), l AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+       r AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+    SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           l.s AS l_start, r.s AS r_start
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND l.s <= r.e AND r.s <= l.e
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (operators/asof.interval_join): per user,
+    every (even-id, odd-id) event pair whose 1-5 minute validity windows
+    overlap — the temporal join shape for sessions x promotions or
+    observations x outages.  DuckDB's oracle is the direct inequality
+    join (its IEJoin evaluates it natively); the Spark plan is the
+    grid-cell explode + hash equi-join with exactly-once pair
+    attribution, which is the shape that scales (no nested loop).
+
+    Grid = 5 min ≈ the max interval length, so each interval touches
+    <= 3 cells."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + (F.col("event_id") % 5 + 1) * 60000000).alias("e"),
+    )
+    left = iv.filter(F.col("event_id") % 2 == 0)
+    right = (
+        iv.filter(F.col("event_id") % 2 == 1)
+        .withColumnRenamed("event_id", "r_event_id")
+        .withColumnRenamed("s", "r_s")
+        .withColumnRenamed("e", "r_e")
+    )
+    joined = interval_join(
+        left, right, "user_id", ("s", "e"), ("r_s", "r_e"), grid=300_000_000
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        F.col("r_event_id").alias("r_id"),
+        F.col("s").alias("l_start"),
+        F.col("r_s").alias("r_start"),
+    )

@@ -111,3 +111,36 @@ def range_join_pairs(
         )
         .select(key, "id_a", "id_b", "t_a", "t_b")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_cols: tuple[str, str],
+    r_cols: tuple[str, str],
+    grid: int,
+) -> DataFrame:
+    """Overlap join of two interval sets sharing `key`: every (L, R) pair
+    with L.start <= R.end AND R.start <= L.end — the temporal join for
+    validity windows (sessions x promotions, observations x outages).
+
+    Scale: each interval explodes onto the grid cells it touches
+    (``sequence(start div grid, end div grid)``), the join is a hash
+    equi-join on (key, cell), and each qualifying pair is attributed to
+    exactly ONE cell — the later of the two start cells — so no distinct
+    pass is needed.  Pick ``grid`` near the typical interval length:
+    cells per interval ~= length/grid + 1 bounds the explode factor,
+    cells much smaller than intervals inflate the explode, cells much
+    larger inflate candidates per cell.  Integer division throughout
+    (epoch micros exceed double's 2^53 exact range)."""
+    ls, le = l_cols
+    rs, re_ = r_cols
+    g = int(grid)
+    l_first = F.expr(f"`{ls}` div {g}")
+    r_first = F.expr(f"`{rs}` div {g}")
+    a = left.withColumn("_cell", F.explode(F.sequence(l_first, F.expr(f"`{le}` div {g}"))))
+    b = right.withColumn("_cell", F.explode(F.sequence(r_first, F.expr(f"`{re_}` div {g}"))))
+    overlap = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+    once = F.col("_cell") == F.greatest(l_first, r_first)
+    return a.join(b, [key, "_cell"]).filter(overlap & once).drop("_cell")

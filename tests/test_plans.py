@@ -356,3 +356,19 @@ def test_stratified_sample_is_projection(spark):
 
     plan = plan_of(q_stratified_sample(spark, SF))
     assert count_op(plan, "Exchange") <= 1, plan
+
+
+def test_interval_join_is_equi_join(spark):
+    """Grid-cell explode must turn the overlap condition into a hash
+    equi-join on (key, cell) — never a nested loop — and each qualifying
+    pair must surface exactly once (first-shared-cell attribution, no
+    distinct pass in the plan)."""
+    from pimdb_spark.catalog_asof import q_interval_join
+
+    df = q_interval_join(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    rows = df.collect()
+    assert len(rows) == len({(r.user_id, r.l_id, r.r_id) for r in rows})
