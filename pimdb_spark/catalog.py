@@ -208,6 +208,7 @@ _CHECK_FIRST: list[str] = [
     "q_multimodal_decode_pinned",
     "q_scd2_intervals",
     "q_interval_join",
+    "q_approx_percentile",
     # curation / delta / corpus family unchecked in rounds 1-2
     "q_hash_split",
     "q_domain_quota",

@@ -1231,3 +1231,23 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit).cast("double").alias("profit"))
     )
+
+
+@register("q_approx_percentile", oracle=None)  # t-digest-style sketch: rows-only
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group next to the exact percentile — the
+    mergeable-sketch path for unbounded-cardinality groups, where exact
+    percentiles would buffer every group's values.  Rows-only check
+    (sketch internals are engine-specific by design); tests assert the
+    approximation error bound against the exact value instead.
+    Scale: the sketch merges associatively — constant memory per group,
+    map-side partial aggregation, one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+        ).alias("approx_p"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("exact_p"),
+    )

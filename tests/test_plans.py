@@ -372,3 +372,13 @@ def test_interval_join_is_equi_join(spark):
     assert "Join" in plan
     rows = df.collect()
     assert len(rows) == len({(r.user_id, r.l_id, r.r_id) for r in rows})
+
+
+def test_approx_percentile_error_bound(spark):
+    """The sketch quantiles must land within 2% relative error of the
+    exact percentiles at every probed quantile."""
+    from pimdb_spark.catalog_sql_surface import q_approx_percentile
+
+    for r in q_approx_percentile(spark, SF).collect():
+        for approx, exact in zip(r.approx_p, r.exact_p):
+            assert abs(approx - exact) / exact < 0.02, (r.l_returnflag, approx, exact)
