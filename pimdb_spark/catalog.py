@@ -339,7 +339,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaling: no forced broadcast
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
@@ -398,9 +398,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(dims, o.o_custkey == F.col("c_custkey"))  # customer-sized: stats decide
         .join(
-            F.broadcast(s),
+            s,  # SF-scaling: no forced broadcast
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
@@ -688,7 +688,7 @@ def q_multiway_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaling: no forced broadcast
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("r_name", "n_name", "o_orderpriority", "l_returnflag")

@@ -361,8 +361,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # SF-scaling: no forced broadcast
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaling: no forced broadcast
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair_ok)
@@ -526,7 +526,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
                 li.l_orderkey == F.col("o_orderkey"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaling: no forced broadcast
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(12,2)"))
@@ -615,7 +615,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= ts_lit("1995-09-01"))
             & (F.col("l_shipdate") < ts_lit("1995-12-01"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))  # SF-scaling
         .agg(
             (
                 F.lit(100.0) * F.sum(promo).cast("double")
@@ -729,7 +729,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & sz.between(1, 45) & q.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))  # SF-scaling
         .filter(clause)
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
@@ -854,7 +854,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ck_order") == F.col("o_orderkey"),
         )
         .drop("o_orderkey")
-        .join(F.broadcast(nat_suppliers), F.col("ck_supp") == F.col("s_suppkey"))
+        .join(nat_suppliers, F.col("ck_supp") == F.col("s_suppkey"))  # supplier-scaling
     )
 
     others = li.select(
@@ -1103,12 +1103,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaling: no forced broadcast
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # SF-scaling
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)  # SF-scaling
         .select(
             F.year("o_orderdate").alias("o_year"),
             volume.alias("volume"),
@@ -1221,8 +1221,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit("0.1").cast("decimal(2,1)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # SF-scaling: stats decide
+        .join(s, li.l_suppkey == s.s_suppkey)  # SF-scaling
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
