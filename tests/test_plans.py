@@ -382,3 +382,34 @@ def test_approx_percentile_error_bound(spark):
     for r in q_approx_percentile(spark, SF).collect():
         for approx, exact in zip(r.approx_p, r.exact_p):
             assert abs(approx - exact) / exact < 0.02, (r.l_returnflag, approx, exact)
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark):
+    """Spark's runtime bloom-filter join: when one shuffle-join side is
+    selective, its join keys build a bloom filter that pre-filters the
+    BIG side before the shuffle — at 100 TB this is the difference
+    between shuffling every lineitem row and shuffling only plausible
+    matches.  Thresholds are lowered so the tiny test tables qualify;
+    the assertion is on the injected plan shape, which is scale-invariant."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    import pyspark.sql.functions as F
+
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert j.count() >= 0
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
