@@ -83,16 +83,42 @@ def ensure_worker_code(spark: SparkSession) -> None:
     _SHIPPED_APPS.add(app)
 
 
+def _events_ts_unit(sf_dir: str) -> str:
+    """Time unit ('ns'/'us'/'ms') of events.ts from the parquet footer.
+
+    Different generations of the driver's testdata write ``ts`` as INT64
+    TIMESTAMP(NANOS) or TIMESTAMP(MICROS); hard-coding either breaks the
+    other (a nanos assumption on micros data inflates every epoch by
+    1000x).  One driver-side footer read (pyarrow, no data pages) settles
+    it per sf_dir.  On a real cluster this is a metadata-only operation on
+    a single file — same cost class as schema inference."""
+    key = (sf_dir, "events_ts_unit")
+    cached = _TS_UNIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(f"{sf_dir}/events.parquet").field("ts")
+    unit = getattr(field.type, "unit", "us")
+    _TS_UNIT_CACHE[key] = unit
+    return unit
+
+
+_TS_UNIT_CACHE: dict[tuple[str, str], str] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan; filters/column pruning push down into this scan.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; we read it as a raw nanosecond epoch long via an
-    explicit schema (works in any SparkSession, no legacy conf needed) and
-    expose ``ts_us`` (epoch microseconds, bigint).  All event-time logic in
-    this catalog is integer arithmetic on epoch micros — exact and
+    ``events.ts`` is physically an INT64 parquet timestamp whose unit has
+    varied across testdata generations (NANOS in early rounds, MICROS now).
+    Spark's vectorized reader happily reads either as a raw epoch long via
+    an explicit LongType schema (TIMESTAMP_NANOS it cannot read any other
+    way), so we sniff the unit from the footer (`_events_ts_unit`) and
+    normalize to ``ts_us`` (epoch microseconds, bigint).  All event-time
+    logic in this catalog is integer arithmetic on epoch micros — exact and
     timezone-independent on both Spark and the DuckDB oracle (which itself
-    truncates TIMESTAMP_NS to microseconds on scan).
+    computes ``epoch_us(ts)`` on the naive timestamp).
     """
     ensure_worker_code(spark)
     if name == "events":
@@ -114,10 +140,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 StructField("props", StringType()),
             ]
         )
+        unit = _events_ts_unit(sf_dir)
+        if unit == "ns":
+            to_us = F.expr("ts div 1000")
+        elif unit == "ms":
+            to_us = F.col("ts") * 1000
+        else:
+            to_us = F.col("ts")
         return (
             spark.read.schema(schema)
             .parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts_us", to_us)
             .drop("ts")
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -183,46 +216,57 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # long-verified remainder (green in CORRECTNESS_r01/r02) follows in
 # registration order; its attestation is already on record.
 _CHECK_FIRST: list[str] = [
-    # TPC-H shapes unchecked in rounds 1-2
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q_approx_distinct",
-    # new this round: anti-join family + restored RANGE-frame window
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q16_supplier_parts",
-    "q_rolling_window",
-    "q_cosine_topk_np",
-    "q_ivf_ann_topk_np",
-    "q4_priority_count",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q_stratified_sample",
-    "q_dup_clusters_star",
-    "q9_product_profit",
-    "q_multimodal_decode_pinned",
-    "q_scd2_intervals",
+    # Rotation invariant (COVERAGE.md "Attestation rotation"): the driver
+    # checks only the FIRST 50 of ~90 entries, so this list is re-derived
+    # every round as (new entries) + (entries that failed last round) +
+    # (entries outside last round's window), pushing freshly-green names to
+    # the back.  Round 6 ordering follows CORRECTNESS_r05.json.
+    #
+    # -- new in round 6 --
+    "q_list_membership_join",
+    # -- non-green in round 5 (ts-unit fix + scalar-row percentile) --
     "q_interval_join",
+    "q_dedup_keep_first",
     "q_approx_percentile",
-    # curation / delta / corpus family unchecked in rounds 1-2
-    "q_hash_split",
-    "q_domain_quota",
-    "q_seq_packing",
-    "q_quality_funnel",
-    "q_dup_clusters",
-    "q_snapshot_diff",
-    "q_snapshot_merge",
-    "q_token_df_idf",
-    "q_top_bigrams",
-    "q_decontaminate",
-    "q_priority_dedup",
-    "q_repetition_ratio",
-    "q_redact",
+    "q_approx_distinct",
+    # -- outside the round-5 window (last green r3/r4) --
+    "q_window_rank",
+    "q_count_star",
+    "q_set_ops",
+    "q_json_extract",
+    "q_sql_passthrough",
+    "q_posexplode_ordering",
+    "q_explode_resolve_renumber",
+    "q_token_decompose",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_counts",
+    "q_doc_fingerprint_dedup",
+    "q_ngram_jaccard_pairs",
+    "q_minhash_signatures",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_lsh_ann_topk",
+    "q_ivf_ann_topk",
+    "q_embedding_dup_pairs",
+    "q_time_window_agg",
+    "q_sessionize",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_asof_join",
+    "q_range_join",
+    "q_grouping_analytics",
+    "q_exists_subquery",
+    "q_scalar_subquery",
+    "q_pivot",
+    "q_percentile",
+    "q_salted_join",
+    "q_partial_salted_join",
+    "q_full_outer",
+    "q7_nation_volume",
+    "q_window_suite",
+    "q_scalar_functions",
 ]
 
 

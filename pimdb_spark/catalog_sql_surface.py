@@ -1240,14 +1240,104 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles would buffer every group's values.  Rows-only check
     (sketch internals are engine-specific by design); tests assert the
     approximation error bound against the exact value instead.
+
+    Output is one SCALAR row per (flag, quantile) — posexplode of the
+    zipped quantile arrays — because the driver's comparator canonicalizes
+    via pandas sort_values, which cannot sort ArrayType cells.
     Scale: the sketch merges associatively — constant memory per group,
-    map-side partial aggregation, one shuffle."""
+    map-side partial aggregation, one shuffle; the explode is 3 rows per
+    group."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
         ).alias("approx_p"),
         F.expr(
             "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
         ).alias("exact_p"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode(F.arrays_zip("approx_p", "exact_p")).alias("q_idx", "z"),
+    ).select(
+        "l_returnflag",
+        "q_idx",
+        F.round(F.col("z.approx_p"), 2).alias("approx_val"),
+        F.round(F.col("z.exact_p"), 2).alias("exact_val"),
+    )
+
+
+@register(
+    "q_list_membership_join",
+    oracle="""
+    WITH crew AS (
+      SELECT o_orderkey,
+             'd' || CAST(o_orderkey % 31 AS VARCHAR) || ',' ||
+             'd' || CAST((o_orderkey + 7) % 31 AS VARCHAR) || ',' ||
+             'd' || CAST((o_orderkey * 3 + 1) % 31 AS VARCHAR) AS directors
+      FROM orders
+    ), exploded AS (
+      SELECT o_orderkey, unnest(list_distinct(string_split(directors, ',')))
+             AS person_id
+      FROM crew
+    ), people AS (
+      SELECT 'd' || CAST(s_suppkey % 31 AS VARCHAR) AS person_id,
+             min(s_name) AS person_name
+      FROM supplier GROUP BY 1
+    )
+    SELECT p.person_id, p.person_name,
+           count(*) AS n_titles, min(e.o_orderkey) AS first_key
+    FROM exploded e JOIN people p ON e.person_id = p.person_id
+    GROUP BY p.person_id, p.person_name
+    """,
+)
+def q_list_membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documented list-membership theta-join
+    (docs/datamodel.md:56: ``find_in_set(nconst, directors) > 0`` against
+    the un-normalized CSV column; SURVEY §2.3 maps it to
+    ``array_contains(split(directors, ','), nconst)``).
+
+    The doc form is a theta join — as written it would plan as a
+    BroadcastNestedLoopJoin and die at scale.  The scale path implemented
+    here: ``explode(array_distinct(split(csv)))`` then a plain hash
+    EQUI-join on the exploded member, which Catalyst plans as broadcast /
+    shuffle hash join (plan-tested: no BNLJ).  ``array_distinct`` before
+    the explode preserves find_in_set's membership-ONCE semantics when a
+    list repeats an id.
+
+    The CSV column and person dim are derived deterministically from
+    orders/supplier (this testdata has no IMDb-shaped crew table); the
+    derivation is part of the query on both engines, so the oracle
+    attests the membership-join semantics end to end.  Scale: explode
+    factor is bounded by list length (3 here; <= ~10 for real crew
+    lists), people is a broadcast dim, then one keyed agg."""
+    o = load(spark, sf_dir, "orders")
+    crew = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("d"), (F.col("o_orderkey") % 31).cast("string")),
+            F.concat(F.lit("d"), ((F.col("o_orderkey") + 7) % 31).cast("string")),
+            F.concat(F.lit("d"), ((F.col("o_orderkey") * 3 + 1) % 31).cast("string")),
+        ).alias("directors"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    people = s.groupBy(
+        F.concat(F.lit("d"), (F.col("s_suppkey") % 31).cast("string")).alias(
+            "person_id"
+        )
+    ).agg(F.min("s_name").alias("person_name"))
+    exploded = crew.select(
+        "o_orderkey",
+        F.explode(F.array_distinct(F.split(F.col("directors"), ","))).alias(
+            "person_id"
+        ),
+    )
+    return (
+        exploded.join(F.broadcast(people), "person_id")
+        .groupBy("person_id", "person_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_titles"),
+            F.min("o_orderkey").alias("first_key"),
+        )
     )

@@ -10,9 +10,12 @@ The batch twins live in catalog_temporal.py and produce identical results
 - a watermark bounding state for late data,
 - tumbling-window aggregation in update/append mode.
 
-events.ts is INT64 TIMESTAMP(NANOS) parquet; we read it as a raw long via
-an explicit schema (same trick as catalog.load) and convert to a proper
-timestamp column for the window/watermark machinery.
+events.ts is an INT64 parquet timestamp (unit has varied across testdata
+generations: NANOS early, MICROS now); we read it as a raw long via an
+explicit schema (same trick as catalog.load) and convert to a proper
+timestamp column for the window/watermark machinery.  ``ts_unit`` on
+``read_event_stream`` selects the conversion; callers that read from the
+driver's testdata can sniff it with ``catalog._events_ts_unit``.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos
+        StructField("ts", LongType()),  # raw epoch in the file's unit
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -39,10 +42,17 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+_TO_MICROS = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000"}
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, ts_unit: str = "us"
+) -> DataFrame:
     """File-source stream over a directory of events parquet files."""
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000"))).drop("ts")
+    return raw.withColumn(
+        "event_time", F.timestamp_micros(F.expr(_TO_MICROS[ts_unit]))
+    ).drop("ts")
 
 
 def windowed_counts(

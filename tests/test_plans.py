@@ -379,9 +379,15 @@ def test_approx_percentile_error_bound(spark):
     exact percentiles at every probed quantile."""
     from pimdb_spark.catalog_sql_surface import q_approx_percentile
 
-    for r in q_approx_percentile(spark, SF).collect():
-        for approx, exact in zip(r.approx_p, r.exact_p):
-            assert abs(approx - exact) / exact < 0.02, (r.l_returnflag, approx, exact)
+    rows = q_approx_percentile(spark, SF).collect()
+    assert len(rows) > 0 and all(r.q_idx in (0, 1, 2) for r in rows)
+    for r in rows:
+        assert abs(r.approx_val - r.exact_val) / r.exact_val < 0.02, (
+            r.l_returnflag,
+            r.q_idx,
+            r.approx_val,
+            r.exact_val,
+        )
 
 
 def test_runtime_bloom_filter_semijoin_reduction(spark):
@@ -413,3 +419,47 @@ def test_runtime_bloom_filter_semijoin_reduction(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_list_membership_join_is_equi_join(spark):
+    """The find_in_set-shaped membership join must plan as explode + hash
+    EQUI-join (broadcast people dim), never a BroadcastNestedLoopJoin over
+    the raw theta condition, and must agree with the array_contains doc
+    form including membership-once semantics for repeated list ids."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.catalog_sql_surface import q_list_membership_join
+
+    df = q_list_membership_join(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "Generate" in plan  # the explode
+    got = {(r.person_id, r.n_titles) for r in df.collect()}
+
+    # doc form: array_contains filter per person (theta join semantics)
+    from pimdb_spark.catalog import load
+
+    o = load(spark, SF, "orders")
+    crew = o.select(
+        "o_orderkey",
+        F.array_distinct(
+            F.array(
+                F.concat(F.lit("d"), (F.col("o_orderkey") % 31).cast("string")),
+                F.concat(F.lit("d"), ((F.col("o_orderkey") + 7) % 31).cast("string")),
+                F.concat(F.lit("d"), ((F.col("o_orderkey") * 3 + 1) % 31).cast("string")),
+            )
+        ).alias("members"),
+    )
+    s = load(spark, SF, "supplier")
+    people = s.groupBy(
+        F.concat(F.lit("d"), (F.col("s_suppkey") % 31).cast("string")).alias("person_id")
+    ).agg(F.min("s_name").alias("person_name"))
+    theta = (
+        crew.join(people, F.array_contains(F.col("members"), F.col("person_id")))
+        .groupBy("person_id")
+        .agg(F.count(F.lit(1)).alias("n_titles"))
+    )
+    want = {(r.person_id, r.n_titles) for r in theta.collect()}
+    assert got == want

@@ -33,7 +33,7 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     batch = (
         spark.read.schema(EVENTS_SCHEMA)
         .parquet(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts")))
     )
     expected = {
         (r.window_start, r.event_type): (r.n_events, r.sum_value)
@@ -144,7 +144,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     ev = (
         spark.read.schema(EVENTS_SCHEMA)
         .parquet(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts")))
     )
     p = ev.filter("event_type = 'purchase'").select(
         F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("event_time").alias("pt")

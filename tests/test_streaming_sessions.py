@@ -14,7 +14,7 @@ def _event_stream(spark, src_dir):
 
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src_dir))
     return raw.select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+        "user_id", F.col("ts").alias("ts_us"), "event_id"
     )
 
 
@@ -68,8 +68,8 @@ def test_stateful_sessions_survive_batch_split(spark, tmp_path):
         )
         pq.write_table(pa.Table.from_pandas(pdf), src / name)
 
-    base = 1_700_000_000 * 1_000_000_000  # epoch nanos
-    m = 60 * 1_000_000_000
+    base = 1_700_000_000 * 1_000_000  # epoch micros (the testdata's unit)
+    m = 60 * 1_000_000
     # batch 1: user 1 events at t0, t0+1min (one open session)
     write_batch("b1.parquet", [(1, base, 1, "click", 1.0, "{}"), (2, base + m, 1, "click", 1.0, "{}")])
 
@@ -92,10 +92,10 @@ def test_stateful_sessions_survive_batch_split(spark, tmp_path):
 
     drain()
     # batch 2: +2min continues session 1; + a gap-exceeding event opens session 2
-    gap_ns = (SESSION_GAP_US + 60 * 1_000_000) * 1000
+    gap_us = SESSION_GAP_US + 60 * 1_000_000
     write_batch(
         "b2.parquet",
-        [(3, base + 2 * m, 1, "click", 1.0, "{}"), (4, base + 2 * m + gap_ns, 1, "click", 1.0, "{}")],
+        [(3, base + 2 * m, 1, "click", 1.0, "{}"), (4, base + 2 * m + gap_us, 1, "click", 1.0, "{}")],
     )
     drain()
     # update mode re-emits session 1 with its batch-2 continuation
