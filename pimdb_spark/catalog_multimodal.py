@@ -28,15 +28,32 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.payload_meta(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@register("q_multimodal_decode", oracle=None)  # mapInPandas: rows-only check
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 13) % 48 AS INTEGER) AS height,
+           CASE WHEN doc_id % 3 = 1 THEN 'P' ELSE 'RGB' END AS mode
+    FROM documents WHERE doc_id < 200
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched stub decode over binary payloads
-    (operators/multimodal.decode_images): exercises the mapInPandas
-    schema/batching plumbing; deterministic fake decode in this container
-    (see module docstring), PIL when installed."""
+    """REAL image decode over binary payloads, hash-checked end to end:
+    synth_image_payload emits fully valid PNG / GIF / BMP files (CRC'd
+    chunks, LZW-coded GIF data, padded BMP rows) whose dimensions are pure
+    functions of doc_id, and decode_images(strict=True) recovers them by
+    parsing the actual file headers (operators/multimodal.
+    parse_image_header — no stub fallback permitted under strict).  The
+    oracle predicts the same dimensions from doc_id, so a hash match
+    proves the decoder read the real bytes.
+
+    Scale: payloads stream through Arrow batches, one task holds
+    batch_size payloads, zero shuffle."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    with_payload = M.with_binary_payload(docs, "text")
-    return M.decode_images(with_payload, "doc_id", "payload")
+    payloads = M.synth_image_payload(docs, "doc_id")
+    decoded = M.decode_images(payloads, "doc_id", "payload", strict=True)
+    return decoded.select("doc_id", "width", "height", "mode")
 
 
 @register(

@@ -1,9 +1,13 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched Pandas functions
-(mapInPandas) — the Spark-side architecture is real and tested; the actual
-media decoding is STUBBED because the image/audio libraries are not in this
-container (clearly marked below; the import-try picks the real decoder up
-automatically when Pillow is installed).
+(mapInPandas).
+
+Image decoding is REAL for the container formats whose headers are
+parseable in pure Python — PNG, GIF (87a/89a), BMP, and JPEG (see
+``parse_image_header``); full-pixel decoding of exotic formats still
+needs Pillow (picked up automatically when installed).  Payloads with
+unrecognized magic bytes fall back to a clearly-marked deterministic
+stub (``_fake_decode``) unless ``strict=True``, which refuses them.
 
 Scale notes: binary payloads stay columnar (parquet BINARY) end to end;
 mapInPandas streams Arrow batches so one task holds batch_size payloads,
@@ -14,6 +18,8 @@ upstream if payloads are heavily skewed.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -67,13 +73,206 @@ DECODED_SCHEMA = StructType(
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """STUB: deterministic fake image header derived from the payload hash.
-    Replace with PIL decoding when available — the Spark-side schema,
+    Used only for payloads whose magic bytes match no supported format
+    (see parse_image_header) when strict=False — the Spark-side schema,
     batching, and partitioning are identical either way."""
     h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     mode = ["RGB", "RGBA", "L"][h[2] % 3]
     return width, height, mode
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color types (PNG spec §11.2.2) mapped to PIL-style mode names.
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_BMP_MODES = {1: "1", 4: "P", 8: "P", 24: "RGB", 32: "RGBA"}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+
+
+def parse_image_header(data: bytes) -> tuple[int, int, str]:
+    """REAL header-level image decode, pure Python (no Pillow needed).
+
+    Supported (public container formats, dimensions read from the spec'd
+    header offsets):
+
+    - **PNG**: 8-byte signature then the IHDR chunk — width/height are
+      big-endian u32 at bytes 16..24, color type at byte 25.
+    - **GIF** (87a & 89a): logical screen width/height, little-endian u16
+      at bytes 6..10; palette-indexed, so mode is ``P``.
+    - **BMP**: BITMAPINFOHEADER — width (i32le) at offset 18, height
+      (i32le, negative = top-down) at 22, bits-per-pixel (u16le) at 28.
+    - **JPEG**: segment walk from SOI to the first SOF0..SOF15 frame
+      header (skipping DHT/DAC/RST); height/width are big-endian u16 at
+      frame offsets 5/7, component count at 9.
+
+    Anything else raises ValueError (decode_images(strict=True) surfaces
+    that; strict=False falls back to the _fake_decode stub).
+
+    Returns (width, height, mode) with PIL-style mode names.
+    """
+    if data[:8] == _PNG_SIG and data[12:16] == b"IHDR" and len(data) >= 26:
+        width = int.from_bytes(data[16:20], "big")
+        height = int.from_bytes(data[20:24], "big")
+        color_type = data[25]
+        return width, height, _PNG_MODES.get(color_type, f"PNG{color_type}")
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        width = int.from_bytes(data[6:8], "little")
+        height = int.from_bytes(data[8:10], "little")
+        return width, height, "P"
+    if data[:2] == b"BM" and len(data) >= 30:
+        width = int.from_bytes(data[18:22], "little", signed=True)
+        height = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        return width, abs(height), _BMP_MODES.get(bpp, f"BMP{bpp}")
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height = int.from_bytes(data[i + 5 : i + 7], "big")
+                width = int.from_bytes(data[i + 7 : i + 9], "big")
+                ncomp = data[i + 9]
+                return width, height, _JPEG_MODES.get(ncomp, f"C{ncomp}")
+            i += 2 + seg_len
+    raise ValueError(f"unrecognized image format (magic: {data[:8]!r})")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic image ENCODERS — test-fixture stand-ins for a real binary
+# source (this container ships no media files).  Each emits a fully valid
+# file (CRC'd PNG chunks, LZW-coded GIF image data, row-padded BMP), so the
+# parse path above is exercised against spec-conformant bytes, not
+# hand-waved headers.
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid RGB PNG: signature + IHDR + one zlib IDAT + IEND,
+    CRC32 on every chunk; pixel bytes are a deterministic seed-derived
+    gradient (filter type 0 per scanline)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter: None
+        for x in range(width):
+            raw += bytes(
+                ((seed + x + y) % 256, (seed * 3 + x) % 256, (seed * 7 + y) % 256)
+            )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_gif(width: int, height: int) -> bytes:
+    """Minimal valid GIF89a: logical screen descriptor, 2-entry global
+    color table, one image block whose LZW stream emits a clear code
+    before every pixel literal (keeps the code width fixed at 3 bits —
+    simple, spec-valid, compresses terribly, decodes everywhere)."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += b"\xf0\x00\x00"  # GCT flag, 1-bit color, bg 0, no aspect
+    out += b"\x00\x00\x00\xff\xff\xff"  # 2-entry palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += b"\x02"  # LZW minimum code size
+    # bit-pack LSB-first: [clear(4), 0]*n then end(5), all 3-bit codes
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += 3
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    for _ in range(width * height):
+        emit(4)  # clear
+        emit(0)  # pixel literal: palette index 0
+    emit(5)  # end of information
+    if n_acc:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):  # sub-blocks
+        block = bits[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up BGR rows padded to 4 bytes."""
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    pixels = bytearray()
+    for y in range(height):
+        for x in range(width):
+            pixels += bytes(((seed + x) % 256, (seed + y) % 256, (x + y) % 256))
+        pixels += b"\x00" * pad
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + bytes(pixels)
+
+
+SYNTH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def synth_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic image-payload synthesis (the fixture stand-in for a
+    real media source): ``doc_id % 3`` picks PNG / GIF / BMP, and the
+    dimensions are pure functions of doc_id —
+
+        width  = 16 + (doc_id * 7) % 48
+        height = 16 + (doc_id * 13) % 48
+
+    so an SQL oracle can predict exactly what a REAL header decode must
+    recover (catalog q_multimodal_decode).  Payloads are fully valid files
+    (see the encoders above).  Arrow-batched mapInPandas; zero shuffle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = 16 + (i * 7) % 48
+                h = 16 + (i * 13) % 48
+                fmt = ("png", "gif", "bmp")[i % 3]
+                if fmt == "png":
+                    payload = encode_png(w, h, seed=i)
+                elif fmt == "gif":
+                    payload = encode_gif(w, h)
+                else:
+                    payload = encode_bmp(w, h, seed=i)
+                rows.append((i, payload, fmt))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "fmt"])
+
+    return df.select(id_col).mapInPandas(synth, SYNTH_SCHEMA)
 
 
 def decode_images(
@@ -86,18 +285,20 @@ def decode_images(
     """Arrow-batched decode: mapInPandas over (id, payload) yielding typed
     image metadata.
 
-    Decoder resolution, in order: an injected ``decoder`` callable
-    (``bytes -> (width, height, mode)`` — how a production format handler
-    plugs in, and how tests exercise the real-decoder code path without
-    Pillow in the container), else PIL when installed, else the
-    deterministic stub.  ``strict=True`` refuses the stub: it raises
-    NotImplementedError at plan-build time rather than silently producing
-    fake metadata in a pipeline that expects real decoding."""
-    if strict and decoder is None and not _HAVE_PIL:
-        raise NotImplementedError(
-            "decode_images(strict=True): no real decoder available — install "
-            "Pillow or inject decoder=...; refusing to emit stub metadata"
-        )
+    Decoder resolution, per payload, in order: an injected ``decoder``
+    callable (``bytes -> (width, height, mode)`` — how a production format
+    handler plugs in), else the built-in REAL header parse
+    (``parse_image_header``: PNG / GIF / BMP / JPEG dimensions read from
+    spec'd header offsets, pure Python), else PIL when installed (covers
+    exotic formats), else the deterministic ``_fake_decode`` stub.
+
+    ``strict=True`` refuses the stub: a payload no real decoder recognizes
+    raises ValueError at decode time rather than silently producing fake
+    metadata in a pipeline that expects real decoding.
+
+    Real vs refused in this container (no Pillow): PNG, GIF87a/89a, BMP,
+    and JPEG decode for real; any other format is refused under strict
+    and stubbed otherwise."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,15 +307,21 @@ def decode_images(
                 data = bytes(payload)
                 if decoder is not None:
                     width, height, mode = decoder(data)
-                elif _HAVE_PIL:  # pragma: no cover - not in this container
-                    import io
-
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(data))
-                    width, height, mode = img.width, img.height, img.mode
                 else:
-                    width, height, mode = _fake_decode(data)
+                    try:
+                        width, height, mode = parse_image_header(data)
+                    except ValueError:
+                        if _HAVE_PIL:  # pragma: no cover - not in container
+                            import io
+
+                            from PIL import Image
+
+                            img = Image.open(io.BytesIO(data))
+                            width, height, mode = img.width, img.height, img.mode
+                        elif strict:
+                            raise
+                        else:
+                            width, height, mode = _fake_decode(data)
                 rows.append((int(doc_id), int(width), int(height), mode, len(data)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "mode", "n_bytes"]
@@ -158,7 +365,10 @@ def resize_images(
                     img.save(buf, format="PNG")
                     rows.append((int(doc_id), img.width, img.height, buf.getvalue()))
                 else:
-                    w, h, _mode = _fake_decode(data)
+                    try:  # real header dims when the format is parseable
+                        w, h, _mode = parse_image_header(data)
+                    except ValueError:
+                        w, h, _mode = _fake_decode(data)
                     scale = max_side / max(w, h)
                     rows.append(
                         (int(doc_id), max(1, int(w * scale)), max(1, int(h * scale)),

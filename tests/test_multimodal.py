@@ -95,18 +95,116 @@ def test_decode_images_injected_decoder(spark):
     assert got == {1: (640, 480, "L", 9), 2: (32, 64, "RG", 9)}
 
 
-def test_decode_images_strict_refuses_stub(spark):
-    """strict=True must raise at plan-build time when only the stub is
-    available — a real pipeline must never silently get fake metadata."""
+def test_decode_images_strict_refuses_unrecognized(spark):
+    """strict=True must refuse payloads no real decoder recognizes — a
+    real pipeline must never silently get stub metadata.  (The refusal is
+    per-payload at decode time now that the built-in header parser IS a
+    real decoder.)"""
     import pytest as _pytest
 
     from pimdb_spark.operators import multimodal as M
 
-    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     if M._HAVE_PIL:  # pragma: no cover - not in this container
-        _pytest.skip("real decoder present")
-    with _pytest.raises(NotImplementedError, match="strict"):
-        M.decode_images(df, strict=True)
-    # strict + injected decoder is fine — strictness is about the STUB
-    out = M.decode_images(df, decoder=lambda b: (1, 1, "L"), strict=True)
-    assert out.count() == 1
+        _pytest.skip("PIL present: exotic formats may decode for real")
+    df = spark.createDataFrame(
+        [(1, b"not an image at all")], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="unrecognized image format"):
+        M.decode_images(df, strict=True).collect()
+    # non-strict falls back to the deterministic stub for the same bytes
+    assert M.decode_images(df).count() == 1
+    # strict + a recognized format is fine — strictness is about the STUB
+    ok = spark.createDataFrame(
+        [(2, M.encode_png(20, 10, seed=2))], "doc_id long, payload binary"
+    )
+    row = M.decode_images(ok, strict=True).first()
+    assert (row.width, row.height, row.mode) == (20, 10, "RGB")
+
+
+def test_q_multimodal_decode_real_dimensions(spark):
+    """The catalog entry decodes REAL synthesized payloads: every doc_id
+    gets back exactly the dimensions its PNG/GIF/BMP file encodes
+    (strict=True — stub fallback forbidden)."""
+    from pimdb_spark.catalog_multimodal import q_multimodal_decode
+
+    got = {
+        r.doc_id: (r.width, r.height, r.mode)
+        for r in q_multimodal_decode(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == 200
+    for doc_id, (w, h, mode) in got.items():
+        assert w == 16 + (doc_id * 7) % 48
+        assert h == 16 + (doc_id * 13) % 48
+        assert mode == ("P" if doc_id % 3 == 1 else "RGB")
+
+
+def test_parse_image_header_roundtrip():
+    """The pure-Python encoders emit spec-valid files; the header parser
+    must recover the exact dimensions and mode from the real bytes."""
+    from pimdb_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        parse_image_header,
+    )
+
+    for w, h in [(16, 16), (63, 17), (1, 1), (255, 128)]:
+        assert parse_image_header(encode_png(w, h, seed=w)) == (w, h, "RGB")
+        assert parse_image_header(encode_gif(w, h)) == (w, h, "P")
+        assert parse_image_header(encode_bmp(w, h, seed=h)) == (w, h, "RGB")
+
+
+def test_parse_image_header_jpeg_and_errors():
+    import struct
+
+    import pytest as _pytest
+
+    from pimdb_spark.operators.multimodal import parse_image_header
+
+    # minimal JPEG segment walk: SOI, APP0, DQT (skipped), SOF0, then junk
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + dqt + sof0
+    assert parse_image_header(jpeg) == (640, 480, "RGB")
+
+    # grayscale progressive (SOF2), 1 component
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 32, 64, 1) + b"\x11\x00"
+    assert parse_image_header(b"\xff\xd8" + sof2) == (64, 32, "L")
+
+    with _pytest.raises(ValueError, match="unrecognized"):
+        parse_image_header(b"plain text payload")
+    with _pytest.raises(ValueError, match="unrecognized"):
+        parse_image_header(b"")
+
+
+def test_gif_lzw_stream_decodes():
+    """The GIF encoder's clear-before-every-literal LZW stream must be
+    decodable by a straight LZW reader — proves the fixture is a valid
+    GIF, not just a valid-looking header."""
+    from pimdb_spark.operators.multimodal import encode_gif
+
+    data = encode_gif(5, 3)
+    # image data starts after header(6)+LSD(7)+GCT(6)+descriptor(10)+1
+    i = 6 + 7 + 6 + 10
+    min_code = data[i]
+    assert min_code == 2
+    i += 1
+    stream = bytearray()
+    while data[i] != 0:  # sub-blocks
+        n = data[i]
+        stream += data[i + 1 : i + 1 + n]
+        i += 1 + n
+    assert data[i : i + 2] == b"\x00\x3b"  # terminator + trailer
+    # 3-bit LSB-first codes: expect (clear, 0) x 15 then end
+    codes, acc, n_acc = [], 0, 0
+    for byte in stream:
+        acc |= byte << n_acc
+        n_acc += 8
+        while n_acc >= 3:
+            codes.append(acc & 0b111)
+            acc >>= 3
+            n_acc -= 3
+    clear, end = 4, 5
+    assert codes[: 2 * 15] == [clear, 0] * 15
+    assert codes[2 * 15] == end
