@@ -23,6 +23,7 @@ value-hash with columns sorted by name):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -83,25 +84,59 @@ def ensure_worker_code(spark: SparkSession) -> None:
     _SHIPPED_APPS.add(app)
 
 
+def parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Time unit ('ns'/'us'/'ms'/'s') of a parquet timestamp column, read
+    from the footer (pyarrow, no data pages).  ``path`` may be a single
+    parquet file or a directory of them (first file sniffed — a dataset's
+    files share one schema); the streaming readers use the directory form.
+
+    Raises ValueError when the column is not a parquet timestamp or the
+    unit is unrecognized — a testdata generation that drops the logical
+    type must fail loudly here, not be silently misread as micros."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    p = path
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files to sniff in {path}")
+        p = os.path.join(path, files[0])
+    field = pq.read_schema(p).field(column)
+    if not pat.is_timestamp(field.type):
+        raise ValueError(
+            f"{p}:{column} is {field.type}, not a parquet timestamp — "
+            "cannot infer an epoch unit; fix the writer or read it explicitly"
+        )
+    unit = field.type.unit
+    if unit not in ("ns", "us", "ms", "s"):
+        raise ValueError(f"{p}:{column} has unsupported timestamp unit {unit!r}")
+    return unit
+
+
 def _events_ts_unit(sf_dir: str) -> str:
-    """Time unit ('ns'/'us'/'ms') of events.ts from the parquet footer.
+    """Time unit of ``{sf_dir}/events.parquet``'s ts column, cached.
 
     Different generations of the driver's testdata write ``ts`` as INT64
     TIMESTAMP(NANOS) or TIMESTAMP(MICROS); hard-coding either breaks the
     other (a nanos assumption on micros data inflates every epoch by
-    1000x).  One driver-side footer read (pyarrow, no data pages) settles
-    it per sf_dir.  On a real cluster this is a metadata-only operation on
-    a single file — same cost class as schema inference."""
+    1000x).  One driver-side footer read settles it per sf_dir.  On a real
+    cluster this is a metadata-only operation on a single file — same cost
+    class as schema inference.
+
+    The cache is process-lifetime by design: regenerating testdata in
+    place under a live session requires a new process (the documented
+    re-run-the-sweep-after-regen workflow); invalidating on file mtime
+    would buy nothing during a normal run."""
     key = (sf_dir, "events_ts_unit")
     cached = _TS_UNIT_CACHE.get(key)
-    if cached is not None:
-        return cached
-    import pyarrow.parquet as pq
-
-    field = pq.read_schema(f"{sf_dir}/events.parquet").field("ts")
-    unit = getattr(field.type, "unit", "us")
-    _TS_UNIT_CACHE[key] = unit
-    return unit
+    if cached is None:
+        cached = parquet_ts_unit(f"{sf_dir}/events.parquet")
+        _TS_UNIT_CACHE[key] = cached
+    return cached
 
 
 _TS_UNIT_CACHE: dict[tuple[str, str], str] = {}
@@ -145,7 +180,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             to_us = F.expr("ts div 1000")
         elif unit == "ms":
             to_us = F.col("ts") * 1000
-        else:
+        elif unit == "s":
+            to_us = F.col("ts") * 1_000_000
+        else:  # "us" — parquet_ts_unit already rejected anything else
             to_us = F.col("ts")
         return (
             spark.read.schema(schema)
@@ -217,56 +254,54 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # registration order; its attestation is already on record.
 _CHECK_FIRST: list[str] = [
     # Rotation invariant (COVERAGE.md "Attestation rotation"): the driver
-    # checks only the FIRST 50 of ~90 entries, so this list is re-derived
-    # every round as (new entries) + (entries that failed last round) +
-    # (entries outside last round's window), pushing freshly-green names to
-    # the back.  Round 6 ordering follows CORRECTNESS_r05.json.
+    # checks only the FIRST 50 of 88 entries, so this list is re-derived
+    # every round as (new/changed entries) + (entries that failed last
+    # round) + (entries outside last round's window), pushing
+    # freshly-green names to the back.  Round 7 ordering follows
+    # CORRECTNESS_r06.json: nothing failed in r6, so the list is the
+    # changed entry plus the 38 entries whose last green is r5.
     #
-    # -- new in round 6 --
-    "q_list_membership_join",
-    # -- non-green in round 5 (ts-unit fix + scalar-row percentile) --
-    "q_interval_join",
-    "q_dedup_keep_first",
-    "q_approx_percentile",
-    "q_approx_distinct",
-    # -- outside the round-5 window (last green r3/r4) --
-    "q_window_rank",
-    "q_count_star",
-    "q_set_ops",
-    "q_json_extract",
-    "q_sql_passthrough",
-    "q_posexplode_ordering",
-    "q_explode_resolve_renumber",
-    "q_token_decompose",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_counts",
-    "q_doc_fingerprint_dedup",
-    "q_ngram_jaccard_pairs",
-    "q_minhash_signatures",
-    "q_minhash_lsh_pairs",
-    "q_simhash",
-    "q_cosine_topk",
-    "q_lsh_ann_topk",
-    "q_ivf_ann_topk",
-    "q_embedding_dup_pairs",
-    "q_time_window_agg",
-    "q_sessionize",
-    "q_multimodal_meta",
+    # -- changed in round 7 (rows-only -> hash-checked real-decode oracle) --
     "q_multimodal_decode",
-    "q_asof_join",
-    "q_range_join",
-    "q_grouping_analytics",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_pivot",
-    "q_percentile",
-    "q_salted_join",
-    "q_partial_salted_join",
-    "q_full_outer",
-    "q7_nation_volume",
-    "q_window_suite",
-    "q_scalar_functions",
+    # -- outside the round-6 window (last green r5) --
+    "q4_priority_count",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_parts",
+    "q17_small_quantity",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q_topk_orders",
+    "q_self_join_pairs",
+    "q_composite_key_join",
+    "q_multiway_distinct",
+    "q_rolling_window",
+    "q_multimodal_decode_pinned",
+    "q_cosine_topk_np",
+    "q_ivf_ann_topk_np",
+    "q_hash_split",
+    "q_domain_quota",
+    "q_seq_packing",
+    "q_quality_funnel",
+    "q_stratified_sample",
+    "q_dup_clusters",
+    "q_dup_clusters_star",
+    "q_snapshot_diff",
+    "q_snapshot_merge",
+    "q_scd2_intervals",
+    "q_token_df_idf",
+    "q_top_bigrams",
+    "q_decontaminate",
+    "q_priority_dedup",
+    "q_repetition_ratio",
+    "q_redact",
 ]
 
 

@@ -13,9 +13,12 @@ The batch twins live in catalog_temporal.py and produce identical results
 events.ts is an INT64 parquet timestamp (unit has varied across testdata
 generations: NANOS early, MICROS now); we read it as a raw long via an
 explicit schema (same trick as catalog.load) and convert to a proper
-timestamp column for the window/watermark machinery.  ``ts_unit`` on
-``read_event_stream`` selects the conversion; callers that read from the
-driver's testdata can sniff it with ``catalog._events_ts_unit``.
+timestamp column for the window/watermark machinery.  By default
+``read_event_stream`` sniffs the unit from the parquet footer of the
+first file already in the source directory (``catalog.parquet_ts_unit``)
+— the same guard that keeps the batch path from misreading a testdata
+regeneration by 1000x; pass ``ts_unit`` explicitly only when the
+directory starts empty.
 """
 
 from __future__ import annotations
@@ -42,17 +45,38 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-_TO_MICROS = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000"}
+_TO_MICROS = {
+    "ns": "ts div 1000",
+    "us": "ts",
+    "ms": "ts * 1000",
+    "s": "ts * 1000000",
+}
+
+
+def event_time_from_raw(ts_unit: str, col: str = "ts") -> F.Column:
+    """Raw epoch long in ``ts_unit`` -> proper timestamp column.  Shared by
+    the stream reader and the batch twins in tests, so both sides always
+    apply the SAME conversion for a given sniffed unit — a unit flip then
+    shows up as a test failure, never as a silently-consistent wrong
+    interpretation on both sides."""
+    return F.timestamp_micros(F.expr(_TO_MICROS[ts_unit].replace("ts", col, 1)))
 
 
 def read_event_stream(
-    spark: SparkSession, source_dir: str, ts_unit: str = "us"
+    spark: SparkSession, source_dir: str, ts_unit: str | None = None
 ) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
+    """File-source stream over a directory of events parquet files.
+
+    ``ts_unit=None`` (default) sniffs the epoch unit from the footer of
+    the first parquet file present in ``source_dir`` — raises if the
+    directory has no file yet or ts carries no timestamp logical type;
+    pass 'ns'/'us'/'ms'/'s' explicitly for an initially-empty directory."""
+    if ts_unit is None:
+        from pimdb_spark.catalog import parquet_ts_unit
+
+        ts_unit = parquet_ts_unit(source_dir)
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.expr(_TO_MICROS[ts_unit]))
-    ).drop("ts")
+    return raw.withColumn("event_time", event_time_from_raw(ts_unit)).drop("ts")
 
 
 def windowed_counts(

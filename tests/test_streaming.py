@@ -27,13 +27,16 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         for r in spark.table("win_counts").collect()
     }
 
-    # batch twin on the same file
-    from pimdb_spark.streaming.events import EVENTS_SCHEMA
+    # batch twin on the same file — conversion derived from the SAME
+    # footer sniff the stream reader uses, so a testdata unit flip fails
+    # loudly instead of staying silently consistent on both sides
+    from pimdb_spark.catalog import parquet_ts_unit
+    from pimdb_spark.streaming.events import EVENTS_SCHEMA, event_time_from_raw
 
     batch = (
         spark.read.schema(EVENTS_SCHEMA)
         .parquet(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.col("ts")))
+        .withColumn("event_time", event_time_from_raw(parquet_ts_unit(str(src))))
     )
     expected = {
         (r.window_start, r.event_type): (r.n_events, r.sum_value)
@@ -139,12 +142,13 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in spark.table("ssj").collect()
     }
 
-    from pimdb_spark.streaming.events import EVENTS_SCHEMA
+    from pimdb_spark.catalog import parquet_ts_unit
+    from pimdb_spark.streaming.events import EVENTS_SCHEMA, event_time_from_raw
 
     ev = (
         spark.read.schema(EVENTS_SCHEMA)
         .parquet(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.col("ts")))
+        .withColumn("event_time", event_time_from_raw(parquet_ts_unit(str(src))))
     )
     p = ev.filter("event_type = 'purchase'").select(
         F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("event_time").alias("pt")
@@ -163,3 +167,70 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_sniffs_ts_unit_nanos_and_micros(spark, tmp_path):
+    """The stream reader's footer sniff must interpret the SAME logical
+    instants identically whether the file stores TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) — the 1000x skew that broke the batch path in
+    round 5 must be impossible in the streaming path too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pimdb_spark.catalog import parquet_ts_unit
+    from pimdb_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    base_us = 1_700_000_000_000_000  # epoch micros
+    rows = [(i, base_us + i * 900_000_000, i % 3, "click", 1.0, "{}") for i in range(40)]
+
+    def write(unit, path):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * (1000 if unit == "ns" else 1) for r in rows],
+                    pa.timestamp(unit),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    results = {}
+    for unit in ("ns", "us"):
+        src = tmp_path / f"events_{unit}"
+        src.mkdir()
+        write(unit, str(src / "a.parquet"))
+        assert parquet_ts_unit(str(src)) == unit
+        stream = read_event_stream(spark, str(src))  # default: sniff
+        run_to_memory(windowed_counts(stream), f"sniff_{unit}")
+        results[unit] = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.table(f"sniff_{unit}").collect()
+        }
+    assert results["ns"] == results["us"]
+    assert len(results["us"]) > 1
+
+
+def test_parquet_ts_unit_rejects_non_timestamp(tmp_path):
+    """A testdata generation that drops the timestamp logical type must
+    fail loudly, not be silently misread as micros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pimdb_spark.catalog import parquet_ts_unit
+
+    p = str(tmp_path / "raw.parquet")
+    pq.write_table(pa.table({"ts": pa.array([1, 2, 3], pa.int64())}), p)
+    with _pytest.raises(ValueError, match="not a parquet timestamp"):
+        parquet_ts_unit(p)
+    with _pytest.raises(FileNotFoundError):
+        parquet_ts_unit(str(tmp_path / "empty_dir_missing"))
