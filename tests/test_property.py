@@ -212,3 +212,48 @@ def test_minhash_bucket_cap_drops_flood_keeps_true_pairs(spark):
         1 for r in uncapped.collect() if r.id_a < 100 and r.id_b < 100
     )
     assert flood_pairs == 100 * 99 // 2  # what the cap is defending against
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_scd2_intervals_matches_bruteforce(spark, seed):
+    """scd2_intervals vs a from-scratch Python model over random snapshot
+    stacks with NULL transitions: the eqNullSafe run-detection must treat
+    NULL->value, value->NULL, and NULL->NULL exactly like Python's ==
+    over Optionals (None == None opens NO new run), with version gaps and
+    single-version runs included."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for k in range(rng.randint(1, 4)):
+        versions = sorted(rng.sample(range(1, 12), rng.randint(1, 8)))
+        for v in versions:
+            a = rng.choice([None, 0, 1])
+            b = rng.choice([None, "x", "y"])
+            rows.append((k, v, a, b))
+
+    # brute-force model: per key, order by version, split into runs of
+    # identical (a, b) (None-safe ==), emit half-open [from, next_from)
+    expected = set()
+    by_key = {}
+    for k, v, a, b in rows:
+        by_key.setdefault(k, []).append((v, a, b))
+    for k, lst in by_key.items():
+        lst.sort()
+        runs = []
+        for v, a, b in lst:
+            if not runs or runs[-1][0] != (a, b):
+                runs.append([(a, b), v, 0])
+            runs[-1][2] += 1
+        for i, (val, vfrom, n) in enumerate(runs):
+            vto = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.add((k, vfrom, vto, n, val[0], val[1]))
+
+    from pimdb_spark.operators.delta import scd2_intervals
+
+    df = spark.createDataFrame(rows, "k int, v int, a int, b string")
+    got = {
+        (r.k, r.valid_from, r.valid_to, r.n_versions, r.a, r.b)
+        for r in scd2_intervals(df, ["k"], "v", ["a", "b"]).collect()
+    }
+    assert got == expected
