@@ -51,6 +51,35 @@ def mappable_title_alias_types(raw: str | None) -> list[str]:
 _mappable_udf = F.udf(mappable_title_alias_types, ArrayType(StringType()))
 
 
+def imdb_bucket_spec(num_buckets: int) -> dict[str, tuple[str, int]]:
+    """Bucketing layout for the normalized build (pass to
+    ParquetDatabase(bucket_spec=...)): every table is bucketed on the key
+    its DAG joins probe, so the episode / participation / known-for /
+    ratings joins read pre-partitioned, pre-sorted buckets and skip the
+    Exchange (and Sort) on each bucketed side.
+
+    What remains is the irreducible mid-pipeline rekey: build_episode's
+    second join probes ``parentTconst`` on an intermediate that is
+    partitioned by ``tconst`` — no storage layout can satisfy both keys at
+    once, so that single Exchange (and the surrogate-id range shuffle) is
+    the floor.  Plan-asserted in tests/test_build.py.
+
+    Size ``num_buckets`` to the target scale: buckets are the unit of join
+    parallelism AND the file count per table — at 100 TB, hundreds to a
+    few thousand; at fixture scale, 4."""
+    return {
+        # dataset tables (written by transfer)
+        "TitleBasics": ("tconst", num_buckets),
+        "TitleRatings": ("tconst", num_buckets),
+        "TitleEpisode": ("tconst", num_buckets),
+        "TitlePrincipals": ("nconst", num_buckets),
+        "NameBasics": ("nconst", num_buckets),
+        # normalized tables re-probed by later DAG steps
+        "title": ("tconst", num_buckets),
+        "name": ("nconst", num_buckets),
+    }
+
+
 class NormalizedBuild:
     """Runs the 14-step DAG of SURVEY §3.2 against a ParquetDatabase that
     already holds the 7 dataset tables (from transfer)."""
@@ -147,8 +176,10 @@ class NormalizedBuild:
     def build_episode(self) -> DataFrame:
         """J3 double self-join (database.py:944-980): TitleEpisode ⋈ title
         (tconst) ⋈ title (parentTconst); unknown parents drop via the inner
-        join.  Scale: both probes shuffle on tconst; title is the smaller
-        side and could be bucketed by tconst for a shuffle-free join."""
+        join.  Scale: with imdb_bucket_spec both tconst probes are
+        shuffle-free bucket joins; only the parentTconst rekey of the
+        intermediate exchanges (the floor — no layout satisfies both
+        keys).  Unbucketed, every input shuffles."""
         te = self.db.read("TitleEpisode")
         t = self.db.read("title").select("id", "tconst")
         t1 = t.alias("t1")
@@ -335,19 +366,29 @@ class NormalizedBuild:
 
     # -- orchestration ------------------------------------------------------
 
-    def run(self) -> None:
+    def run(self, timings: dict[str, float] | None = None) -> None:
         """Execute the DAG in the reference's dependency order
         (command.py:203-220), persisting each table before dependents read
         it (cuts lineage and makes every step restartable).  Each write is
         followed by release_id_caches() so the range-partitioned frame
         with_surrogate_id caches for its offset join is freed as soon as
         the table is on disk — otherwise executor storage accumulates a
-        cached copy of every large table across the 16-table build."""
+        cached copy of every large table across the 16-table build.
+
+        ``timings``, when passed, collects per-table wall-clock seconds
+        (the plan is lazy, so each table's full compute lands in its
+        write) — scripts/bench_build.py uses this to bench the product
+        path end to end."""
+        import time
+
         db = self.db
 
         def write(df: DataFrame, name: str) -> None:
+            t0 = time.perf_counter()
             db.write(df, name)
             release_id_caches()
+            if timings is not None:
+                timings[name] = time.perf_counter() - t0
 
         write(self.build_title_alias_type(), "title_alias_type")
         write(self.build_genre(), "genre")

@@ -57,13 +57,40 @@ def recover_swap(path: str) -> bool:
 
 
 class ParquetDatabase:
-    def __init__(self, spark: SparkSession, db_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        db_dir: str,
+        bucket_spec: dict[str, tuple[str | list[str], int]] | None = None,
+    ):
+        """``bucket_spec`` maps table name -> (bucket columns, bucket
+        count).  Tables in the spec are written as EXTERNAL bucketed
+        tables: the parquet files still live at ``path(table)`` (so
+        exists/drop/plain readers keep working), while the bucketing
+        metadata lives in the session catalog and ``read`` returns the
+        catalog relation — joins on the bucket key then skip their
+        Exchange entirely (SURVEY §4: bucketing is the Spark replacement
+        for the reference's join-key indexes).  The metadata is
+        session-scoped: a NEW session over the same directory reads plain
+        parquet (same rows, no bucket optimization) until the tables are
+        re-registered."""
         self.spark = spark
         self.db_dir = db_dir
+        self.bucket_spec = dict(bucket_spec or {})
         os.makedirs(db_dir, exist_ok=True)
+        # catalog identifiers are db_dir-scoped so two databases in one
+        # session never collide
+        import hashlib
+
+        self._bkt_prefix = (
+            "bkt_" + hashlib.md5(db_dir.encode()).hexdigest()[:8] + "_"
+        )
 
     def path(self, table: str) -> str:
         return os.path.join(self.db_dir, f"{table}.parquet")
+
+    def _catalog_name(self, table: str) -> str:
+        return self._bkt_prefix + table.lower()
 
     def write(
         self, df: DataFrame, table: str, partition_by: str | list[str] | None = None
@@ -72,12 +99,41 @@ class ParquetDatabase:
         dataset so equality/range filters on those columns prune whole
         directories at scan time (PartitionFilters — the Spark form of
         coarse indexing; use low-cardinality columns only, high-cardinality
-        partitioning makes small files)."""
+        partitioning makes small files).  Tables named in ``bucket_spec``
+        are written bucketed instead (see __init__)."""
+        if table in self.bucket_spec:
+            cols, n = self.bucket_spec[table]
+            self._write_bucketed(df, table, cols, n)
+            return
         w = df.write.mode("overwrite")
         if partition_by:
             cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
             w = w.partitionBy(*cols)
         w.parquet(self.path(table))
+
+    def _write_bucketed(
+        self, df: DataFrame, table: str, bucket_cols: str | list[str], num_buckets: int
+    ) -> None:
+        """External bucketed write: repartition on the bucket key first so
+        each task holds exactly one bucket (one file per bucket — without
+        this, every task writes a file per bucket it touches, and the
+        resulting multi-file buckets also stop Spark from exploiting the
+        within-bucket sort).  sortBy the same key so downstream sort-merge
+        joins skip their Sort as well as their Exchange."""
+        cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+        name = self._catalog_name(table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if os.path.exists(self.path(table)):
+            shutil.rmtree(self.path(table))
+        (
+            df.repartition(num_buckets, *cols)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *cols)
+            .sortBy(*cols)
+            .option("path", self.path(table))
+            .saveAsTable(name)
+        )
 
     def to_jdbc(
         self,
@@ -105,12 +161,17 @@ class ParquetDatabase:
         df.write.mode(mode).jdbc(url, jdbc_table or table, properties=dict(properties))
 
     def read(self, table: str) -> DataFrame:
+        if table in self.bucket_spec:
+            name = self._catalog_name(table)
+            if self.spark.catalog.tableExists(name):
+                return self.spark.table(name)
         return self.spark.read.parquet(self.path(table))
 
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))
 
     def drop(self, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._catalog_name(table)}")
         if self.exists(table):
             shutil.rmtree(self.path(table))
 

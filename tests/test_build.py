@@ -312,3 +312,67 @@ def test_to_jdbc_plumbing(spark, tmp_path, monkeypatch):
     assert calls["properties"] == {"user": "u", "password": "p", "batchsize": "500"}
     assert calls["rows"] == 100
     assert calls["partitions"] == 2
+
+
+def test_bucketed_build_plan_and_parity(spark, imdb_fixture_dir, tmp_path_factory):
+    """imdb_bucket_spec wired through ParquetDatabase: (a) the episode
+    double self-join drops to exactly ONE Exchange (the irreducible
+    parentTconst rekey of the intermediate — both bucketed tconst probes
+    are exchange-free), vs >= 3 unbucketed; (b) every normalized table is
+    row-identical to the unbucketed build (the session-scoped built_db)."""
+    import contextlib
+    import io
+
+    from pimdb_spark.ingest import transfer
+    from pimdb_spark.plans.build import NormalizedBuild, imdb_bucket_spec
+    from pimdb_spark.plans.store import ParquetDatabase
+
+    db_dir = str(tmp_path_factory.mktemp("imdb_db_bucketed"))
+    db = ParquetDatabase(spark, db_dir, bucket_spec=imdb_bucket_spec(4))
+    transfer(spark, imdb_fixture_dir, db)
+    build = NormalizedBuild(db)
+
+    def n_exchanges(df) -> int:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        return sum(
+            1
+            for line in tree.splitlines()
+            if line.split("(")[0].strip().lstrip("+-: ").strip() == "Exchange"
+        )
+
+    # build up to title so the bucketed episode inputs exist
+    db.write(build.build_title_type(), "title_type")
+    db.write(build.build_title(), "title")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = n_exchanges(build.build_episode())
+        assert got == 1, f"bucketed episode plan has {got} Exchanges, want 1"
+
+        plain_db = ParquetDatabase(spark, db_dir)  # same files, no bucket info
+        plain = n_exchanges(NormalizedBuild(plain_db).build_episode())
+        assert plain >= 3, f"unbucketed episode plan has {plain} Exchanges"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_build_matches_unbucketed(built_db, spark, imdb_fixture_dir, tmp_path_factory):
+    """Full-DAG parity: a bucketed build produces row-identical normalized
+    tables to the unbucketed session build."""
+    from pimdb_spark.ingest import transfer
+    from pimdb_spark.plans.build import NormalizedBuild, imdb_bucket_spec
+    from pimdb_spark.plans.store import ParquetDatabase
+    from pimdb_spark.schemas import NORMALIZED_TABLE_NAMES
+
+    db_dir = str(tmp_path_factory.mktemp("imdb_db_bucketed_parity"))
+    db = ParquetDatabase(spark, db_dir, bucket_spec=imdb_bucket_spec(4))
+    transfer(spark, imdb_fixture_dir, db)
+    NormalizedBuild(db).run()
+    for table in NORMALIZED_TABLE_NAMES:
+        want = sorted(map(tuple, built_db.read(table).collect()))
+        got = sorted(map(tuple, db.read(table).collect()))
+        assert got == want, f"bucketed {table} differs from unbucketed"
