@@ -1269,6 +1269,7 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_list_membership_join",
+    bench=True,
     oracle="""
     WITH crew AS (
       SELECT o_orderkey,
