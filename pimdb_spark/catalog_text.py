@@ -345,3 +345,58 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.expr(D.simhash32_from_hashes_sql("hs")).alias("simhash")
     )
+
+
+@register(
+    "q_bm25_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token IN ('spark', 'join', 'window')
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+      FROM documents
+    ), dft AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), contrib AS (
+      SELECT tf.doc_id, tf.token,
+             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * (tf * (1.2::DOUBLE + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS c
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dft USING (token)
+    ), per_doc AS (
+      SELECT doc_id,
+             max(CASE WHEN token = 'spark'  THEN c END) AS c0,
+             max(CASE WHEN token = 'join'   THEN c END) AS c1,
+             max(CASE WHEN token = 'window' THEN c END) AS c2
+      FROM contrib GROUP BY doc_id
+    ), scored AS (
+      SELECT doc_id,
+             ((0.0 + coalesce(c0, 0.0)) + coalesce(c1, 0.0)) + coalesce(c2, 0.0) AS score
+      FROM per_doc
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    bench=True,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-family top-20 for query terms (spark, join, window) over the
+    documents table (operators/retrieval.bm25_topk) — rational-idf variant
+    (see retrieval.py scoring note), per-term contributions summed in
+    fixed order so the float score hash-matches the oracle.
+
+    Scale: the only corpus-sized shuffle carries query-term hits only
+    (filter before aggregate); doc length is a projection; corpus stats
+    ride a one-row broadcast; top-k is TakeOrderedAndProject."""
+    from pimdb_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "window"], top_k=20)

@@ -1,0 +1,123 @@
+"""Sparse text retrieval: BM25-family scoring and top-k search over the
+documents table — the lexical half of a training-data curation stack
+(quality-weighted sampling, query-based corpus slicing, eval-set
+retrieval), complementing the dense ANN operators in similarity.py.
+
+Reference parity: none (the reference has no text-retrieval surface);
+this is a beyond-parity LLM-pipeline operator family like dedup/ANN.
+
+Scale design (100 TB corpus, q query terms, q small):
+- The exploded token stream is filtered to the q query terms BEFORE the
+  (doc, token) aggregation, so the only shuffle carries just the rows
+  that mention a query term — corpus-size-independent for selective
+  queries.
+- Document length is a projection (size(split(text))) — no explode, no
+  shuffle.
+- Corpus stats (N, avgdl) ride along as a one-row broadcast, never
+  collected to the driver.
+- Per-term contributions pivot into fixed columns summed in a FIXED
+  left-to-right order, so the final score is bit-identical across
+  engines and runs (float + is not associative; a groupBy SUM of
+  contributions would depend on partial-aggregation order).
+
+Scoring note: the inverse-document-frequency factor follows the repo's
+oracle-checkable convention (operators/corpus.idf): the BM25 idf is used
+WITHOUT the log — (N - df + 0.5) / (df + 0.5) — because libm log
+implementations are not bit-identical across engines.  Unlike a single
+idf ranking, a SUM of per-term contributions is not a monotone transform
+of the log version, so this is a documented scoring-family choice
+(rational-idf BM25), not the Robertson original; pass ``idf_fn`` to plug
+in any other per-term weight (e.g. F.log for true BM25 when exact
+cross-engine hashes are not required).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rational_idf(df_col: Column, n_docs: Column) -> Column:
+    return (n_docs.cast("double") - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+
+
+def term_stats(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """(doc_id, token, tf) for the query terms only.  The isin filter runs
+    on the exploded stream before the aggregation, so the shuffle carries
+    only query-term hits."""
+    return (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("token"))
+        .filter(F.col("token").isin(list(terms)))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    idf_fn: Callable[[Column, Column], Column] = _rational_idf,
+) -> DataFrame:
+    """Top-k documents by BM25-family score for a bag of query terms.
+
+    score(d) = Σ_t idf(df_t) · tf_{t,d}·(k1+1) / (tf_{t,d} + k1·(1-b+b·dl_d/avgdl))
+
+    summed over the query terms in their GIVEN order via per-term pivot
+    columns (deterministic float addition).  Ties break on doc_id, so the
+    returned set is unique.  Output: (doc_id, score, rank)."""
+    tf = term_stats(docs, terms, id_col, text_col, sep)
+    dl = docs.select(F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("dl"))
+    # corpus stats: one row, broadcast (same BNLJ-of-one-row shape as
+    # corpus.with_idf — a constant attach, not a pairing join)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum(F.size(F.split(F.col(text_col), sep))).cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    df_per_term = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_per_term), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = (
+        idf_fn(F.col("df"), F.col("_n_docs"))
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+    )
+    # pivot each term's single contribution into its own column (max of
+    # the one row), then add in fixed term order
+    per_doc = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("token") == t, contrib)).alias(f"_c{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    # global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows, never a full sort); the rank window
+    # then runs over only the k survivors
+    top = (
+        per_doc.withColumn("score", score)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -75,8 +75,10 @@ def imdb_bucket_spec(num_buckets: int) -> dict[str, tuple[str, int]]:
         "TitlePrincipals": ("nconst", num_buckets),
         "NameBasics": ("nconst", num_buckets),
         # normalized tables re-probed by later DAG steps
+        "TitleAkas": ("titleId", num_buckets),
         "title": ("tconst", num_buckets),
         "name": ("nconst", num_buckets),
+        "title_alias": ("title_id", num_buckets),
     }
 
 
@@ -342,12 +344,23 @@ class NormalizedBuild:
         tat = self.db.read("title_alias_type").select(
             F.col("id").alias("title_alias_type_id"), F.col("name").alias("type_name")
         )
-        source = (
-            ta.join(t, ta.title_id == t.id)
-            .join(akas, (akas.titleId == t.tconst) & (akas.ordering == ta.ordering))
-            .filter(akas.types.isNotNull())
-            .select(ta.id.alias("title_alias_id"), akas.types)
+        # join order matters for layout reuse: akas ⋈ t runs on
+        # (titleId = tconst) — the keys imdb_bucket_spec buckets both
+        # tables on, so that join is exchange-free when bucketing is on —
+        # and only the (small, types-filtered) intermediate reshuffles to
+        # probe title_alias on its own bucket key (title_id, ordering;
+        # a titleId bucket co-partitions the composite, Spark joins on a
+        # subset of the join keys without re-shuffling the bucketed side)
+        typed_akas = (
+            akas.filter(akas.types.isNotNull())
+            .join(t, akas.titleId == t.tconst)
+            .select(t.id.alias("akas_title_id"), akas.ordering.alias("akas_ordering"), akas.types)
         )
+        source = ta.join(
+            typed_akas,
+            (ta.title_id == F.col("akas_title_id"))
+            & (ta.ordering == F.col("akas_ordering")),
+        ).select(ta.id.alias("title_alias_id"), "types")
         distinct_types = source.select("types").distinct().withColumn(
             "mapped", _mappable_udf("types")
         )
