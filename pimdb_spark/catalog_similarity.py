@@ -247,3 +247,67 @@ register("q_cosine_topk_np", oracle=_R["q_cosine_topk"].oracle, bench=True)(
 register("q_ivf_ann_topk_np", oracle=_R["q_ivf_ann_topk"].oracle, bench=True)(
     q_ivf_ann_topk_np
 )
+
+
+_SQDIST = """
+    list_reduce(list_transform(range(1, 65),
+      i -> (e.embedding[i]::DOUBLE - c.cvec[i]) * (e.embedding[i]::DOUBLE - c.cvec[i])),
+      (x, y) -> x + y)
+"""
+
+_KMEANS_ORACLE = f"""
+    WITH init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN init c)
+      WHERE rn = 1
+    ), s1 AS (
+      SELECT a1.cid, count(*) AS n,
+             list_reduce(
+               list(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE)
+                    ORDER BY e.vec_id),
+               (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])) AS summed
+      FROM a1 JOIN embeddings e USING (vec_id) GROUP BY a1.cid
+    ), cent1 AS (
+      SELECT i.cid,
+             CASE WHEN s1.cid IS NULL THEN i.cvec
+                  ELSE list_transform(s1.summed, x -> x / s1.n) END AS cvec
+      FROM init i LEFT JOIN s1 ON i.cid = s1.cid
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQDIST}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent1 c)
+      WHERE rn = 1
+    )
+    SELECT vec_id, cid AS cluster FROM a2
+"""
+
+
+@register("q_kmeans_assignments", oracle=_KMEANS_ORACLE, bench=True)
+def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass Lloyd's k-means (k=4) over the embeddings table
+    (operators/clustering.kmeans_assignments, exact ordered-fold centroid
+    update): init = 4 smallest-id vectors, assign, recompute centroids as
+    the per-cluster ordered double fold, re-assign.  The DuckDB oracle
+    unrolls the identical two iterations, so the hash check covers an
+    ITERATIVE float algorithm end to end — possible only because the
+    centroid update folds members in id order (bit-deterministic), not in
+    partial-aggregation order.
+
+    Scale: assignment broadcasts k centroid rows (no candidate shuffle) +
+    WindowGroupLimit argmin; the update shuffles once on cluster id; the
+    exact fold is O(cluster x dim) per group — swap exact=False
+    (posexplode+avg, fully partial-aggregated) past tens of millions of
+    members per cluster."""
+    from pimdb_spark.operators.clustering import kmeans_assignments
+
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assignments(vecs, k=4, n_iter=2, dim=64)

@@ -1,0 +1,158 @@
+"""Distributed k-means over embedding columns (Lloyd's algorithm as pure
+DataFrame plans) — the clustering primitive a training-data pipeline uses
+for corpus partitioning, diversity sampling, and IVF coarse quantizers
+(operators/similarity.ivf_topk consumes exactly this kind of centroid
+table).
+
+Reference parity: none (beyond-parity family, like dedup/ANN).
+
+Design for 100 TB:
+- Assignment is a broadcast of k centroid rows against the candidate
+  scan (no candidate shuffle) + a per-vector WindowGroupLimit argmin —
+  the same shape as similarity.ivf_topk's cell probe.
+- The update step shuffles once on cluster id.  Two variants:
+  * exact=True (default): per-cluster ordered fold — collect_list of
+    (id, vector), sorted by id, folded left-to-right in double — so the
+    centroid is BIT-DETERMINISTIC across engines and runs, which is what
+    makes the whole iteration oracle-checkable (float + is not
+    associative; a plain avg depends on partial-agg order).  Memory is
+    O(cluster size x dim) per group — fine up to tens of millions of
+    rows per cluster; beyond that use exact=False.
+  * exact=False: posexplode + avg per (cluster, dimension) — fully
+    scalable partial aggregation, deterministic up to float summation
+    order (last-ulp).
+- Empty clusters keep their previous centroid (left join + coalesce), so
+  k never silently shrinks.
+- Iterations are a driver-side loop over DataFrames (the idiomatic Spark
+  form of iterative ML — compare MLlib KMeans); each iteration extends
+  the plan, so for many iterations localCheckpoint the centroid frame
+  (k rows — trivial) to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pimdb_spark.operators.similarity import sqdist
+
+
+def init_centroids(
+    vecs: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic init: the k smallest-id vectors, cid = 0..k-1 in id
+    order (seeded sampling would also do; smallest-id keeps the oracle
+    trivial)."""
+    w = Window.orderBy(id_col)
+    return (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+
+
+def assign_clusters(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid) for each vector: nearest centroid by squared L2
+    (sequential double fold — oracle-reproducible), ties on cid.
+    Broadcast cross join of k rows + WindowGroupLimit argmin."""
+    d = sqdist(F.col(vec_col), F.col("cvec"))
+    w = Window.partitionBy(id_col).orderBy(d.alias("_d"), F.col("cid"))
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def update_centroids_exact(
+    assigned: DataFrame,
+    vecs: DataFrame,
+    prev_centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster mean via ordered fold: members sorted by id, summed
+    left-to-right per dimension in double, divided by the member count —
+    bit-deterministic.  Empty clusters keep prev_centroids' row."""
+    members = assigned.join(vecs.select(id_col, vec_col), id_col)
+    lst = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("_sid"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_sv"),
+            )
+        )
+    )
+    summed = F.aggregate(
+        lst,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, s: F.zip_with(acc, s["_sv"], lambda a, x: a + x),
+    )
+    upd = members.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("_n"), summed.alias("_sum")
+    )
+    upd = upd.select(
+        "cid", F.transform(F.col("_sum"), lambda x: x / F.col("_n")).alias("_new")
+    )
+    return prev_centroids.join(upd, "cid", "left").select(
+        "cid", F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec")
+    )
+
+
+def update_centroids_scalable(
+    assigned: DataFrame,
+    vecs: DataFrame,
+    prev_centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(cluster, dimension) avg via posexplode — partial aggregation
+    all the way down (the 100 TB path; summation order, and hence the
+    last ulp, is runtime-dependent)."""
+    members = assigned.join(vecs.select(id_col, vec_col), id_col)
+    per_dim = (
+        members.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    upd = per_dim.groupBy("cid").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "m"))
+        ).alias("_pm")
+    ).select("cid", F.transform(F.col("_pm"), lambda s: s["m"]).alias("_new"))
+    return prev_centroids.join(upd, "cid", "left").select(
+        "cid", F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec")
+    )
+
+
+def kmeans_assignments(
+    vecs: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Lloyd's k-means, returning the final (id, cluster) assignment after
+    n_iter assignment passes (n_iter - 1 centroid updates in between).
+    exact=True uses the ordered-fold update (bit-deterministic, oracle-
+    checkable); exact=False the posexplode-avg update (fully scalable)."""
+    update = update_centroids_exact if exact else update_centroids_scalable
+    cents = init_centroids(vecs, k, id_col, vec_col)
+    assigned = assign_clusters(vecs, cents, id_col, vec_col)
+    for _ in range(n_iter - 1):
+        cents = update(assigned, vecs, cents, dim, id_col, vec_col)
+        assigned = assign_clusters(vecs, cents, id_col, vec_col)
+    return assigned.select(id_col, F.col("cid").alias("cluster"))

@@ -221,6 +221,26 @@ class ParquetDatabase:
         return int(n_files)
 
 
+def write_sorted(
+    db: "ParquetDatabase", df: DataFrame, table: str, sort_cols: str | list[str],
+    num_files: int | None = None,
+) -> None:
+    """Range-partition + sort-within-partitions write: rows are globally
+    clustered on ``sort_cols``, so every parquet file (and row group)
+    covers a narrow min/max range of those columns and a range/equality
+    filter skips whole files via footer statistics — the Spark-native
+    form of coarse range indexing (complementary to hive partitioning,
+    which needs low cardinality, and bucketing, which serves joins).
+    One range-exchange (sampled boundaries); ``num_files`` bounds the
+    output file count."""
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    out = (
+        df.repartitionByRange(*([num_files] if num_files else []), *cols)
+        .sortWithinPartitions(*cols)
+    )
+    out.write.mode("overwrite").parquet(db.path(table))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -376,3 +376,35 @@ def test_bucketed_build_matches_unbucketed(built_db, spark, imdb_fixture_dir, tm
         want = sorted(map(tuple, built_db.read(table).collect()))
         got = sorted(map(tuple, db.read(table).collect()))
         assert got == want, f"bucketed {table} differs from unbucketed"
+
+
+def test_write_sorted_clusters_ranges(spark, tmp_path):
+    """write_sorted must produce files whose min/max ranges of the sort
+    column are disjoint (global range clustering), so footer stats can
+    skip whole files for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pimdb_spark.plans.store import ParquetDatabase, write_sorted
+
+    db = ParquetDatabase(spark, str(tmp_path / "db"))
+    df = spark.range(10_000).selectExpr("id AS k", "id % 97 AS v").repartition(8)
+    write_sorted(db, df, "t", "k", num_files=4)
+
+    ranges = []
+    for f in glob.glob(db.path("t") + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: a k-range filter prunes whole files
+    got = db.read("t")
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))

@@ -139,7 +139,13 @@ def test_no_plan_red_flags(spark, name, entry):
       centroid array to every row (O(n) work, no pairing); the actual
       probe join is a hash equi-join on cell id.
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
-      (a 1-row aggregate) attaches to every (token, df) row."""
+      (a 1-row aggregate) attaches to every (token, df) row.
+    - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
+      stats row attaches to every query-term hit.
+    - q_kmeans_assignments: the cross join broadcasts the k-ROW centroid
+      table against the vector scan (k=4; bounded by the cluster count,
+      never by data size) — the assignment is one shuffle-free pass, the
+      same shape as q_ivf_ann_topk's coarse quantizer."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -147,6 +153,8 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_ann_topk",
         "q_ivf_ann_topk_np",
         "q_token_df_idf",
+        "q_bm25_topk",
+        "q_kmeans_assignments",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -257,3 +257,108 @@ def test_scd2_intervals_matches_bruteforce(spark, seed):
         for r in scd2_intervals(df, ["k"], "v", ["a", "b"]).collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bm25_matches_bruteforce(spark, seed):
+    """bm25_topk vs a from-scratch Python model: same rational-idf BM25
+    formula evaluated in plain Python doubles (identical IEEE ops in the
+    same order -> exact score equality), random small corpora with docs
+    that contain no query term (must not appear) and repeated terms."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["spark", "join", "window", "scan", "sort", "merge", "row"]
+    terms = ["spark", "join", "window"]
+    n_docs = rng.randint(3, 12)
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(n_docs)
+    ]
+
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    dls = {i: len(t.split(" ")) for i, t in docs}
+    avgdl = float(sum(dls.values())) / n
+    dfs = {t: sum(1 for _, txt in docs if t in txt.split(" ")) for t in terms}
+    expected = {}
+    for i, txt in docs:
+        toks = txt.split(" ")
+        score = 0.0
+        hit = False
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                score = score + 0.0
+                continue
+            hit = True
+            idf = (float(n) - dfs[t] + 0.5) / (dfs[t] + 0.5)
+            w = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+            score = score + w
+        if hit:
+            expected[i] = score
+    want = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    from pimdb_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(df, terms, top_k=5).orderBy("rank").collect()
+    ]
+    assert [(d, s) for d, s, _ in got] == want
+    assert [r for _, _, r in got] == list(range(1, len(want) + 1))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kmeans_matches_bruteforce(spark, seed):
+    """kmeans_assignments vs a plain-Python Lloyd's model (same init, same
+    ordered summation, ties to lowest cid) on random low-dim vectors."""
+    import random
+
+    import struct
+
+    rng = random.Random(seed)
+    n, k, dim, iters = rng.randint(6, 30), 3, 4, 2
+
+    def f32(x):  # the array<float> column stores float32; model must too
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = [
+        (i, [f32(rng.uniform(-1, 1)) for _ in range(dim)]) for i in range(n)
+    ]
+
+    def sq(a, c):
+        s = 0.0
+        for x, y in zip(a, c):
+            s = s + (float(x) - y) * (float(x) - y)
+        return s
+
+    cents = [[float(x) for x in v] for _, v in vecs[:k]]
+    assign = {}
+    for _ in range(iters):
+        assign = {
+            i: min(range(k), key=lambda c: (sq(v, cents[c]), c)) for i, v in vecs
+        }
+        sums = {c: [0.0] * dim for c in range(k)}
+        counts = {c: 0 for c in range(k)}
+        for i, v in vecs:  # id order == insertion order here
+            c = assign[i]
+            counts[c] += 1
+            sums[c] = [a + float(x) for a, x in zip(sums[c], v)]
+        cents = [
+            [x / counts[c] for x in sums[c]] if counts[c] else cents[c]
+            for c in range(k)
+        ]
+    # model does iters assignments + iters updates; the operator does
+    # n_iter assignments with n_iter-1 updates between -> redo final assign
+    assign = {i: min(range(k), key=lambda c: (sq(v, cents[c]), c)) for i, v in vecs}
+
+    from pimdb_spark.operators.clustering import kmeans_assignments
+
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assignments(df, k=k, n_iter=iters + 1, dim=dim).collect()
+    }
+    assert got == assign
