@@ -1,0 +1,161 @@
+"""Streaming near-duplicate detection: MinHash+LSH with bucket state
+(``applyInPandasWithState``) — the continuous form of
+operators/dedup.minhash_lsh_pairs, for dedup-at-ingest pipelines where
+new documents must be checked against everything already admitted without
+re-running a batch join over the whole corpus.
+
+How it maps to the batch operator:
+- The signature pipeline (shingle → md5 int hash → 16-way universal-hash
+  min) and the banding are the SAME column expressions as the batch path
+  (operators/dedup.minhash_signature / lsh_band_hashes) — projections,
+  so they are streaming-safe and produce identical values.
+- The batch band-bucket JOIN becomes bucket STATE: each (band, band_hash)
+  group keeps the (doc_id, signature) list it has admitted; every
+  incoming doc is compared against the stored members, then appended.
+  A session sees each historic pair exactly once (new-vs-stored +
+  new-vs-new within the batch), across micro-batches.
+- Verification differs deliberately: the batch operator re-joins shingle
+  sets and checks EXACT Jaccard; carrying shingle sets in streaming state
+  would make state O(document size), so the stream emits the SIGNATURE
+  ESTIMATE (fraction of agreeing minhash components — the standard
+  streaming trade).  Downstream exact verification, where needed, is a
+  batch job over the tiny emitted pair set.
+- The flood-bucket cap carries over: a bucket whose state hit
+  ``max_bucket_size`` stops admitting members (their floods are better
+  handled by exact dedup upstream), bounding both state size and the
+  per-doc comparison cost — the streaming form of the batch operator's
+  quadratic-corner defense.
+
+Pairs can be emitted once per agreeing band (the batch op dedups with
+DISTINCT after its join); dedup the output per consumer —
+dropDuplicates on (id_a, id_b) in a downstream batch, or a keyed
+stateful stage if a strictly-once stream is required.
+
+Scale: state per bucket is O(min(members, cap) x num_hashes); each
+micro-batch shuffles only its own documents, keyed by (band, band_hash).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pimdb_spark.operators.dedup import (
+    lsh_band_hashes,
+    minhash_signature,
+    word_shingles,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("sigs", ArrayType(StringType())),  # comma-joined ints
+    ]
+)
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("band", LongType()),
+        StructField("est_jaccard", DoubleType()),
+    ]
+)
+
+
+def _est_jaccard(a: list[int], b: list[int]) -> float:
+    return sum(1 for x, y in zip(a, b) if x == y) / float(len(a))
+
+
+def _bucket_group(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    *,
+    threshold: float,
+    max_bucket_size: int,
+) -> Iterable[pd.DataFrame]:
+    band = int(key[0])
+    if state.exists:
+        doc_ids, sigs_raw = state.get
+        doc_ids = list(doc_ids)
+        sigs = [[int(v) for v in s.split(",")] for s in sigs_raw]
+    else:
+        doc_ids, sigs = [], []
+
+    out: list[tuple[int, int, int, float]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")  # deterministic admission order
+        for doc_id, sig_str in zip(pdf["doc_id"], pdf["sig"]):
+            doc_id = int(doc_id)
+            if doc_id in doc_ids:
+                continue  # replayed/duplicate id: already admitted
+            sig = [int(v) for v in sig_str.split(",")]
+            for other_id, other_sig in zip(doc_ids, sigs):
+                est = _est_jaccard(sig, other_sig)
+                if est >= threshold:
+                    a, b = sorted((doc_id, other_id))
+                    out.append((a, b, band, est))
+            if len(doc_ids) < max_bucket_size:
+                doc_ids.append(doc_id)
+                sigs.append(sig)
+
+    state.update((doc_ids, [",".join(str(v) for v in s) for s in sigs]))
+    if out:
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "band", "est_jaccard"])
+
+
+def neardup_pairs_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """documents stream -> (id_a, id_b, band, est_jaccard) near-dup pairs,
+    checked against all previously admitted documents via bucket state."""
+    from pimdb_spark.catalog import ensure_worker_code
+
+    ensure_worker_code(docs.sparkSession)  # state fn pickled by reference
+    rows_per_band = num_hashes // bands
+    toks = F.split(F.col(text_col), " ")
+    sig_arr = minhash_signature(word_shingles(toks, k), num_hashes)
+    banded = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(sig_arr, ",").alias("sig"),
+            F.posexplode(lsh_band_hashes(sig_arr, bands, rows_per_band)).alias(
+                "band", "band_hash"
+            ),
+        )
+    )
+
+    def fn(key, pdfs, state):
+        return _bucket_group(
+            key, pdfs, state, threshold=threshold, max_bucket_size=max_bucket_size
+        )
+
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        fn,
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

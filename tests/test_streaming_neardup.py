@@ -1,0 +1,107 @@
+"""Streaming MinHash+LSH near-dup (streaming/neardup.py): pair set must
+match a Python model computed from the batch signature pipeline, and
+state must carry across micro-batches (a doc arriving later pairs with a
+stored doc from an earlier file)."""
+
+from __future__ import annotations
+
+import itertools
+
+
+def _model_pairs(spark, docs_df, bands=4, rows_per_band=4, threshold=0.8):
+    """Expected pairs from the BATCH signature/banding expressions (already
+    property-tested against Python): bucket by band hash, then
+    signature-estimate >= threshold for every in-bucket pair."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signature,
+        word_shingles,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    sig_arr = minhash_signature(word_shingles(toks, 3), 16)
+    rows = docs_df.select(
+        "doc_id",
+        sig_arr.alias("sig"),
+        lsh_band_hashes(sig_arr, bands, rows_per_band).alias("bh"),
+    ).collect()
+    pairs = set()
+    for band in range(bands):
+        buckets: dict[str, list] = {}
+        for r in rows:
+            buckets.setdefault(r.bh[band], []).append(r)
+        for members in buckets.values():
+            for x, y in itertools.combinations(sorted(members, key=lambda r: r.doc_id), 2):
+                est = sum(1 for a, b in zip(x.sig, y.sig) if a == b) / 16.0
+                if est >= threshold:
+                    pairs.add((x.doc_id, y.doc_id))
+    return pairs
+
+
+def _docs_subset(spark, pred):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(pred)
+        .select("doc_id", "text")
+    )
+
+
+def test_stream_neardup_matches_model(spark, tmp_path):
+    import duckdb
+
+    from pimdb_spark.streaming.events import run_to_memory
+    from pimdb_spark.streaming.neardup import neardup_pairs_stream
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id, text
+        FROM '/root/testdata/sf0.001/documents.parquet' WHERE doc_id < 300)
+        TO '{src}/a.parquet' (FORMAT PARQUET)"""
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = neardup_pairs_stream(stream, threshold=0.8)
+    run_to_memory(out, "neardup_pairs", output_mode="append")
+    got = {(r.id_a, r.id_b) for r in spark.table("neardup_pairs").collect()}
+
+    expected = _model_pairs(spark, _docs_subset(spark, "doc_id < 300"))
+    assert got == expected
+    assert len(got) > 0  # the testdata contains near-dups below 300
+
+
+def test_stream_neardup_state_spans_micro_batches(spark, tmp_path):
+    """Pairs whose members arrive in DIFFERENT micro-batches must still be
+    found: maxFilesPerTrigger=1 forces the two files through separate
+    micro-batches of one query, so every (even, odd) cross-file pair
+    proves the bucket state carried over between batches."""
+    import duckdb
+
+    from pimdb_spark.streaming.events import run_to_memory
+    from pimdb_spark.streaming.neardup import neardup_pairs_stream
+
+    src = tmp_path / "docs_incr"
+    src.mkdir()
+    con = duckdb.connect()
+    for tag, parity in (("a", 0), ("b", 1)):
+        con.execute(
+            f"""COPY (SELECT doc_id, text
+            FROM '/root/testdata/sf0.001/documents.parquet'
+            WHERE doc_id < 300 AND doc_id % 2 = {parity})
+            TO '{src}/{tag}.parquet' (FORMAT PARQUET)"""
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = neardup_pairs_stream(stream, threshold=0.8)
+    run_to_memory(out, "neardup_incr", output_mode="append")
+    got = {(r.id_a, r.id_b) for r in spark.table("neardup_incr").collect()}
+
+    expected = _model_pairs(spark, _docs_subset(spark, "doc_id < 300"))
+    assert got == expected
+    cross = {(a, b) for a, b in got if (a % 2 == 0) != (b % 2 == 0)}
+    assert cross  # pairs span the per-file micro-batches -> state worked
