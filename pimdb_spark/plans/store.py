@@ -193,6 +193,25 @@ class ParquetDatabase:
         self.register_all()
         return self.spark.sql(query)
 
+    def analyze(self, table: str, columns: list[str] | None = None) -> bool:
+        """Collect table (and optionally column) statistics for the
+        cost-based optimizer.  Only meaningful for bucketed tables (they
+        live in the session catalog; path-read parquet relations take
+        sizes from files directly): accurate rowCount/sizeInBytes lets
+        Catalyst pick broadcast vs shuffle joins and reorder multi-way
+        joins instead of guessing from compressed file sizes.  Returns
+        False (no-op) for non-catalog tables."""
+        if table not in self.bucket_spec:
+            return False
+        name = self._catalog_name(table)
+        if not self.spark.catalog.tableExists(name):
+            return False
+        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        return True
+
     def compact(self, table: str, target_file_mb: int = 512) -> int:
         """Rewrite a table into ~target_file_mb-sized files and return the
         new file count.

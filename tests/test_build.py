@@ -408,3 +408,18 @@ def test_write_sorted_clusters_ranges(spark, tmp_path):
     got = db.read("t")
     assert got.count() == 10_000
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_analyze_collects_stats_for_bucketed(spark, tmp_path):
+    from pimdb_spark.plans.store import ParquetDatabase
+
+    db = ParquetDatabase(spark, str(tmp_path / "db"), bucket_spec={"t": ("k", 4)})
+    db.write(spark.range(1000).selectExpr("id AS k", "id % 7 AS v"), "t")
+    assert db.analyze("t", columns=["k"])
+    desc = spark.sql(f"DESCRIBE EXTENDED {db._catalog_name('t')}").collect()
+    stats = [r.data_type for r in desc if r.col_name == "Statistics"]
+    assert stats and "1000 rows" in stats[0]
+    # non-bucketed tables are a documented no-op
+    db2 = ParquetDatabase(spark, str(tmp_path / "db2"))
+    db2.write(spark.range(10).selectExpr("id AS k"), "t")
+    assert db2.analyze("t") is False

@@ -362,3 +362,41 @@ def test_kmeans_matches_bruteforce(spark, seed):
         for r in kmeans_assignments(df, k=k, n_iter=iters + 1, dim=dim).collect()
     }
     assert got == assign
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_weighted_sample_matches_bruteforce(spark, seed):
+    """weighted_sample vs a Python model of the same max-of-w-md5-draws
+    keys; zero/negative weights are excluded; heavier items must win ties
+    in aggregate (distribution sanity on a biased weight layout)."""
+    import hashlib
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(-1, 6)) for i in range(40)]
+    k = 10
+
+    def draw(i, j):
+        return int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16)
+
+    keys = {
+        i: max(draw(i, j) for j in range(1, w + 1))
+        for i, w in rows
+        if w >= 1
+    }
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = [(i, dict(rows)[i], key) for i, key in want]
+
+    from pimdb_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    got = [
+        (r.doc_id, r.weight, r.sample_key)
+        for r in weighted_sample(df, k, "weight", "doc_id")
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .collect()
+    ]
+    assert got == want
+    assert all(w >= 1 for _, w, _ in got)

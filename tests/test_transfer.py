@@ -70,3 +70,60 @@ def test_conjunctive_filter(spark, imdb_fixture_dir):
         {"titleType": ["movie"], "tconst": ["tt0000001", "tt0000002"]},
     )
     assert [r.tconst for r in df.collect()] == ["tt0000001"]
+
+
+def test_incremental_transfer_skips_unchanged(spark, imdb_fixture_dir, tmp_path):
+    """Digest-diff refresh: an identical snapshot touches NOTHING on disk;
+    a one-dataset change rewrites only that dataset and reports exact
+    added/removed/changed counts."""
+    import os
+    import shutil
+
+    from pimdb_spark.ingest import incremental_transfer, transfer
+    from pimdb_spark.plans.store import ParquetDatabase
+    from tests.fixtures_imdb import FIXTURE_TSVS, write_fixtures
+
+    db_dir = str(tmp_path / "db")
+    db = ParquetDatabase(spark, db_dir)
+    transfer(spark, imdb_fixture_dir, db)
+
+    def mtimes():
+        out = {}
+        for t in db.table_names():
+            p = db.path(t)
+            out[t] = max(
+                os.path.getmtime(os.path.join(root, f))
+                for root, _, files in os.walk(p)
+                for f in files
+            )
+        return out
+
+    before = mtimes()
+    stats = incremental_transfer(spark, imdb_fixture_dir, db)
+    assert all(v == {"added": 0, "removed": 0, "changed": 0} for v in stats.values())
+    assert mtimes() == before  # zero rewrite on an identical snapshot
+
+    # new snapshot: ratings gains one row, loses one, changes one
+    snap2 = str(tmp_path / "snap2")
+    shutil.copytree(imdb_fixture_dir, snap2, dirs_exist_ok=True)
+    ratings = FIXTURE_TSVS["title.ratings"].splitlines()
+    # header, tt0000001 7.5 -> 7.9 (changed), drop tt0000002 (removed),
+    # add tt0000003 (added)
+    new_ratings = "\n".join(
+        [ratings[0], "tt0000001\t7.9\t1000", "tt0000003\t5.0\t42"]
+    ) + "\n"
+    import gzip
+
+    with gzip.open(os.path.join(snap2, "title.ratings.tsv.gz"), "wt") as f:
+        f.write(new_ratings)
+
+    stats2 = incremental_transfer(spark, snap2, db)
+    assert stats2["TitleRatings"] == {"added": 1, "removed": 1, "changed": 1}
+    after = mtimes()
+    for t, m in after.items():
+        if t == "TitleRatings":
+            assert m > before[t]
+        else:
+            assert m == before[t]  # untouched datasets not rewritten
+    got = {r.tconst: (r.averageRating, r.numVotes) for r in db.read("TitleRatings").collect()}
+    assert got == {"tt0000001": (7.9, 1000), "tt0000003": (5.0, 42)}
