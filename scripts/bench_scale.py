@@ -1,0 +1,115 @@
+"""Measured-scaling harness: run selected operators at sf0.1 and at a
+synthetic 10x blow-up (documents made pairwise-distinct per copy; shifted
+ids), print one JSON line per operator with 1x/10x wall-clock — the
+source of SCALE.md's measured-scaling table rows.
+
+Usage: python scripts/bench_scale.py [ops ...]   (default: the round-7 ops)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pimdb_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def blow_up_documents(spark, out_dir: str, copies: int = 10) -> str:
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = [
+        docs.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            # suffix keeps copies pairwise-distinct so dedup/near-dup ops
+            # don't collapse the blow-up into the original corpus
+            F.concat_ws(" ", F.col("text"), F.lit(f"c{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    path = os.path.join(out_dir, "documents.parquet")
+    out.write.mode("overwrite").parquet(path)
+    return out_dir
+
+
+def blow_up_embeddings(spark, out_dir: str, copies: int = 10) -> str:
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    parts = [
+        emb.select((F.col("vec_id") + i * n).alias("vec_id"), "embedding", "label")
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    out.write.mode("overwrite").parquet(path)
+    return out_dir
+
+
+def _time(df) -> float:
+    df.count()  # warm: plan + scan caches
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark("pimdb-spark-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="bench_scale_")
+    blow_up_documents(spark, work)
+    blow_up_embeddings(spark, work)
+
+    from pimdb_spark.operators.clustering import kmeans_assignments
+    from pimdb_spark.operators.curation import weighted_sample
+    from pimdb_spark.operators.retrieval import bm25_topk
+
+    def docs(d):
+        return spark.read.parquet(f"{d}/documents.parquet")
+
+    def emb(d):
+        return spark.read.parquet(f"{d}/embeddings.parquet")
+
+    ops = {
+        "bm25_topk": lambda d: bm25_topk(docs(d), ["spark", "join", "window"], top_k=20),
+        "kmeans_assignments": lambda d: kmeans_assignments(
+            emb(d).select("vec_id", "embedding"), k=4, n_iter=2, dim=64
+        ),
+        "weighted_sample": lambda d: weighted_sample(
+            docs(d).select("doc_id", (1 + F.col("doc_id") % 10).alias("weight")),
+            k=50, weight_col="weight", id_col="doc_id",
+        ),
+    }
+    only = set(sys.argv[1:])
+    for name, fn in ops.items():
+        if only and name not in only:
+            continue
+        t1 = _time(fn(SF))
+        t10 = _time(fn(work))
+        print(json.dumps({
+            "op": name, "sec_1x": t1, "sec_10x": t10,
+            "ratio": round(t10 / t1, 2) if t1 else None,
+        }))
+
+
+if __name__ == "__main__":
+    main()

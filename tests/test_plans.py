@@ -471,3 +471,46 @@ def test_list_membership_join_is_equi_join(spark):
     )
     want = {(r.person_id, r.n_titles) for r in theta.collect()}
     assert got == want
+
+
+def test_bm25_filter_before_corpus_shuffle(spark):
+    """The only corpus-sized shuffle in q_bm25_topk must carry query-term
+    hits only: the isin Filter sits below the first Exchange (between the
+    token Generate and the (doc, token) aggregate), and the global top-k
+    plans as TakeOrderedAndProject, never a full sort."""
+    from pimdb_spark.catalog_text import q_bm25_topk
+
+    plan = plan_of(q_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+    # walking UP from the Generate (children print below parents), the
+    # term Filter must appear before any Exchange
+    above = lines[:gen][::-1]
+    order = [l for l in above if "Filter" in l or "Exchange" in l]
+    assert order and "Filter" in order[0]
+
+
+def test_weighted_sample_topk_plan(spark):
+    """q_weighted_sample: draws aggregate in ONE shuffle; top-k is
+    TakeOrderedAndProject (per-partition heap), not a global Sort."""
+    from pimdb_spark.catalog_curation import q_weighted_sample
+
+    plan = plan_of(q_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert count_op(plan, "Exchange") == 1
+
+
+def test_kmeans_assignment_broadcast_only(spark):
+    """A single k-means assignment pass must not shuffle the candidate
+    vectors for the distance computation: the centroid table arrives by
+    broadcast; the only exchange feeds the per-vector argmin window."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.clustering import assign_clusters, init_centroids
+
+    vecs = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    plan = plan_of(assign_clusters(vecs, init_centroids(vecs, 4)))
+    assert "BroadcastNestedLoopJoin" in plan  # k bounded rows, build side
+    assert "WindowGroupLimit" in plan  # argmin prunes at rank 1
+    assert count_op(plan, "Exchange") <= 1  # the window's vec_id shuffle
