@@ -208,3 +208,107 @@ def test_gif_lzw_stream_decodes():
     clear, end = 4, 5
     assert codes[: 2 * 15] == [clear, 0] * 15
     assert codes[2 * 15] == end
+
+
+def test_png_decode_pixels_roundtrip_and_filters():
+    """Pixel decode must invert the encoder exactly, and must reconstruct
+    all five spec'd scanline filters (the encoder writes filter 0; the
+    hand-built PNGs below use Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    from pimdb_spark.operators.multimodal import encode_png, png_decode_pixels
+
+    for w, h, seed in [(5, 3, 7), (16, 16, 0), (1, 1, 255)]:
+        gw, gh, px = png_decode_pixels(encode_png(w, h, seed=seed))
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                i = (y * w + x) * 3
+                assert px[i] == (seed + x + y) % 256
+                assert px[i + 1] == (seed * 3 + x) % 256
+                assert px[i + 2] == (seed * 7 + y) % 256
+
+    def build_png(w, h, raw_scanlines):
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw_scanlines))
+            + chunk(b"IEND", b"")
+        )
+
+    # 2x2 image, known pixels: row0 = (10,20,30),(40,50,60)
+    #                          row1 = (11,21,31),(41,51,61)
+    rows = [
+        [(10, 20, 30), (40, 50, 60)],
+        [(11, 21, 31), (41, 51, 61)],
+    ]
+
+    def flat(r):
+        return b"".join(bytes(p) for p in r)
+
+    # filter 1 (Sub): second pixel stored as delta to first
+    r0 = bytes((10, 20, 30, (40 - 10) % 256, (50 - 20) % 256, (60 - 30) % 256))
+    # filter 2 (Up): row1 stored as delta to row0
+    r1 = bytes(((11 - 10) % 256, (21 - 20) % 256, (31 - 30) % 256,
+                (41 - 40) % 256, (51 - 50) % 256, (61 - 60) % 256))
+    png = build_png(2, 2, b"\x01" + r0 + b"\x02" + r1)
+    _, _, px = png_decode_pixels(png)
+    assert px == flat(rows[0]) + flat(rows[1])
+
+    # filter 3 (Average) and 4 (Paeth) on the same target pixels
+    avg0 = bytearray([10, 20, 30])  # first pixel: a=0, up=0 -> raw
+    avg0 += bytes(((40 - (10 + 0) // 2) % 256, (50 - (20 + 0) // 2) % 256,
+                   (60 - (30 + 0) // 2) % 256))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    pae1 = bytearray()
+    prev = rows[0]
+    for x, pix in enumerate(rows[1]):
+        for ch in range(3):
+            a = rows[1][x - 1][ch] if x else 0
+            b = prev[x][ch]
+            c = prev[x - 1][ch] if x else 0
+            pae1.append((pix[ch] - paeth(a, b, c)) % 256)
+    png2 = build_png(2, 2, b"\x03" + bytes(avg0) + b"\x04" + bytes(pae1))
+    _, _, px2 = png_decode_pixels(png2)
+    assert px2 == flat(rows[0]) + flat(rows[1])
+
+
+def test_bmp_decode_pixels_roundtrip():
+    from pimdb_spark.operators.multimodal import bmp_decode_pixels, encode_bmp
+
+    for w, h, seed in [(5, 3, 9), (4, 4, 0)]:  # w=5: row padding exercised
+        gw, gh, px = bmp_decode_pixels(encode_bmp(w, h, seed=seed))
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                i = (y * w + x) * 3
+                # encoder stores BGR bottom-up: b=(seed+x), g=(seed+y), r=(x+y)
+                assert px[i] == (x + y) % 256
+                assert px[i + 1] == (seed + y) % 256
+                assert px[i + 2] == (seed + x) % 256
+
+
+def test_image_channel_stats_refuses_undecodable(spark):
+    import pytest as _pytest
+
+    from pimdb_spark.operators.multimodal import encode_gif, image_channel_stats
+
+    df = spark.createDataFrame(
+        [(1, encode_gif(4, 4))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="pixel decode supports PNG/BMP"):
+        image_channel_stats(df).collect()
