@@ -96,7 +96,7 @@ def q_multimodal_decode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
              16 + (doc_id * 7) % 48 AS w,
              16 + (doc_id * 13) % 48 AS h,
              doc_id % 3 AS fmt
-      FROM documents WHERE doc_id < 120 AND doc_id % 3 <> 1
+      FROM documents WHERE doc_id < 120
     ), px1 AS (
       SELECT doc_id, w, h, fmt, unnest(range(0, w)) AS x FROM d
     ), px AS (
@@ -106,29 +106,29 @@ def q_multimodal_decode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
            CAST(sum(CASE WHEN fmt = 0 THEN (doc_id + x + y) % 256
+                         WHEN fmt = 1 THEN 0
                          ELSE (x + y) % 256 END) AS DOUBLE) / count(*) AS mean_r,
            CAST(sum(CASE WHEN fmt = 0 THEN (doc_id * 3 + x) % 256
+                         WHEN fmt = 1 THEN 0
                          ELSE (doc_id + y) % 256 END) AS DOUBLE) / count(*) AS mean_g,
            CAST(sum(CASE WHEN fmt = 0 THEN (doc_id * 7 + y) % 256
+                         WHEN fmt = 1 THEN 0
                          ELSE (doc_id + x) % 256 END) AS DOUBLE) / count(*) AS mean_b
     FROM px GROUP BY doc_id, w, h, fmt
     """,
 )
 def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-level decode, hash-checked end to end: synth payloads
-    (valid PNG and BMP files) are decoded to actual pixels in pure Python
-    — PNG via zlib inflate + scanline filter reconstruction, BMP via
-    padded bottom-up row parsing (operators/multimodal.png_decode_pixels
-    / bmp_decode_pixels) — and per-channel means are emitted.  The oracle
-    recomputes the means from the encoders' generative pixel formulas
-    over a lateral (x, y) grid, so a hash match proves the decoder
-    recovered every pixel byte, not just the header.  GIF docs
-    (doc_id % 3 = 1) are excluded: their pixel stream is LZW-coded and
-    this operator refuses to fake statistics it cannot decode.
+    (valid PNG, GIF, and BMP files) are decoded to actual pixels in pure
+    Python — PNG via zlib inflate + scanline filter reconstruction, GIF
+    via general variable-width LZW + palette lookup, BMP via padded
+    bottom-up row parsing (operators/multimodal.{png,gif,bmp}_decode_
+    pixels) — and per-channel means are emitted.  The oracle recomputes
+    the means from the encoders' generative pixel formulas over an (x, y)
+    grid (GIF fixtures are all palette-0 black, mean 0), so a hash match
+    proves the decoder recovered every pixel byte, not just the header.
 
     Scale: Arrow-batched mapInPandas over payload bytes; zero shuffle."""
-    docs = load(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 120) & (F.col("doc_id") % 3 != 1)
-    )
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     payloads = M.synth_image_payload(docs, "doc_id")
     return M.image_channel_stats(payloads, "doc_id", "payload")

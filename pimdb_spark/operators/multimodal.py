@@ -318,6 +318,81 @@ def bmp_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def gif_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """REAL pixel decode of a (non-interlaced) GIF, pure Python: general
+    variable-width LZW decompression of the image data sub-blocks, palette
+    lookup through the global/local color table.  Returns (width, height,
+    RGB triples, top-down row-major).  Raises ValueError for non-GIF
+    bytes or interlaced images."""
+    w, h, mode = parse_image_header(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif_decode_pixels: not a GIF")
+    packed = data[10]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while data[pos] == 0x21:  # extension blocks: label + sub-blocks
+        pos += 2
+        while data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+    if data[pos] != 0x2C:
+        raise ValueError("gif_decode_pixels: image descriptor not found")
+    ipacked = data[pos + 9]
+    pos += 10
+    if ipacked & 0x40:
+        raise ValueError("gif_decode_pixels: interlaced GIFs unsupported")
+    if ipacked & 0x80:  # local color table overrides
+        n = 2 ** ((ipacked & 7) + 1)
+        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    min_code = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos] != 0:
+        n = data[pos]
+        stream += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = {i: (i,) for i in range(clear)}
+    table: dict[int, tuple[int, ...]] = dict(base)
+    next_code, width = end + 1, min_code + 1
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    bitpos = 0
+    total_bits = len(stream) * 8
+    while bitpos + width <= total_bits:
+        code = 0  # LSB-first variable-width code read
+        for b in range(width):
+            code |= ((stream[(bitpos + b) >> 3] >> ((bitpos + b) & 7)) & 1) << b
+        bitpos += width
+        if code == clear:
+            table, next_code, width, prev = dict(base), end + 1, min_code + 1, None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"gif_decode_pixels: corrupt LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < w * h:
+        raise ValueError("gif_decode_pixels: pixel stream short")
+    return w, h, b"".join(bytes(palette[i]) for i in out[: w * h])
+
+
 CHANNEL_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -334,12 +409,13 @@ def image_channel_stats(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """Per-channel pixel means from REAL pixel decoding (PNG via inflate +
-    filter reconstruction, BMP via row parsing) — the feature-extraction
-    step of an image-curation pipeline, done on actual pixel data in pure
-    Python.  Channel sums are exact integers, so mean = sum/count is one
-    bit-stable double division — oracle-checkable.  Unsupported formats
-    (GIF's LZW pixel stream, JPEG's DCT) raise ValueError at decode time:
-    this operator never fakes pixel statistics.
+    filter reconstruction, BMP via row parsing, GIF via general LZW +
+    palette lookup) — the feature-extraction step of an image-curation
+    pipeline, done on actual pixel data in pure Python.  Channel sums are
+    exact integers, so mean = sum/count is one bit-stable double division
+    — oracle-checkable.  Unsupported formats (JPEG's DCT) raise
+    ValueError at decode time: this operator never fakes pixel
+    statistics.
 
     Scale: Arrow-batched mapInPandas; one task holds batch_size payloads;
     zero shuffle."""
@@ -353,10 +429,12 @@ def image_channel_stats(
                     w, h, px = png_decode_pixels(data)
                 elif data[:2] == b"BM":
                     w, h, px = bmp_decode_pixels(data)
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, px = gif_decode_pixels(data)
                 else:
                     raise ValueError(
-                        "image_channel_stats: pixel decode supports PNG/BMP "
-                        f"only (magic {data[:4]!r})"
+                        "image_channel_stats: pixel decode supports "
+                        f"PNG/BMP/GIF only (magic {data[:4]!r})"
                     )
                 n = w * h
                 sr = sum(px[0::3])

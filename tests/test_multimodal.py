@@ -302,13 +302,55 @@ def test_bmp_decode_pixels_roundtrip():
                 assert px[i + 2] == (seed + x) % 256
 
 
+def test_gif_decode_pixels_general_lzw():
+    """The general LZW decoder must handle (a) the encoder's
+    clear-heavy stream (all palette-0 pixels) and (b) a hand-built
+    stream with growing dictionary entries and both palette colors."""
+    import struct
+
+    from pimdb_spark.operators.multimodal import encode_gif, gif_decode_pixels
+
+    w, h, px = gif_decode_pixels(encode_gif(6, 4))
+    assert (w, h) == (6, 4)
+    assert px == bytes((0, 0, 0)) * 24  # palette[0] black everywhere
+
+    # hand-built 4x1 GIF, pixels 0,1,1,0 coded as [clear, 0, 1, 1, 0, end]
+    # with NO intermediate clears -> dictionary growth path exercised.
+    # After the third literal the table holds 8 entries (clear=4, end=5,
+    # +6, +7), so per the GIF convention the remaining codes widen to 4
+    # bits — the stream must be written with variable widths.
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 4, 1)
+    out += b"\xf0\x00\x00"
+    out += b"\x00\x00\x00\xff\xff\xff"  # palette: black, white
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 1) + b"\x00"
+    out += b"\x02"  # min code size 2 -> clear=4, end=5, 3-bit start
+    codes = [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)]
+    acc = n_acc = 0
+    bits = bytearray()
+    for c, width in codes:
+        acc |= c << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        bits.append(acc & 0xFF)
+    out += bytes([len(bits)]) + bits + b"\x00\x3b"
+    w, h, px = gif_decode_pixels(bytes(out))
+    assert (w, h) == (4, 1)
+    assert px == bytes((0, 0, 0)) + bytes((255, 255, 255)) * 2 + bytes((0, 0, 0))
+
+
 def test_image_channel_stats_refuses_undecodable(spark):
     import pytest as _pytest
 
-    from pimdb_spark.operators.multimodal import encode_gif, image_channel_stats
+    from pimdb_spark.operators.multimodal import image_channel_stats
 
     df = spark.createDataFrame(
-        [(1, encode_gif(4, 4))], "doc_id long, payload binary"
+        [(1, b"\xff\xd8 not-pixel-decodable jpeg-ish")],
+        "doc_id long, payload binary",
     )
-    with _pytest.raises(Exception, match="pixel decode supports PNG/BMP"):
+    with _pytest.raises(Exception, match="pixel decode supports PNG/BMP/GIF"):
         image_channel_stats(df).collect()
