@@ -106,13 +106,13 @@ def q_multimodal_decode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
            CAST(sum(CASE WHEN fmt = 0 THEN (doc_id + x + y) % 256
-                         WHEN fmt = 1 THEN 0
+                         WHEN fmt = 1 THEN ((x + y) % 2) * 255
                          ELSE (x + y) % 256 END) AS DOUBLE) / count(*) AS mean_r,
            CAST(sum(CASE WHEN fmt = 0 THEN (doc_id * 3 + x) % 256
-                         WHEN fmt = 1 THEN 0
+                         WHEN fmt = 1 THEN ((x + y) % 2) * 255
                          ELSE (doc_id + y) % 256 END) AS DOUBLE) / count(*) AS mean_g,
            CAST(sum(CASE WHEN fmt = 0 THEN (doc_id * 7 + y) % 256
-                         WHEN fmt = 1 THEN 0
+                         WHEN fmt = 1 THEN ((x + y) % 2) * 255
                          ELSE (doc_id + x) % 256 END) AS DOUBLE) / count(*) AS mean_b
     FROM px GROUP BY doc_id, w, h, fmt
     """,
@@ -125,7 +125,8 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-up row parsing (operators/multimodal.{png,gif,bmp}_decode_
     pixels) — and per-channel means are emitted.  The oracle recomputes
     the means from the encoders' generative pixel formulas over an (x, y)
-    grid (GIF fixtures are all palette-0 black, mean 0), so a hash match
+    grid (GIF fixtures are a black/white checkerboard, mean per channel
+    = 255 x odd-cell fraction), so a hash match
     proves the decoder recovered every pixel byte, not just the header.
 
     Scale: Arrow-batched mapInPandas over payload bytes; zero shuffle."""

@@ -184,16 +184,19 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
 
 def encode_gif(width: int, height: int) -> bytes:
     """Minimal valid GIF89a: logical screen descriptor, 2-entry global
-    color table, one image block whose LZW stream emits a clear code
-    before every pixel literal (keeps the code width fixed at 3 bits —
-    simple, spec-valid, compresses terribly, decodes everywhere)."""
+    color table (black/white), one image block whose LZW stream emits a
+    clear code before every pixel literal (keeps the code width fixed at
+    3 bits — simple, spec-valid, compresses terribly, decodes
+    everywhere).  Pixels are a checkerboard (palette index (x+y) % 2),
+    NOT a constant fill — so a pixel decoder that fabricates zeros
+    cannot pass the channel-stats oracle by accident."""
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += b"\xf0\x00\x00"  # GCT flag, 1-bit color, bg 0, no aspect
     out += b"\x00\x00\x00\xff\xff\xff"  # 2-entry palette
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
     out += b"\x02"  # LZW minimum code size
-    # bit-pack LSB-first: [clear(4), 0]*n then end(5), all 3-bit codes
+    # bit-pack LSB-first: [clear(4), px]*n then end(5), all 3-bit codes
     bits = bytearray()
     acc = n_acc = 0
 
@@ -206,9 +209,10 @@ def encode_gif(width: int, height: int) -> bytes:
             acc >>= 8
             n_acc -= 8
 
-    for _ in range(width * height):
-        emit(4)  # clear
-        emit(0)  # pixel literal: palette index 0
+    for y in range(height):
+        for x in range(width):
+            emit(4)  # clear
+            emit((x + y) % 2)  # pixel literal: checkerboard palette index
     emit(5)  # end of information
     if n_acc:
         bits.append(acc & 0xFF)

@@ -196,7 +196,7 @@ def test_gif_lzw_stream_decodes():
         stream += data[i + 1 : i + 1 + n]
         i += 1 + n
     assert data[i : i + 2] == b"\x00\x3b"  # terminator + trailer
-    # 3-bit LSB-first codes: expect (clear, 0) x 15 then end
+    # 3-bit LSB-first codes: expect (clear, checkerboard px) x 15 then end
     codes, acc, n_acc = [], 0, 0
     for byte in stream:
         acc |= byte << n_acc
@@ -206,7 +206,11 @@ def test_gif_lzw_stream_decodes():
             acc >>= 3
             n_acc -= 3
     clear, end = 4, 5
-    assert codes[: 2 * 15] == [clear, 0] * 15
+    want = []
+    for y in range(3):
+        for x in range(5):
+            want += [clear, (x + y) % 2]
+    assert codes[: 2 * 15] == want
     assert codes[2 * 15] == end
 
 
@@ -312,7 +316,11 @@ def test_gif_decode_pixels_general_lzw():
 
     w, h, px = gif_decode_pixels(encode_gif(6, 4))
     assert (w, h) == (6, 4)
-    assert px == bytes((0, 0, 0)) * 24  # palette[0] black everywhere
+    for y in range(4):
+        for x in range(6):
+            i = (y * 6 + x) * 3
+            want = (255, 255, 255) if (x + y) % 2 else (0, 0, 0)
+            assert px[i : i + 3] == bytes(want)  # checkerboard
 
     # hand-built 4x1 GIF, pixels 0,1,1,0 coded as [clear, 0, 1, 1, 0, end]
     # with NO intermediate clears -> dictionary growth path exercised.
