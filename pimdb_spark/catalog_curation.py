@@ -317,3 +317,44 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (1 + F.col("doc_id") % 10).alias("weight")
     )
     return weighted_sample(docs, k=50, weight_col="weight", id_col="doc_id")
+
+
+@register(
+    "q_table_profile",
+    oracle="""
+    SELECT 'doc_id' AS column, count(*) AS n_rows,
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT lang), min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT source), min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents table
+    (operators/profile.table_profile): row count, null count, exact
+    distinct count, min/max — the ingest-gate snapshot check.
+
+    Scale: ONE full-scan aggregate (partial aggregation; only per-
+    partition states shuffle), then a stack pivot over the single wide
+    row; exact distincts can be swapped for HLL per column."""
+    from pimdb_spark.operators.profile import table_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return table_profile(docs, ["doc_id", "lang", "source", "n_chars"])

@@ -195,3 +195,21 @@ def test_star_contraction_beats_diameter(spark):
     out = connected_components_star(edges_df, max_iter=10).collect()
     assert {r.component for r in out} == {0}
     assert len(out) == 200
+
+
+def test_table_profile_nulls_and_distincts(spark):
+    from pimdb_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, v string"
+    )
+    got = {r.column: r for r in table_profile(df).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_null == 0
+    assert got["id"].n_distinct == 4
+    assert (got["id"].min_value, got["id"].max_value) == ("1", "4")
+    assert got["v"].n_null == 1
+    assert got["v"].n_distinct == 2  # NULL not counted
+    assert (got["v"].min_value, got["v"].max_value) == ("a", "b")
+    # HLL variant returns plausible counts without exact guarantee
+    approx = {r.column: r.n_distinct for r in table_profile(df, exact_distinct=False).collect()}
+    assert approx["id"] >= 3
