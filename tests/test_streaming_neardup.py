@@ -105,3 +105,58 @@ def test_stream_neardup_state_spans_micro_batches(spark, tmp_path):
     assert got == expected
     cross = {(a, b) for a, b in got if (a % 2 == 0) != (b % 2 == 0)}
     assert cross  # pairs span the per-file micro-batches -> state worked
+
+
+def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
+    """Cross-QUERY state restore: drain file A with a checkpoint, then
+    start a NEW query on the same checkpoint after file B arrives — the
+    second drain processes only B, so every (A, B) pair it emits proves
+    the bucket state was restored from the state store, not recomputed."""
+    import duckdb
+
+    from pimdb_spark.streaming.neardup import neardup_pairs_stream
+
+    src = tmp_path / "docs_chk"
+    src.mkdir()
+    chk = tmp_path / "chk"
+    con = duckdb.connect()
+    pairs: set = set()
+    batches: list[int] = []
+
+    def drain():
+        def sink(batch_df, _epoch):
+            got = batch_df.collect()
+            batches.append(len(got))
+            for r in got:
+                pairs.add((r.id_a, r.id_b))
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = (
+            neardup_pairs_stream(stream, threshold=0.8)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    con.execute(
+        f"""COPY (SELECT doc_id, text
+        FROM '/root/testdata/sf0.001/documents.parquet'
+        WHERE doc_id < 300 AND doc_id % 2 = 0)
+        TO '{src}/a.parquet' (FORMAT PARQUET)"""
+    )
+    drain()
+    con.execute(
+        f"""COPY (SELECT doc_id, text
+        FROM '/root/testdata/sf0.001/documents.parquet'
+        WHERE doc_id < 300 AND doc_id % 2 = 1)
+        TO '{src}/b.parquet' (FORMAT PARQUET)"""
+    )
+    drain()
+
+    expected = _model_pairs(spark, _docs_subset(spark, "doc_id < 300"))
+    assert pairs == expected
+    cross = {(a, b) for a, b in pairs if (a % 2 == 0) != (b % 2 == 0)}
+    assert cross  # found by the SECOND query -> state came from checkpoint
