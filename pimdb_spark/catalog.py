@@ -254,7 +254,7 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # registration order; its attestation is already on record.
 _CHECK_FIRST: list[str] = [
     # Rotation invariant (COVERAGE.md "Attestation rotation"): the driver
-    # checks only the FIRST 50 of 93 entries, so this list is re-derived
+    # checks only the FIRST 50 of 94 entries, so this list is re-derived
     # every round as (new/changed entries) + (entries that failed last
     # round) + (entries outside last round's window), pushing
     # freshly-green names to the back.  Round 7 ordering follows
@@ -267,6 +267,7 @@ _CHECK_FIRST: list[str] = [
     "q_weighted_sample",
     "q_image_channel_stats",
     "q_table_profile",
+    "q_corpus_divergence",
     # -- changed in round 7 (rows-only -> hash-checked real-decode oracle) --
     "q_multimodal_decode",
     # -- outside the round-6 window (last green r5) --

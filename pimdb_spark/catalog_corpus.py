@@ -146,3 +146,53 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", C.redact("props").alias("redacted")
     )
+
+
+@register(
+    "q_corpus_divergence",
+    oracle="""
+    WITH ta AS (
+      SELECT token, count(*) AS o_a
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE lang = 'en')
+      GROUP BY token
+    ), tb AS (
+      SELECT token, count(*) AS o_b
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE lang <> 'en')
+      GROUP BY token
+    ), j AS (
+      SELECT token, coalesce(o_a, 0) AS o_a, coalesce(o_b, 0) AS o_b
+      FROM ta FULL JOIN tb USING (token)
+    ), t AS (
+      SELECT (SELECT sum(o_a) FROM j) AS na, (SELECT sum(o_b) FROM j) AS nb
+    ), scored AS (
+      SELECT token, o_a, o_b,
+             (o_a - (o_a + o_b) * (CAST(na AS DOUBLE) / (na + nb)))
+               * (o_a - (o_a + o_b) * (CAST(na AS DOUBLE) / (na + nb)))
+               / ((o_a + o_b) * (CAST(na AS DOUBLE) / (na + nb)))
+             + (o_b - (o_a + o_b) * (CAST(nb AS DOUBLE) / (na + nb)))
+               * (o_b - (o_a + o_b) * (CAST(nb AS DOUBLE) / (na + nb)))
+               / ((o_a + o_b) * (CAST(nb AS DOUBLE) / (na + nb))) AS chi2
+      FROM j CROSS JOIN t
+    )
+    SELECT token, o_a, o_b, chi2
+    FROM scored ORDER BY chi2 DESC, token LIMIT 25
+    """,
+)
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the English and non-English
+    document slices (operators/corpus.corpus_divergence): top-25 tokens
+    by chi-square contribution — all-rational arithmetic, so the float
+    statistic hash-matches the oracle exactly (KL would need log, which
+    is not bit-identical across engines).
+
+    Scale: one count shuffle per slice; the full-outer token join carries
+    (token, count) pairs; totals ride one-row broadcasts; top-k is
+    TakeOrderedAndProject."""
+    from pimdb_spark.operators.corpus import corpus_divergence
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.filter(F.col("lang") == "en"), docs.filter(F.col("lang") != "en")
+    )

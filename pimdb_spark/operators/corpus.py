@@ -148,3 +148,60 @@ def redact(text: Column | str) -> Column:
     t = _text_col(text)
     t = F.regexp_replace(t, "[a-zA-Z0-9]+@[a-zA-Z0-9.]+", "<EMAIL>")
     return F.regexp_replace(t, "[0-9]+", "<NUM>")
+
+
+def corpus_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    sep: str = " ",
+    top_k: int = 25,
+) -> DataFrame:
+    """Token-distribution drift between two corpora as per-token
+    chi-square contributions — the drift-detection gate between snapshot
+    generations, domains, or language slices (which tokens moved, and by
+    how much).  KL divergence needs log, which is not bit-identical
+    across engines (see idf); the chi-square statistic is pure rational
+    arithmetic on integer counts, so the result is oracle-exact:
+
+        e_side = (o_a + o_b) * n_side / (n_a + n_b)
+        chi2   = (o_a - e_a)^2 / e_a + (o_b - e_b)^2 / e_b
+
+    Returns the top_k most-divergent tokens (chi2 desc, token asc):
+    (token, o_a, o_b, chi2).
+
+    Scale: one shuffle per side for the token counts; the full-outer
+    token join shuffles (token, count) pairs only; totals ride one-row
+    broadcasts; top-k is TakeOrderedAndProject."""
+    def counts(docs: DataFrame, alias: str) -> DataFrame:
+        return (
+            docs.select(F.explode(F.split(F.col(text_col), sep)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    ta, tb = counts(docs_a, "o_a"), counts(docs_b, "o_b")
+    joined = (
+        ta.join(tb, "token", "full")
+        .select(
+            "token",
+            F.coalesce(F.col("o_a"), F.lit(0)).alias("o_a"),
+            F.coalesce(F.col("o_b"), F.lit(0)).alias("o_b"),
+        )
+    )
+    na = joined.agg(F.sum("o_a").alias("_na"))
+    nb = joined.agg(F.sum("o_b").alias("_nb"))
+    both = joined.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    total = F.col("o_a") + F.col("o_b")
+    ra = F.col("_na").cast("double") / (F.col("_na") + F.col("_nb"))
+    rb = F.col("_nb").cast("double") / (F.col("_na") + F.col("_nb"))
+    ea = total * ra
+    eb = total * rb
+    chi2 = (F.col("o_a") - ea) * (F.col("o_a") - ea) / ea + (
+        F.col("o_b") - eb
+    ) * (F.col("o_b") - eb) / eb
+    return (
+        both.select("token", "o_a", "o_b", chi2.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "token")
+        .limit(top_k)
+    )

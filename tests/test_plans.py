@@ -142,6 +142,8 @@ def test_no_plan_red_flags(spark, name, entry):
       (a 1-row aggregate) attaches to every (token, df) row.
     - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
       stats row attaches to every query-term hit.
+    - q_corpus_divergence: two one-row total-count broadcasts attach to
+      every (token, count) row — constant attach, no pairing.
     - q_kmeans_assignments: the cross join broadcasts the k-ROW centroid
       table against the vector scan (k=4; bounded by the cluster count,
       never by data size) — the assignment is one shuffle-free pass, the
@@ -155,6 +157,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",
+        "q_corpus_divergence",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

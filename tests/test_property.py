@@ -400,3 +400,50 @@ def test_weighted_sample_matches_bruteforce(spark, seed):
     ]
     assert got == want
     assert all(w >= 1 for _, w, _ in got)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_corpus_divergence_matches_bruteforce(spark, seed):
+    """corpus_divergence vs a Python model of the same chi-square formula
+    (identical IEEE rational ops in the same order -> exact equality),
+    including tokens present in only one corpus."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]
+    mk = lambda n: [  # noqa: E731
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(n)
+    ]
+    a, b = mk(rng.randint(2, 8)), mk(rng.randint(2, 8))
+
+    def count(docs):
+        out = {}
+        for _, t in docs:
+            for tok in t.split(" "):
+                out[tok] = out.get(tok, 0) + 1
+        return out
+
+    ca, cb = count(a), count(b)
+    na, nb = sum(ca.values()), sum(cb.values())
+    expected = {}
+    for tok in set(ca) | set(cb):
+        oa, ob = ca.get(tok, 0), cb.get(tok, 0)
+        ra = float(na) / (na + nb)
+        rb = float(nb) / (na + nb)
+        ea = (oa + ob) * ra
+        eb = (oa + ob) * rb
+        chi2 = (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+        expected[tok] = (oa, ob, chi2)
+    want = sorted(expected.items(), key=lambda kv: (-kv[1][2], kv[0]))[:5]
+    want = [(t, oa, ob, c) for t, (oa, ob, c) in want]
+
+    from pimdb_spark.operators.corpus import corpus_divergence
+
+    da = spark.createDataFrame(a, "doc_id long, text string")
+    db = spark.createDataFrame(b, "doc_id long, text string")
+    got = [
+        (r.token, r.o_a, r.o_b, r.chi2)
+        for r in corpus_divergence(da, db, top_k=5).collect()
+    ]
+    assert got == want
