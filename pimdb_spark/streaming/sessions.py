@@ -11,8 +11,12 @@ session it touched with refreshed stats.
 
 Scale: state is keyed by user_id and lives in the state store (RocksDB on
 a real cluster); each micro-batch shuffles only its own events on user_id.
-An idle-timeout (GroupStateTimeout) can evict finished users; left at
-NoTimeout here because the drained-batch tests need deterministic output.
+``idle_timeout_ms`` arms a ProcessingTimeTimeout per key: a user whose
+state sees no events for that long is EVICTED at the next trigger — this
+is what bounds state size by the active-user set instead of the all-time
+user set at 100 TB.  (An evicted user who later returns starts again at
+session_id 1 — the documented trade of idle eviction.)  Default is
+NoTimeout so the drained-batch equality tests stay deterministic.
 """
 
 from __future__ import annotations
@@ -55,8 +59,14 @@ def _sessionize_group(
     key: tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    idle_timeout_ms: int = 0,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
+    if idle_timeout_ms and state.hasTimedOut:
+        # idle eviction: sessions were already emitted in update mode as
+        # they grew; drop the key's state and emit nothing
+        state.remove()
+        return
     if state.exists:
         last_ts, session_id, session_start, n_events = state.get
     else:
@@ -75,6 +85,8 @@ def _sessionize_group(
             touched[session_id] = [session_start, ts, n_events]
 
     state.update((last_ts, session_id, session_start, n_events))
+    if idle_timeout_ms:
+        state.setTimeoutDuration(idle_timeout_ms)
     if touched:
         yield pd.DataFrame(
             {
@@ -86,13 +98,27 @@ def _sessionize_group(
         )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, idle_timeout_ms: int = 0) -> DataFrame:
     """events (user_id, ts_us, event_id, ...) -> per-session stats,
-    maintained incrementally across micro-batches."""
+    maintained incrementally across micro-batches.  ``idle_timeout_ms``
+    > 0 evicts a user's state after that much processing-time idleness
+    (see module docstring for the state-bound rationale).
+
+    Use idle_timeout_ms only with a continuous trigger (processingTime):
+    with Trigger.AvailableNow an armed processing-time timeout keeps the
+    drain alive firing empty timeout batches instead of terminating."""
+    if idle_timeout_ms:
+        def fn(key, pdfs, state):
+            return _sessionize_group(key, pdfs, state, idle_timeout_ms)
+
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        fn = _sessionize_group
+        timeout = GroupStateTimeout.NoTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -101,3 +101,80 @@ def test_stateful_sessions_survive_batch_split(spark, tmp_path):
     # update mode re-emits session 1 with its batch-2 continuation
     assert rows[(1, 1)] == (3, 120 * 1_000_000)
     assert rows[(1, 2)] == (1, 0)
+
+
+def test_idle_timeout_evicts_state(spark, tmp_path):
+    """idle_timeout_ms: a user idle past the timeout is EVICTED at a later
+    trigger — their returning events restart at session_id 1 (state left
+    the store); without the timeout the same arrivals continue the old
+    numbering and the event-time gap opens session 2.  Runs a continuous
+    processingTime trigger (an armed processing-time timeout keeps
+    AvailableNow drains alive, see sessionize_stream docstring)."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pimdb_spark.streaming.sessions import SESSION_GAP_US, sessionize_stream
+
+    base = 1_700_000_000 * 1_000_000
+    gap = SESSION_GAP_US + 60 * 1_000_000  # event-time gap -> new session
+
+    def write_batch(src, name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), src / name)
+
+    def run(idle_timeout_ms, tag):
+        src = tmp_path / f"ev_{tag}"
+        src.mkdir()
+        rows: dict = {}
+
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                rows[(r.user_id, r.session_id)] = r.n_events
+
+        write_batch(src, "b1.parquet", [(1, base, 7, "click", 1.0, "{}")])
+        q = (
+            sessionize_stream(_event_stream(spark, src), idle_timeout_ms)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"chk_{tag}"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while (7, 1) not in rows and time.time() < deadline:
+                time.sleep(0.3)
+            time.sleep(2.5)  # exceed the idle timeout while no 7-events flow
+            # traffic from another user fires the timeout callback
+            write_batch(src, "b2.parquet", [(2, base, 8, "click", 1.0, "{}")])
+            while (8, 1) not in rows and time.time() < deadline:
+                time.sleep(0.3)
+            time.sleep(1.0)
+            # user 7 returns: TWO events after an event-time gap
+            write_batch(
+                src,
+                "b3.parquet",
+                [(3, base + gap, 7, "click", 1.0, "{}"),
+                 (4, base + gap + 60_000_000, 7, "click", 1.0, "{}")],
+            )
+            while rows.get((7, 1), 0) != 2 and rows.get((7, 2), 0) != 2 \
+                    and time.time() < deadline:
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        return rows
+
+    evicted = run(idle_timeout_ms=1000, tag="evict")
+    # state evicted -> the return restarted numbering at session 1
+    assert evicted.get((7, 1)) == 2, evicted
+    assert (7, 2) not in evicted, evicted
+
+    kept = run(idle_timeout_ms=0, tag="keep")
+    # state survived -> the event-time gap opened session 2
+    assert kept.get((7, 2)) == 2, kept
+    assert kept.get((7, 1)) == 1, kept
