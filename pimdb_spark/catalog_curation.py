@@ -323,24 +323,24 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_profile",
     oracle="""
     SELECT 'doc_id' AS column, count(*) AS n_rows,
-           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT doc_id) AS n_distinct,
            CAST(min(doc_id) AS VARCHAR) AS min_value,
            CAST(max(doc_id) AS VARCHAR) AS max_value
     FROM documents
     UNION ALL
     SELECT 'lang', count(*),
-           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT lang), min(lang), max(lang)
     FROM documents
     UNION ALL
     SELECT 'source', count(*),
-           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT source), min(source), max(source)
     FROM documents
     UNION ALL
     SELECT 'n_chars', count(*),
-           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
     FROM documents
