@@ -132,7 +132,9 @@ def parse_image_header(data: bytes) -> tuple[int, int, str]:
             if data[i] != 0xFF:
                 break
             marker = data[i + 1]
-            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+            if marker == 0xD9:  # EOI: end of image — no SOF found
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
                 i += 2
                 continue
             seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
@@ -326,38 +328,49 @@ def gif_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
     """REAL pixel decode of a (non-interlaced) GIF, pure Python: general
     variable-width LZW decompression of the image data sub-blocks, palette
     lookup through the global/local color table.  Returns (width, height,
-    RGB triples, top-down row-major).  Raises ValueError for non-GIF
-    bytes or interlaced images."""
+    RGB triples, top-down row-major).  Raises ValueError for non-GIF,
+    truncated, or interlaced images (never IndexError — every byte read
+    while walking extensions/sub-blocks is bounds-checked, so trailing
+    junk or a cut-off stream surfaces as the contracted exception)."""
     w, h, mode = parse_image_header(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif_decode_pixels: not a GIF")
-    packed = data[10]
+
+    def at(p: int) -> int:
+        if p >= len(data):
+            raise ValueError("gif_decode_pixels: truncated GIF")
+        return data[p]
+
+    def read_palette(p: int, n: int) -> tuple[list[tuple[int, int, int]], int]:
+        if p + 3 * n > len(data):
+            raise ValueError("gif_decode_pixels: truncated color table")
+        return [tuple(data[p + 3 * i : p + 3 * i + 3]) for i in range(n)], p + 3 * n
+
+    packed = at(10)
     pos = 13
     palette: list[tuple[int, int, int]] = []
     if packed & 0x80:
-        n = 2 ** ((packed & 7) + 1)
-        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
-        pos += 3 * n
-    while data[pos] == 0x21:  # extension blocks: label + sub-blocks
+        palette, pos = read_palette(pos, 2 ** ((packed & 7) + 1))
+    while at(pos) == 0x21:  # extension blocks: label + sub-blocks
         pos += 2
-        while data[pos] != 0:
-            pos += 1 + data[pos]
+        while at(pos) != 0:
+            pos += 1 + at(pos)
         pos += 1
-    if data[pos] != 0x2C:
+    if at(pos) != 0x2C:
         raise ValueError("gif_decode_pixels: image descriptor not found")
-    ipacked = data[pos + 9]
+    ipacked = at(pos + 9)
     pos += 10
     if ipacked & 0x40:
         raise ValueError("gif_decode_pixels: interlaced GIFs unsupported")
     if ipacked & 0x80:  # local color table overrides
-        n = 2 ** ((ipacked & 7) + 1)
-        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
-        pos += 3 * n
-    min_code = data[pos]
+        palette, pos = read_palette(pos, 2 ** ((ipacked & 7) + 1))
+    min_code = at(pos)
     pos += 1
     stream = bytearray()
-    while data[pos] != 0:
-        n = data[pos]
+    while at(pos) != 0:
+        n = at(pos)
+        if pos + 1 + n > len(data):
+            raise ValueError("gif_decode_pixels: truncated image sub-block")
         stream += data[pos + 1 : pos + 1 + n]
         pos += 1 + n
 
@@ -394,7 +407,10 @@ def gif_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
         prev = entry
     if len(out) < w * h:
         raise ValueError("gif_decode_pixels: pixel stream short")
-    return w, h, b"".join(bytes(palette[i]) for i in out[: w * h])
+    pixels = out[: w * h]
+    if palette and max(pixels) >= len(palette):
+        raise ValueError("gif_decode_pixels: pixel index outside color table")
+    return w, h, b"".join(bytes(palette[i]) for i in pixels)
 
 
 CHANNEL_STATS_SCHEMA = StructType(

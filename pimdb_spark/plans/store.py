@@ -119,20 +119,46 @@ class ParquetDatabase:
         this, every task writes a file per bucket it touches, and the
         resulting multi-file buckets also stop Spark from exploiting the
         within-bucket sort).  sortBy the same key so downstream sort-merge
-        joins skip their Sort as well as their Exchange."""
+        joins skip their Sort as well as their Exchange.
+
+        The write lands in a temp path under a temp catalog name first and
+        is swapped in only once complete (swap_directory), so a crash
+        mid-write leaves the old table intact and ``df`` may safely read
+        from the very table being replaced — the old files are never
+        deleted before the new ones exist (the failure mode compact()'s
+        docstring warns about).  The final catalog entry is re-created
+        over the swapped-in files via external-table DDL, preserving the
+        bucket metadata."""
         cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
         name = self._catalog_name(table)
-        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-        if os.path.exists(self.path(table)):
-            shutil.rmtree(self.path(table))
+        tmp_name = name + "_swaptmp"
+        path = self.path(table)
+        tmp_path = path + ".bucket.tmp"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        if os.path.exists(tmp_path):
+            shutil.rmtree(tmp_path)
         (
             df.repartition(num_buckets, *cols)
             .write.mode("overwrite")
             .format("parquet")
             .bucketBy(num_buckets, *cols)
             .sortBy(*cols)
-            .option("path", self.path(table))
-            .saveAsTable(name)
+            .option("path", tmp_path)
+            .saveAsTable(tmp_name)
+        )
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in self.spark.table(tmp_name).schema.fields
+        )
+        swap_directory(path, tmp_path)
+        # both entries are EXTERNAL: dropping them is metadata-only
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        bucket_cols_sql = ", ".join(f"`{c}`" for c in cols)
+        self.spark.sql(
+            f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_cols_sql}) SORTED BY ({bucket_cols_sql}) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
         )
 
     def to_jdbc(
@@ -223,7 +249,18 @@ class ParquetDatabase:
         guessed — and the rewrite is one narrow coalesce stage (no
         shuffle) followed by a directory swap (swap_directory), so a
         reader sees the old or the new table, never a half-written mix;
-        a crash mid-swap is repaired by recover_swap()."""
+        a crash mid-swap is repaired by recover_swap().
+
+        Bucketed tables keep their layout: the rewrite goes through
+        _write_bucketed (bucket count fixes the file count, so
+        ``target_file_mb`` is ignored and num_buckets is returned) —
+        swapping plain files under a still-registered bucketed catalog
+        entry would make the bucketed scan reject the non-bucket-named
+        files and quietly invalidate shuffle-free join plans."""
+        if table in self.bucket_spec:
+            cols, n = self.bucket_spec[table]
+            self._write_bucketed(self.read(table), table, cols, n)
+            return int(n)
         path = self.path(table)
         size_b = sum(
             os.path.getsize(os.path.join(root, f))
@@ -251,7 +288,16 @@ def write_sorted(
     form of coarse range indexing (complementary to hive partitioning,
     which needs low cardinality, and bucketing, which serves joins).
     One range-exchange (sampled boundaries); ``num_files`` bounds the
-    output file count."""
+    output file count.
+
+    A range-sorted layout REPLACES a bucketed one: if ``table`` was in
+    the database's bucket_spec, the catalog's bucketed entry is dropped
+    and the spec entry removed, so later read()s return the plain
+    parquet relation instead of a bucketed scan over files that no
+    longer honor bucket naming."""
+    if table in db.bucket_spec:
+        db.spark.sql(f"DROP TABLE IF EXISTS {db._catalog_name(table)}")
+        db.bucket_spec.pop(table, None)
     cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
     out = (
         df.repartitionByRange(*([num_files] if num_files else []), *cols)

@@ -63,9 +63,24 @@ def _sessionize_group(
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     if idle_timeout_ms and state.hasTimedOut:
-        # idle eviction: sessions were already emitted in update mode as
-        # they grew; drop the key's state and emit nothing
-        state.remove()
+        # idle eviction: drop the key's state, re-emitting the closing
+        # snapshot of its last session — the "session finalized" record
+        # (same stats update mode already emitted as the session grew, so
+        # downstream upserts are unchanged; it also makes eviction
+        # observable, which the eviction test polls for)
+        if state.exists:
+            last_ts, session_id, session_start, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_id": [session_id],
+                    "n_events": [n_events],
+                    "duration_us": [last_ts - session_start],
+                }
+            )
+        else:
+            state.remove()
         return
     if state.exists:
         last_ts, session_id, session_start, n_events = state.get

@@ -234,6 +234,60 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
 
 
+def test_compact_bucketed_preserves_layout_and_self_read(spark, tmp_path):
+    """compact() on a bucketed table must keep the bucketed layout (a
+    plain-file rewrite under a live bucketed catalog entry makes the scan
+    reject non-bucket-named files), and the rewrite reads from the very
+    table being replaced — the temp-write-then-swap protocol makes that
+    safe (old files outlive the new write)."""
+    from pimdb_spark.plans.store import ParquetDatabase
+
+    db = ParquetDatabase(spark, str(tmp_path / "db"), bucket_spec={"t": ("k", 4)})
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    db.write(df, "t")
+    assert spark.catalog.tableExists(db._catalog_name("t"))
+
+    n = db.compact("t")
+    assert n == 4  # bucket count fixes the file count
+    got = db.read("t")  # bucketed catalog relation must still scan cleanly
+    assert got.count() == 5_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(5_000))
+    # layout survived: catalog metadata still declares 4 buckets ...
+    desc = spark.sql(f"DESCRIBE FORMATTED {db._catalog_name('t')}").collect()
+    desc_map = {r[0]: r[1] for r in desc}
+    assert desc_map.get("Num Buckets") == "4", desc_map
+    # ... and the files honor it: a bucketed self-join plans zero Exchanges
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = db.read("t")
+        b = db.read("t").withColumnRenamed("k", "k2")
+        j = a.join(b, a["k"] == b["k2"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_write_sorted_drops_stale_bucket_entry(spark, tmp_path):
+    """write_sorted over a previously-bucketed table replaces the layout:
+    the bucketed catalog entry must be dropped so read() returns the plain
+    parquet relation instead of a bucketed scan over unbucketed files."""
+    from pimdb_spark.plans.store import ParquetDatabase, write_sorted
+
+    db = ParquetDatabase(spark, str(tmp_path / "db"), bucket_spec={"t": ("k", 4)})
+    df = spark.range(2_000).withColumnRenamed("id", "k")
+    db.write(df, "t")
+    assert spark.catalog.tableExists(db._catalog_name("t"))
+
+    write_sorted(db, spark.range(2_000).withColumnRenamed("id", "k"), "t", "k",
+                 num_files=2)
+    assert not spark.catalog.tableExists(db._catalog_name("t"))
+    assert "t" not in db.bucket_spec
+    got = db.read("t")
+    assert got.count() == 2_000
+
+
 def test_ensure_worker_code_ships_once(spark):
     from pimdb_spark import catalog
 

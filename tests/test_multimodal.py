@@ -306,6 +306,41 @@ def test_bmp_decode_pixels_roundtrip():
                 assert px[i + 2] == (seed + x) % 256
 
 
+def test_malformed_inputs_raise_valueerror_not_indexerror():
+    """Contract hardening: truncated/trailing-junk bytes must surface as
+    the documented ValueError, never IndexError — and the JPEG walk stops
+    at EOI instead of scanning past end-of-image."""
+    import struct
+
+    import pytest as _pytest
+
+    from pimdb_spark.operators.multimodal import (
+        encode_gif,
+        gif_decode_pixels,
+        parse_image_header,
+    )
+
+    # JPEG whose only content is SOI + EOI (+ trailing junk that would
+    # previously be scanned): no SOF -> unrecognized, not a junk walk
+    with _pytest.raises(ValueError, match="unrecognized"):
+        parse_image_header(b"\xff\xd8\xff\xd9" + b"\xff" * 64)
+    # EOI before the SOF: the walk must stop at end-of-image
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x11\x00"
+    with _pytest.raises(ValueError, match="unrecognized"):
+        parse_image_header(b"\xff\xd8" + b"\xff\xd9" + sof0)
+
+    # GIF truncations at every structural boundary
+    full = encode_gif(6, 4)
+    for cut in (11, 14, 20, len(full) - 3):
+        with _pytest.raises(ValueError):
+            gif_decode_pixels(full[:cut])
+    # header claims a color table larger than the remaining bytes
+    short_palette = bytearray(full)
+    short_palette[10] |= 0x07  # claim 256-entry global table
+    with _pytest.raises(ValueError, match="truncated"):
+        gif_decode_pixels(bytes(short_palette))
+
+
 def test_gif_decode_pixels_general_lzw():
     """The general LZW decoder must handle (a) the encoder's
     clear-heavy stream (all palette-0 pixels) and (b) a hand-built

@@ -109,7 +109,12 @@ def test_idle_timeout_evicts_state(spark, tmp_path):
     the store); without the timeout the same arrivals continue the old
     numbering and the event-time gap opens session 2.  Runs a continuous
     processingTime trigger (an armed processing-time timeout keeps
-    AvailableNow drains alive, see sessionize_stream docstring)."""
+    AvailableNow drains alive, see sessionize_stream docstring).
+
+    Not wall-clock-flaky: eviction emits the closing session snapshot (a
+    SECOND (7,1) emission), so the test drives heartbeat traffic from user
+    8 and polls until the eviction has DEMONSTRABLY fired before letting
+    user 7 return — no fixed sleeps racing the timeout callback."""
     import time
 
     import pandas as pd
@@ -130,11 +135,15 @@ def test_idle_timeout_evicts_state(spark, tmp_path):
     def run(idle_timeout_ms, tag):
         src = tmp_path / f"ev_{tag}"
         src.mkdir()
-        rows: dict = {}
+        emissions: list = []  # every (user_id, session_id, n_events) emitted
 
         def sink(batch_df, _epoch):
             for r in batch_df.collect():
-                rows[(r.user_id, r.session_id)] = r.n_events
+                emissions.append((r.user_id, r.session_id, r.n_events))
+
+        def latest(user, session):
+            vals = [n for u, s, n in emissions if (u, s) == (user, session)]
+            return vals[-1] if vals else None
 
         write_batch(src, "b1.parquet", [(1, base, 7, "click", 1.0, "{}")])
         q = (
@@ -146,15 +155,27 @@ def test_idle_timeout_evicts_state(spark, tmp_path):
             .start()
         )
         try:
-            deadline = time.time() + 60
-            while (7, 1) not in rows and time.time() < deadline:
+            deadline = time.time() + 120
+            while latest(7, 1) is None and time.time() < deadline:
                 time.sleep(0.3)
-            time.sleep(2.5)  # exceed the idle timeout while no 7-events flow
-            # traffic from another user fires the timeout callback
-            write_batch(src, "b2.parquet", [(2, base, 8, "click", 1.0, "{}")])
-            while (8, 1) not in rows and time.time() < deadline:
-                time.sleep(0.3)
-            time.sleep(1.0)
+            if idle_timeout_ms:
+                # heartbeats from user 8 keep batches firing; poll until
+                # user 7's eviction snapshot (a 2nd (7,1) emission) lands
+                hb = 0
+                while (
+                    sum(1 for u, s, _ in emissions if (u, s) == (7, 1)) < 2
+                    and time.time() < deadline
+                ):
+                    hb += 1
+                    write_batch(
+                        src, f"hb{hb}.parquet", [(100 + hb, base, 8, "click", 1.0, "{}")]
+                    )
+                    time.sleep(0.4)
+            else:
+                # no eviction to wait for; just confirm the pipeline moves
+                write_batch(src, "b2.parquet", [(2, base, 8, "click", 1.0, "{}")])
+                while latest(8, 1) is None and time.time() < deadline:
+                    time.sleep(0.3)
             # user 7 returns: TWO events after an event-time gap
             write_batch(
                 src,
@@ -162,19 +183,18 @@ def test_idle_timeout_evicts_state(spark, tmp_path):
                 [(3, base + gap, 7, "click", 1.0, "{}"),
                  (4, base + gap + 60_000_000, 7, "click", 1.0, "{}")],
             )
-            while rows.get((7, 1), 0) != 2 and rows.get((7, 2), 0) != 2 \
-                    and time.time() < deadline:
+            while latest(7, 1) != 2 and latest(7, 2) != 2 and time.time() < deadline:
                 time.sleep(0.3)
         finally:
             q.stop()
-        return rows
+        return latest
 
-    evicted = run(idle_timeout_ms=1000, tag="evict")
+    latest = run(idle_timeout_ms=1000, tag="evict")
     # state evicted -> the return restarted numbering at session 1
-    assert evicted.get((7, 1)) == 2, evicted
-    assert (7, 2) not in evicted, evicted
+    assert latest(7, 1) == 2, (latest(7, 1), latest(7, 2))
+    assert latest(7, 2) is None, latest(7, 2)
 
-    kept = run(idle_timeout_ms=0, tag="keep")
+    latest = run(idle_timeout_ms=0, tag="keep")
     # state survived -> the event-time gap opened session 2
-    assert kept.get((7, 2)) == 2, kept
-    assert kept.get((7, 1)) == 1, kept
+    assert latest(7, 2) == 2, latest(7, 2)
+    assert latest(7, 1) == 1, latest(7, 1)
