@@ -38,12 +38,15 @@ def main() -> None:
     for name, fn in bench.items():
         fn(spark, sf_dir).count()
     spark.catalog.clearCache()  # drop warm-up persists; keep JIT/codegen warm
-    # Two timed iterations, report the min: local[32] on a shared box has
+    # Three timed iterations, report the min: local[32] on a shared box has
     # multi-hundred-ms scheduler/GC jitter that would otherwise dominate
-    # sub-second queries.
+    # sub-second queries (r7 drifted q1/q5 +29%/+28% with zero code change
+    # under min-of-2; min-of-3 makes round-over-round regressions
+    # attributable to plans, not the scheduler).  Queries run strictly
+    # serially — each .count() blocks — so no cross-query stage overlap.
     for name, fn in bench.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -175,6 +175,7 @@ _VERSIONS_SQL = """
            o_orderstatus, o_totalprice
     FROM grouped
     """,
+    bench=True,
 )
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history materialization (operators/delta.scd2_intervals) over

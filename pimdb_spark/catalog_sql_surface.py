@@ -442,17 +442,48 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct", oracle=None)  # HLL sketches differ per engine
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per group next to the exact
-    count — rows-only check (sketch implementations differ across engines
-    by design); tests assert the approximation error bound instead.
-    Scale: HLL sketches merge associatively — constant memory per group
-    versus the exact count's full distinct shuffle."""
-    li = load(spark, sf_dir, "lineitem")
+def approx_distinct_full(li: DataFrame) -> DataFrame:
+    """Sketch + exact side by side (shared by the catalog entry and the
+    error-bound test, which asserts on the raw approx value)."""
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    # The HLL sketch VALUE differs per engine by design, so the hashed
+    # output carries (exact count, bound verdict) instead of the sketch:
+    # the oracle recomputes the exact count and expects within_bound=1,
+    # so a sketch drifting past 10% relative error turns this row red —
+    # a real cross-checked gate, not a rows-only "didn't crash".
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(1 AS INT) AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per group, gated against the
+    exact count: emits the exact distinct (hash-checked against DuckDB)
+    and within_bound = sketch inside 10% relative error (oracle expects
+    1; the tighter 2% typical error is asserted in tests on the raw
+    values via approx_distinct_full).
+    Scale: HLL sketches merge associatively — constant memory per group
+    versus the exact count's full distinct shuffle."""
+    full = approx_distinct_full(load(spark, sf_dir, "lineitem"))
+    return full.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < 0.1
+        )
+        .cast("int")
+        .alias("within_bound"),
     )
 
 
@@ -1233,21 +1264,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_percentile", oracle=None)  # t-digest-style sketch: rows-only
-def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile per group next to the exact percentile — the
-    mergeable-sketch path for unbounded-cardinality groups, where exact
-    percentiles would buffer every group's values.  Rows-only check
-    (sketch internals are engine-specific by design); tests assert the
-    approximation error bound against the exact value instead.
-
-    Output is one SCALAR row per (flag, quantile) — posexplode of the
-    zipped quantile arrays — because the driver's comparator canonicalizes
-    via pandas sort_values, which cannot sort ArrayType cells.
-    Scale: the sketch merges associatively — constant memory per group,
-    map-side partial aggregation, one shuffle; the explode is 3 rows per
-    group."""
-    li = load(spark, sf_dir, "lineitem")
+def approx_percentile_full(li: DataFrame) -> DataFrame:
+    """Sketch + exact quantiles side by side, one scalar row per (flag,
+    quantile) — shared by the catalog entry and the error-bound test."""
     agg = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
@@ -1262,8 +1281,49 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag",
         "q_idx",
-        F.round(F.col("z.approx_p"), 2).alias("approx_val"),
-        F.round(F.col("z.exact_p"), 2).alias("exact_val"),
+        F.col("z.approx_p").alias("approx_val"),
+        F.col("z.exact_p").alias("exact_val"),
+    )
+
+
+@register(
+    "q_approx_percentile",
+    # Sketch internals are engine-specific AND the exact interpolated
+    # percentile is a float whose last ulp may differ across engines, so
+    # the hashed output carries only the group grid and the bound verdict
+    # (both computed Spark-side from sketch vs exact): the oracle expects
+    # within_bound=1 for every (flag, quantile) cell, so a sketch past 2%
+    # relative error turns this row red — a cross-checked gate rather
+    # than rows-only.
+    oracle="""
+    SELECT DISTINCT l_returnflag, q.q_idx, CAST(1 AS INT) AS within_bound
+    FROM lineitem, (VALUES (0), (1), (2)) AS q(q_idx)
+    """,
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group, gated against the exact percentile —
+    the mergeable-sketch path for unbounded-cardinality groups, where
+    exact percentiles would buffer every group's values.  Emits one row
+    per (flag, quantile) with within_bound = sketch inside 2% relative
+    error of the exact value (oracle expects 1 everywhere; raw values
+    are asserted in tests via approx_percentile_full).
+
+    Output is one SCALAR row per (flag, quantile) because the driver's
+    comparator canonicalizes via pandas sort_values, which cannot sort
+    ArrayType cells.
+    Scale: the sketch merges associatively — constant memory per group,
+    map-side partial aggregation, one shuffle; the explode is 3 rows per
+    group."""
+    full = approx_percentile_full(load(spark, sf_dir, "lineitem"))
+    return full.select(
+        "l_returnflag",
+        "q_idx",
+        (
+            F.abs(F.col("approx_val") - F.col("exact_val")) / F.col("exact_val")
+            < 0.02
+        )
+        .cast("int")
+        .alias("within_bound"),
     )
 
 

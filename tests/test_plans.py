@@ -104,10 +104,14 @@ def test_range_join_is_equi_join(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    from pimdb_spark.catalog_sql_surface import q_approx_distinct
+    from pimdb_spark.catalog import load
+    from pimdb_spark.catalog_sql_surface import approx_distinct_full, q_approx_distinct
 
-    for r in q_approx_distinct(spark, SF).collect():
+    for r in approx_distinct_full(load(spark, SF, "lineitem")).collect():
         assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.1
+    # the catalog entry's own verdict column (what the oracle hash-checks)
+    rows = q_approx_distinct(spark, SF).collect()
+    assert len(rows) > 0 and all(r.within_bound == 1 for r in rows)
 
 
 def _all_entries():
@@ -388,9 +392,13 @@ def test_interval_join_is_equi_join(spark):
 def test_approx_percentile_error_bound(spark):
     """The sketch quantiles must land within 2% relative error of the
     exact percentiles at every probed quantile."""
-    from pimdb_spark.catalog_sql_surface import q_approx_percentile
+    from pimdb_spark.catalog import load
+    from pimdb_spark.catalog_sql_surface import (
+        approx_percentile_full,
+        q_approx_percentile,
+    )
 
-    rows = q_approx_percentile(spark, SF).collect()
+    rows = approx_percentile_full(load(spark, SF, "lineitem")).collect()
     assert len(rows) > 0 and all(r.q_idx in (0, 1, 2) for r in rows)
     for r in rows:
         assert abs(r.approx_val - r.exact_val) / r.exact_val < 0.02, (
@@ -399,6 +407,9 @@ def test_approx_percentile_error_bound(spark):
             r.approx_val,
             r.exact_val,
         )
+    # the catalog entry's own verdict column (what the oracle hash-checks)
+    gate = q_approx_percentile(spark, SF).collect()
+    assert len(gate) == len(rows) and all(r.within_bound == 1 for r in gate)
 
 
 def test_runtime_bloom_filter_semijoin_reduction(spark):
