@@ -47,5 +47,9 @@ try:
     import pimdb_spark.catalog_corpus  # noqa: F401  (df/idf, n-grams, decontamination)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_tpch_full  # noqa: F401  (TPC-H Q2/Q7/Q11/Q12/Q20)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401

@@ -151,7 +151,10 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_kmeans_assignments: the cross join broadcasts the k-ROW centroid
       table against the vector scan (k=4; bounded by the cluster count,
       never by data size) — the assignment is one shuffle-free pass, the
-      same shape as q_ivf_ann_topk's coarse quantizer."""
+      same shape as q_ivf_ann_topk's coarse quantizer.
+    - q11_important_stock: the ONE-ROW grand-total aggregate broadcast-
+      attaches to every (partkey, value) row for the threshold filter —
+      constant attach, no pairing (same shape as q_token_df_idf)."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -162,6 +165,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_bm25_topk",
         "q_kmeans_assignments",
         "q_corpus_divergence",
+        "q11_important_stock",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
