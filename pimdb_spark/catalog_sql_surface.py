@@ -338,33 +338,45 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the same dim table joined TWICE under different
     aliases (supplier nation vs customer nation), a disjunctive cross-side
     predicate, a date-range filter, and per-year aggregation.
-    Scale: both nation joins broadcast; the disjunction filters after the
-    (broadcast) joins so no nested loop appears; one real shuffle
-    (orders⋈lineitem) plus the final agg exchange."""
+
+    Scale: the nation-pair disjunction is pushed to BOTH fact sides
+    BEFORE the big joins — supplier and customer each pre-join (broadcast)
+    a nation table filtered to the two pair members, so the orders⋈
+    lineitem shuffle carries only rows that can survive (~2/25ths here,
+    2/N generally) and the residual pair filter runs on the already-
+    reduced slice.  The disjunction itself never becomes a join condition
+    → no nested loop; one real shuffle (orders⋈lineitem) plus the final
+    agg exchange."""
+    pair = ("NATION_20", "NATION_11")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= ts_lit("1995-01-01")
     )
-    s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n1 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("n1_key"),
+                     F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("n1_key"),
     )
-    n2 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("n2_key"),
+                     F.col("n_name").alias("cust_nation"))
+        ),
+        F.col("c_nationkey") == F.col("n2_key"),
     )
     pair_ok = (
-        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
-    ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
+        (F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1])
+    ) | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
     volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)  # SF-scaling: no forced broadcast
-        .join(c, o.o_custkey == c.c_custkey)  # SF-scaling: no forced broadcast
-        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        li.join(s, li.l_suppkey == s.s_suppkey)  # nation-filtered: stats decide
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)  # nation-filtered: stats decide
         .filter(pair_ok)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(volume).cast("double").alias("volume"))

@@ -1,6 +1,7 @@
-"""The five TPC-H query shapes the catalog still lacked (Q2, Q7, Q11,
-Q12, Q20), completing the 22-query suite (SURVEY §2.8 pass-through SQL
-surface exercises the rest).  The testdata has no partsupp table and no
+"""The four TPC-H query shapes the catalog still lacked (Q2, Q11, Q12,
+Q20), completing the 22-query suite (Q7 already exists as
+q7_nation_volume; the rest live in catalog.py / catalog_sql_surface.py).
+The testdata has no partsupp table and no
 comment/shipmode/commitdate columns, so each query keeps its canonical
 PLAN SHAPE (correlated min, nation-pair theta filter, group-threshold
 HAVING with a scalar subquery, late-shipment CASE pivot, qty-share
@@ -82,67 +83,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
-    )
-
-
-@register(
-    "q7_volume_shipping",
-    oracle="""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(year(l.l_shipdate) AS INT) AS l_year,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
-                AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
-    JOIN customer c ON c.c_custkey   = o.o_custkey
-    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
-    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_13')
-        OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_12'))
-      AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
-    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
-    """,
-)
-def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral shipping volume between two nations by year.
-    The nation-pair disjunction is pushed to BOTH sides before the fact
-    joins: supplier and customer are each pre-filtered to the two nations
-    via a broadcast nation join, so the orders⋈lineitem shuffle carries
-    only the ~2/25ths of rows that can survive, and the residual pair
-    filter runs on the already-joined slice.  Revenue in exact DECIMAL,
-    year cast to INT on both engines (DuckDB's year() is BIGINT)."""
-    pair = ("NATION_12", "NATION_13")
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between(ts_lit("1995-01-01"), ts_lit("1996-12-31"))
-    )
-    o = load(spark, sf_dir, "orders")
-    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
-    c = load(spark, sf_dir, "customer").join(
-        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
-                             F.col("n_name").alias("cust_nation"))),
-        F.col("c_nationkey") == F.col("c_nk"),
-    )
-    s = load(spark, sf_dir, "supplier").join(
-        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
-                             F.col("n_name").alias("supp_nation"))),
-        F.col("s_nationkey") == F.col("s_nk"),
-    )
-    return (
-        li.join(s, li.l_suppkey == s.s_suppkey)  # nation-filtered: stats decide
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .filter(
-            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
-            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
-        )
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.sum(dec2("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - frac2("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
     )
 
 

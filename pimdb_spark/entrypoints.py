@@ -48,7 +48,7 @@ try:
 except ImportError:
     pass
 try:
-    import pimdb_spark.catalog_tpch_full  # noqa: F401  (TPC-H Q2/Q7/Q11/Q12/Q20)
+    import pimdb_spark.catalog_tpch_full  # noqa: F401  (TPC-H Q2/Q11/Q12/Q20)
 except ImportError:
     pass
 
