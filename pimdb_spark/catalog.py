@@ -256,11 +256,22 @@ _CHECK_FIRST: list[str] = [
     # failed last round) + (entries outside last round's window, i.e.
     # stalest attestation first).  Round 8 ordering follows
     # CORRECTNESS_r07.json: the only red row (q_table_profile) is in the
-    # changed group (oracle cast fix); the 42 stale entries' last green is
-    # r6.  4 new + 4 changed + 42 stale = 49 <= 50, so the two-round
-    # invariant (r7 ∪ r8 windows cover all 98 entries) holds; see
-    # COVERAGE.md for the three-round variant that takes over past 100.
+    # changed group (oracle cast fix); the stale entries' last green is
+    # r6.  With the second r8 batch the registry is 106 (> 100), so the
+    # THREE-round rotation documented in COVERAGE.md takes over: 12 new +
+    # 4 changed + 34 stalest = 50 window entries; the 7 stale names that
+    # no longer fit (tail of this list, last green r6) are the head of
+    # round 9's stale group, keeping every attestation <= 3 rounds old.
     #
+    # -- new in round 8 (second batch: pipeline-hygiene families) --
+    "q_paragraph_dedup",
+    "q_ngram_decontaminate",
+    "q_chunk_documents",
+    "q_budget_take",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_robust_outliers",
+    "q_inverted_index",
     # -- new in round 8 --
     "q2_min_cost_supplier",
     "q11_important_stock",

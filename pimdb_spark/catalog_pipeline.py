@@ -1,0 +1,294 @@
+"""Pipeline-hygiene catalog: paragraph-level dedup, n-gram eval-set
+decontamination, sliding-window chunking, per-source token-budget mixture,
+key-skew heavy hitters, equi-width histograms, robust (median/MAD) outlier
+summaries, and the materialized inverted index.
+
+These extend the LLM-training-data families (catalog_corpus /
+catalog_curation / catalog_text) with the remaining curation steps a
+100 TB pipeline runs between raw ingest and the final mix.  Reference
+parity: none (beyond-parity operators, same policy as operators/corpus.py).
+
+Oracle conventions follow the repo rules: every sum that DuckDB would
+widen to HUGEINT is cast to BIGINT; floats are produced only by single
+IEEE operations on exact integers/doubles (no libm transcendentals); row
+orders inside string aggregations are pinned with ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.operators import corpus as C
+from pimdb_spark.operators import curation as CU
+from pimdb_spark.operators import profile as P
+from pimdb_spark.operators import retrieval as R
+
+_TOKS = "string_split(text, ' ')"
+# engine-portable deterministic hash order (same form as catalog_curation)
+_H8 = "('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle=f"""
+    WITH seg AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len({_TOKS}), 1) + 1, 10)) AS start,
+             {_TOKS} AS toks
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST((start - 1) / 10 AS BIGINT) AS pos,
+             array_to_string(list_slice(toks, start, start + 9), ' ') AS seg
+      FROM seg
+    ), ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos),
+                    '') AS text,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/corpus.paragraph_dedup):
+    10-token segments, corpus-wide keep-first by (doc_id, position),
+    documents re-assembled in order (empty string when everything was seen
+    before — the row count is preserved).
+
+    Scale: two inherent keyed shuffles — the keep-first window on
+    md5(segment) moves (id, pos, segment) rows, never whole documents;
+    the re-assembly groupBy moves surviving segments once."""
+    docs = load(spark, sf_dir, "documents")
+    return C.paragraph_dedup(docs, block=10)
+
+
+@register(
+    "q_ngram_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len({_TOKS}) - 5 + 2),
+                            i -> array_to_string(list_slice({_TOKS}, i, i + 4),
+                                                 ' ')) AS grams
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT md5(unnest(grams)) AS gfp FROM g WHERE doc_id % 11 = 0
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_shared
+      FROM (SELECT doc_id, md5(unnest(list_distinct(grams))) AS gfp FROM g) t
+      WHERE gfp IN (SELECT gfp FROM ev)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+           coalesce(h.n_shared, 0) < 3 AS keep
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram eval-set decontamination (operators/corpus.ngram_decontaminate):
+    a training doc is contaminated when ≥3 of its distinct 5-grams appear
+    in the held-out slice (doc_id % 11 — both engines build the identical
+    eval set).  The exact-text `q_decontaminate` misses embedded/partial
+    leakage; the n-gram form is the published convention (GPT-3 App. C).
+
+    Scale: the eval side reduces to distinct gram md5s and broadcasts, so
+    the corpus explode joins shuffle-free; the only shuffle aggregates
+    (doc, hit) pairs — proportional to contamination, not corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 11 == 0)
+    return C.ngram_decontaminate(docs, eval_docs, n=5, threshold=3)
+
+
+@register(
+    "q_chunk_documents",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 20, 1) + 1, 100)) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 100 AS INTEGER) AS chunk_idx,
+           substring(text, start, 120) AS chunk_text,
+           CAST(length(substring(text, start, 120)) AS INTEGER) AS chunk_len
+    FROM starts
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/curation.chunk_documents):
+    120-char chunks with 20-char overlap — the sequence-prep step before
+    tokenization/packing and the standard RAG indexing unit.
+
+    Scale: pure projection + explode, zero shuffle; fan-out bounded by
+    len/stride per document."""
+    docs = load(spark, sf_dir, "documents")
+    return CU.chunk_documents(docs, chunk_chars=120, overlap_chars=20)
+
+
+@register(
+    "q_budget_take",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_toks,
+             CAST(sum(len({_TOKS})) OVER (
+               PARTITION BY source
+               ORDER BY {_H8.format(c='doc_id')}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens,
+             CASE WHEN source = 'src0' THEN 800
+                  WHEN source = 'src5' THEN 400 ELSE 600 END AS budget
+      FROM documents
+    )
+    SELECT doc_id, source, n_toks, cum_tokens
+    FROM t WHERE cum_tokens - n_toks < budget
+    """,
+)
+def q_budget_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture (operators/curation.budget_take):
+    each source contributes documents in deterministic hash order until
+    its token budget is met (src0: 800, src5: 400, others: 600) — how a
+    training mix hits "100B web, 10B code" targets reproducibly.
+
+    Scale: one window shuffle on the source key; integer cumsum stays
+    exact past double's 2^53 range."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(F.split(F.col("text"), " "))
+    )
+    return CU.budget_take(
+        docs,
+        "source",
+        "doc_id",
+        "n_toks",
+        budgets={"src0": 800, "src5": 400},
+        default_budget=600,
+    ).select("doc_id", "source", "n_toks", "cum_tokens")
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id
+    ), total AS (SELECT count(*) AS t FROM events)
+    SELECT key, cnt,
+           CAST(cnt AS DOUBLE) / (SELECT t FROM total) AS share,
+           CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER) AS rank
+    FROM c ORDER BY cnt DESC, key LIMIT 15
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew heavy hitters (operators/profile.heavy_hitters): the top
+    15 event users by exact frequency with their share of all rows — the
+    diagnostic that decides whether a key needs salting
+    (operators/skew.py) before a 100 TB join/agg.
+
+    Scale: partial-aggregated (key, count) shuffle + TakeOrderedAndProject;
+    the row total rides a one-row broadcast; share is one IEEE division
+    of exact integers."""
+    events = load(spark, sf_dir, "events")
+    return P.heavy_hitters(events, "user_id", k=15)
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT greatest(0, least(19, CAST(floor(value / 25.0) AS BIGINT))) AS bin
+      FROM events
+    ), c AS (
+      SELECT bin, count(*) AS cnt FROM b GROUP BY bin
+    ), grid AS (SELECT unnest(range(20)) AS bin)
+    SELECT g.bin,
+           CAST(g.bin * 25.0 AS DOUBLE) AS bin_lo,
+           CAST((g.bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+    FROM grid g LEFT JOIN c ON g.bin = c.bin
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value over [0, 500) in 25-wide bins
+    (operators/profile.numeric_histogram), out-of-range mass clamped into
+    the edge bins, empty bins emitted — the range-drift profile a
+    pipeline runs on every metric column at ingest.
+
+    Scale: bin index is a projection; one count shuffle of ≤ nbins
+    groups; the dense grid is an nbins-row broadcast join."""
+    events = load(spark, sf_dir, "events")
+    return P.numeric_histogram(events, "value", lo=0.0, hi=500.0, nbins=20)
+
+
+@register(
+    "q_robust_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT *, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                         THEN value END)
+                  OVER (PARTITION BY event_type) AS m
+      FROM ranked
+    ), dev AS (
+      SELECT event_type, value, n, m, abs(value - m) AS d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(value - m)) AS rn2
+      FROM med
+    ), mad AS (
+      SELECT *, max(CASE WHEN rn2 = CAST(floor((n + 1) / 2) AS BIGINT)
+                         THEN d END)
+                  OVER (PARTITION BY event_type) AS md
+      FROM dev
+    )
+    SELECT event_type, count(*) AS n, max(m) AS median, max(md) AS mad,
+           CAST(sum(CASE WHEN d > 3.0 * md THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM mad GROUP BY event_type
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier summary (operators/profile.
+    robust_outliers): discrete median + MAD with a 3-MAD fence — the
+    heavy-tail-safe gate for metric columns (mean/stddev are dragged by
+    the very outliers they hunt).  The discrete (lower) median is an
+    actual data value, so the float result is engine-exact without
+    interpolation rounding.
+
+    Scale: both window passes hash-partition on the group key — one
+    exchange feeds median, deviation, and the final rollup."""
+    events = load(spark, sf_dir, "events")
+    return P.robust_outliers(events, "event_type", "value", n_mads=3.0)
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT token, doc_id AS doc, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY token, doc_id
+    )
+    SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+    FROM pairs GROUP BY token
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (operators/retrieval.inverted_index):
+    per token its document frequency, collection frequency, and id-ordered
+    doc:tf postings string — build once, broadcast-join per query batch
+    (the amortized form of q_bm25_topk's per-query scan).
+
+    Scale: two keyed shuffles ((token, doc) partial count, then token);
+    per-token postings are bounded by the token's df — production builds
+    cap head tokens via a max-df filter first."""
+    docs = load(spark, sf_dir, "documents")
+    return R.inverted_index(docs)

@@ -51,5 +51,9 @@ try:
     import pimdb_spark.catalog_tpch_full  # noqa: F401  (TPC-H Q2/Q11/Q12/Q20)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_pipeline  # noqa: F401  (paragraph dedup, chunking, skew/histogram profiling)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401

@@ -150,6 +150,129 @@ def redact(text: Column | str) -> Column:
     return F.regexp_replace(t, "[0-9]+", "<NUM>")
 
 
+def token_blocks(text: Column | str, block: int, sep: str = " ") -> Column:
+    """Array of consecutive `block`-token segments (the last one may be
+    shorter) — the fixed-width segmentation used when a corpus has no
+    natural paragraph breaks.  Callers with real paragraph structure pass
+    their own ``split(text, '\\n\\n')`` instead."""
+    toks = F.split(_text_col(text), sep)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(block))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, block)))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    segments: Column | None = None,
+    text_col: str = "text",
+    block: int = 10,
+    sep: str = " ",
+) -> DataFrame:
+    """Paragraph-level exact deduplication across the corpus (the Dolma /
+    RefinedWeb hygiene pass): each document is split into segments, a
+    segment occurrence survives only if it is the corpus-wide FIRST
+    occurrence of that exact segment (ordered by (doc_id, position)), and
+    the survivors are re-assembled in document order.  Returns
+    (id, text, n_segments, n_kept) — documents whose every segment was
+    seen earlier collapse to an empty string rather than disappearing, so
+    downstream joins keep their row count.
+
+    `segments` defaults to fixed `block`-token windows (token_blocks);
+    corpora with real structure pass e.g. ``F.split("text", "\\n\\n")``.
+
+    Scale: two keyed shuffles, both inherent to the semantics — one
+    window on md5(segment) (keep-first needs a global view per segment;
+    only (id, pos, segment) rows move, never whole documents), one
+    groupBy on the doc id to re-assemble.  Both are hash partitionings
+    on high-cardinality keys; the md5 window's skew ceiling is the
+    duplication count of the single most-repeated segment.
+    """
+    segs = segments if segments is not None else token_blocks(text_col, block, sep)
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy(id_col, "pos")
+    kept = exploded.withColumn("_rn", F.row_number().over(w))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(id_col, "text", "n_segments", "n_kept")
+    )
+    return rebuilt
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    threshold: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """N-gram-level eval-set decontamination — the stronger form of
+    `decontaminate`: a training document is contaminated when it shares at
+    least `threshold` distinct `n`-grams with the held-out eval set
+    (exact-text matching misses paraphrased or embedded leakage; 8-gram
+    overlap is the published convention, e.g. GPT-3 appendix C / PaLM).
+    Returns every training row as (id, n_shared_ngrams, keep).
+
+    Scale: the eval side reduces to distinct n-gram md5s and broadcasts,
+    so the corpus-side explode joins WITHOUT a corpus shuffle; the only
+    shuffle aggregates (id, matched-gram) hits — proportional to the
+    contamination volume, not the corpus.  The final attach of the
+    per-doc count is a left join on the id (broadcast-sized when
+    contamination is rare)."""
+    gram_fp = lambda c: F.md5(c)  # noqa: E731
+    eval_grams = (
+        eval_docs.select(F.explode(ngrams(text_col, n, sep)).alias("g"))
+        .select(gram_fp(F.col("g")).alias("_gfp"))
+        .distinct()
+    )
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams(text_col, n, sep))).alias("g"),
+        )
+        .select(id_col, gram_fp(F.col("g")).alias("_gfp"))
+        .join(F.broadcast(eval_grams), "_gfp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared_ngrams"), F.lit(0)).alias(
+                "n_shared_ngrams"
+            ),
+            (F.coalesce(F.col("n_shared_ngrams"), F.lit(0)) < threshold).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def corpus_divergence(
     docs_a: DataFrame,
     docs_b: DataFrame,

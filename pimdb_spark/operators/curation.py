@@ -294,6 +294,90 @@ def connected_components_star(
     return labels
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap_chars: int = 20,
+) -> DataFrame:
+    """Split each document into sliding character windows of
+    `chunk_chars` with `overlap_chars` of context carried between
+    consecutive chunks — the sequence-preparation step before
+    tokenization/packing (and the standard RAG indexing unit).  Emits
+    (id, chunk_idx, chunk_text, chunk_len); the final chunk may be
+    shorter; a document shorter than one chunk yields itself as chunk 0.
+
+    Scale: pure projection + explode — zero shuffle, and the explode
+    fan-out is len/stride rows per doc (bounded by the overlap ratio).
+    Chunks are substrings computed JVM-side; the text column is read
+    once."""
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    stride = chunk_chars - overlap_chars
+    text = F.col(text_col)
+    # Start offsets 1, 1+stride, ... while the chunk is non-empty.  A
+    # previous chunk already covering the tail (start+chunk > len) must not
+    # spawn an overlap-only successor, hence the stop at len - overlap.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text) - overlap_chars, F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.substring(text, F.col("_start"), chunk_chars)
+    return docs.select(
+        F.col(id_col),
+        text,
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+def budget_take(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-source token-budget mixture construction: within each group,
+    documents are laid out in deterministic hash order and taken while the
+    group's cumulative token count stays under its budget (the document
+    that *starts* inside the budget is kept, so budgets are met to within
+    one document — the standard data-mixture cut).  Returns the kept rows
+    with their cumulative token position `cum_tokens`.
+
+    This is how a training mix hits per-source token targets ("100B web,
+    10B code, 1B wiki") reproducibly: the hash order makes the per-group
+    prefix a uniform sample that is identical across engines, runs, and
+    partitionings (an ORDER BY rand() prefix is none of those).
+
+    Scale: one window shuffle on the group key; the running sum is
+    computed per group independently, so skewed groups bound the task,
+    not the stage.  Integer token counts keep the cumsum exact (doubles
+    lose exactness past 2^53 long before 100 TB does)."""
+    order = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget: Column = F.lit(default_budget)
+    for value, b in budgets.items():
+        budget = F.when(F.col(group_col) == value, F.lit(b)).otherwise(budget)
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") - F.col(tokens_col) < budget)
+    )
+
+
 def weighted_sample(
     df: DataFrame, k: int, weight_col: str, id_col: str
 ) -> DataFrame:

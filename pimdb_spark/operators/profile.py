@@ -16,7 +16,7 @@ thousands-of-columns tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,5 +50,134 @@ def table_profile(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
             "(column, n_rows, n_null, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Top-k keys by exact frequency with their share of all rows —
+    the skew diagnostic that decides whether a join/agg on this key needs
+    salting (operators/skew.py) before it runs at scale.  Returns
+    (key, cnt, share, rank) in a deterministic total order (cnt desc, key
+    asc).
+
+    Scale: one partial-aggregated count shuffle carrying (key, count)
+    pairs, then TakeOrderedAndProject for the top-k — the full key
+    distribution never lands on one node.  The row total rides a one-row
+    broadcast; share = cnt/total is a single IEEE division of two exact
+    integers, bit-identical everywhere."""
+    counts = (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    topk = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return topk.select(
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("_total")).alias("share"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi): (bin, bin_lo, bin_hi, cnt)
+    with out-of-range values clamped into the edge bins (so every row is
+    counted and range drift shows up as mass piling into bin 0 or
+    nbins-1).  Empty bins are emitted with cnt=0 — downstream charting
+    and drift-diff logic needs the full grid.
+
+    Scale: the bin index is a projection; one partial-aggregated count
+    shuffle of at most nbins groups; the dense grid comes from a
+    sequence-explode of nbins rows joined to the counts (broadcast-sized
+    by construction)."""
+    width = (hi - lo) / nbins
+    x = F.col(value_col).cast("double")
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(F.lit(nbins - 1), F.floor((x - F.lit(lo)) / F.lit(width))),
+    ).cast("bigint")
+    counts = (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = (
+        df.sparkSession.range(nbins)
+        .select(F.col("id").alias("bin"))
+    )
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame, group_col: str, value_col: str, n_mads: float = 3.0
+) -> DataFrame:
+    """Per-group robust outlier summary via median / MAD (median absolute
+    deviation): (group, n, median, mad, n_outliers) where an outlier is
+    |x - median| > n_mads * MAD.  Median/MAD resist the very outliers
+    they are hunting, where mean/stddev do not — this is the standard
+    gate for metric columns with heavy tails (latencies, prices, doc
+    lengths).
+
+    Both medians are the DISCRETE lower median (the element at 1-indexed
+    ceil(n/2) in sort order) — an actual data value, engine-exact, where
+    interpolated medians average two doubles and invite cross-engine
+    rounding drift.
+
+    Scale: two window/aggregate passes, both hash-partitioned on the
+    group key (Spark reuses the partitioning across them — one exchange
+    feeds median, deviation, and the final rollup); no driver collect;
+    per-group work is a sort bounded by the group size."""
+    wg = Window.partitionBy(group_col)
+    w_val = wg.orderBy(F.col(value_col))
+    with_med = (
+        df.select(group_col, value_col)
+        .withColumn("_rn", F.row_number().over(w_val))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "_med",
+            F.max(
+                F.when(F.col("_rn") == F.floor((F.col("_n") + 1) / 2), F.col(value_col))
+            ).over(wg),
+        )
+    )
+    dev = with_med.withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
+    w_dev = wg.orderBy(F.col("_dev"))
+    with_mad = (
+        dev.withColumn("_rn2", F.row_number().over(w_dev))
+        .withColumn(
+            "_mad",
+            F.max(
+                F.when(F.col("_rn2") == F.floor((F.col("_n") + 1) / 2), F.col("_dev"))
+            ).over(wg),
+        )
+    )
+    return (
+        with_mad.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_med").alias("median"),
+            F.max("_mad").alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(n_mads) * F.col("_mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
         )
     )

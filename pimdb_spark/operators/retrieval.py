@@ -121,3 +121,47 @@ def bm25_topk(
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Full inverted index over the corpus: one row per token with its
+    document frequency, collection frequency, and the postings list
+    rendered as an id-ordered "doc:tf,doc:tf,..." string — the
+    materialized structure behind bm25_topk when queries arrive
+    repeatedly (build once, broadcast-join per query batch) and the
+    classic export format for external retrieval systems.
+
+    Postings are a string, not array<struct>, deliberately: the sorted
+    render is engine-portable (oracle-hashable) and writes/scans as a
+    plain parquet column.
+
+    Scale: explode -> (token, doc) partial-aggregated count (one
+    shuffle), then groupBy(token) (second shuffle carrying (token, doc,
+    tf) triples).  The per-token collect_list is bounded by the token's
+    document frequency — for head tokens ("the") that is the corpus size,
+    so production builds cap or shard head postings; the flood guard here
+    is the same max-df filter callers apply via doc_frequency."""
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), sep)).alias("token"),
+        )
+        .groupBy("token", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return pairs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("doc"), F.col("tf")))),
+                lambda s: F.concat_ws(":", s.doc, s.tf),
+            ),
+            ",",
+        ).alias("postings"),
+    )

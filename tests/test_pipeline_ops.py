@@ -1,0 +1,176 @@
+"""Pipeline-hygiene operators (catalog_pipeline.py families): paragraph
+dedup, n-gram decontamination, chunking, budget mixture, heavy hitters,
+histograms, robust outliers, inverted index — semantics on tiny frames
+where every expected value is hand-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pimdb_spark.operators import corpus as C
+from pimdb_spark.operators import curation as CU
+from pimdb_spark.operators import profile as P
+from pimdb_spark.operators import retrieval as R
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),  # segments (block=2): "a b", "c d"
+            Row(doc_id=2, text="c d x y"),  # "c d" already seen in doc 1
+            Row(doc_id=3, text="a b"),      # fully duplicate -> empty text
+        ]
+    )
+    got = {
+        r["doc_id"]: r for r in C.paragraph_dedup(docs, block=2).collect()
+    }
+    assert got[1]["text"] == "a b c d" and got[1]["n_kept"] == 2
+    assert got[2]["text"] == "x y" and got[2]["n_segments"] == 2
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0  # row survives
+
+
+def test_paragraph_dedup_preserves_segment_order(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="z z a a z z b b")]  # blocks: "z z","a a","z z","b b"
+    )
+    row = C.paragraph_dedup(docs, block=2).collect()[0]
+    # second "z z" is a within-doc dup; survivors keep document order
+    assert row["text"] == "z z a a b b"
+    assert row["n_segments"] == 4 and row["n_kept"] == 3
+
+
+def test_ngram_decontaminate_threshold(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),          # eval doc
+            Row(doc_id=2, text="x a b c d e y"),      # contains both eval 4-grams
+            Row(doc_id=3, text="a b c x y z"),        # no full 4-gram overlap
+        ]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in C.ngram_decontaminate(
+            docs, docs.filter("doc_id = 1"), n=4, threshold=2
+        ).collect()
+    }
+    # doc 2 shares "a b c d" and "b c d e" -> 2 >= threshold -> drop
+    assert got[2]["n_shared_ngrams"] == 2 and not got[2]["keep"]
+    assert got[3]["n_shared_ngrams"] == 0 and got[3]["keep"]
+    assert not got[1]["keep"]  # the eval doc itself is flagged
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefghij"), Row(doc_id=2, text="xy")]
+    )
+    rows = CU.chunk_documents(
+        docs, chunk_chars=4, overlap_chars=1
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    # stride 3: starts 1,4,7 (stop at len-overlap=9) -> abcd, defg, ghij
+    chunks1 = sorted(by_doc[1])
+    assert chunks1 == [(0, "abcd"), (1, "defg"), (2, "ghij")]
+    # consecutive chunks share exactly overlap_chars characters
+    assert chunks1[0][1][-1] == chunks1[1][1][0]
+    assert sorted(by_doc[2]) == [(0, "xy")]  # shorter than one chunk
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    try:
+        CU.chunk_documents(docs, chunk_chars=4, overlap_chars=4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_budget_take_respects_per_group_budget(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, src="g1" if i < 10 else "g2", toks=10) for i in range(20)]
+    )
+    kept = CU.budget_take(
+        docs, "src", "doc_id", "toks", budgets={"g1": 35}, default_budget=15
+    ).collect()
+    by_group = {}
+    for r in kept:
+        by_group.setdefault(r["src"], []).append(r)
+    # budget 35 / 10-token docs: rows starting at cum 0,10,20,30 -> 4 kept
+    assert len(by_group["g1"]) == 4
+    assert max(r["cum_tokens"] for r in by_group["g1"]) == 40
+    assert len(by_group["g2"]) == 2  # default budget 15 -> starts 0,10
+    # deterministic: a rerun picks the identical prefix
+    again = CU.budget_take(
+        docs, "src", "doc_id", "toks", budgets={"g1": 35}, default_budget=15
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+
+
+def test_heavy_hitters_counts_and_share(spark):
+    df = spark.createDataFrame(
+        [Row(k="a")] * 6 + [Row(k="b")] * 3 + [Row(k="c")] * 1
+    )
+    rows = P.heavy_hitters(df, "k", k=2).collect()
+    assert [(r["key"], r["cnt"], r["rank"]) for r in rows] == [
+        ("a", 6, 1),
+        ("b", 3, 2),
+    ]
+    assert abs(rows[0]["share"] - 0.6) < 1e-12
+
+
+def test_numeric_histogram_clamps_and_fills(spark):
+    df = spark.createDataFrame(
+        [Row(v=-5.0), Row(v=0.0), Row(v=9.9), Row(v=10.0), Row(v=99.0), Row(v=1000.0)]
+    )
+    rows = {r["bin"]: r for r in P.numeric_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert len(rows) == 10  # empty bins emitted
+    assert rows[0]["cnt"] == 3  # -5 clamped in, 0.0, 9.9
+    assert rows[1]["cnt"] == 1  # 10.0
+    assert rows[9]["cnt"] == 2  # 99.0 and the clamped 1000.0
+    assert rows[3]["cnt"] == 0
+    assert rows[2]["bin_lo"] == 20.0 and rows[2]["bin_hi"] == 30.0
+    assert sum(r["cnt"] for r in rows.values()) == 6  # every row counted
+
+
+def test_robust_outliers_median_mad(spark):
+    # group g: values 1..5 plus an outlier 100 -> n=6, lower median = 3
+    # deviations |x-3|: 0,1,1,2,2,97 -> lower median (3rd) = 1 -> fence 3.0
+    df = spark.createDataFrame(
+        [Row(g="g", v=float(x)) for x in [1, 2, 3, 4, 5, 100]]
+    )
+    r = P.robust_outliers(df, "g", "v", n_mads=3.0).collect()[0]
+    assert r["n"] == 6 and r["median"] == 3.0 and r["mad"] == 1.0
+    # outliers: |x-3| > 3 -> 100 only
+    assert r["n_outliers"] == 1
+
+
+def test_robust_outliers_even_group_uses_lower_median(spark):
+    df = spark.createDataFrame([Row(g="g", v=float(x)) for x in [1, 2, 3, 4]])
+    r = P.robust_outliers(df, "g", "v").collect()[0]
+    assert r["median"] == 2.0  # lower median, an actual data value
+
+
+def test_inverted_index_postings_ordered(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=2, text="b a b"),
+            Row(doc_id=1, text="a b"),
+            Row(doc_id=3, text="b"),
+        ]
+    )
+    rows = {r["token"]: r for r in R.inverted_index(docs).collect()}
+    assert rows["a"]["df"] == 2 and rows["a"]["cf"] == 2
+    assert rows["a"]["postings"] == "1:1,2:1"  # id-ordered
+    assert rows["b"]["df"] == 3 and rows["b"]["cf"] == 4
+    assert rows["b"]["postings"] == "1:1,2:2,3:1"
+
+
+def test_paragraph_dedup_plan_no_text_in_first_shuffle(spark):
+    """The keep-first window partitions on md5(seg) — segments move, whole
+    documents never do; and there is no cartesian/BNLJ anywhere."""
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    plan = C.paragraph_dedup(docs, block=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -154,7 +154,10 @@ def test_no_plan_red_flags(spark, name, entry):
       same shape as q_ivf_ann_topk's coarse quantizer.
     - q11_important_stock: the ONE-ROW grand-total aggregate broadcast-
       attaches to every (partkey, value) row for the threshold filter —
-      constant attach, no pairing (same shape as q_token_df_idf)."""
+      constant attach, no pairing (same shape as q_token_df_idf).
+    - q_heavy_hitters: the ONE-ROW row-total aggregate broadcast-attaches
+      to the k top-key rows for the share division — constant attach over
+      an already-k-row frame."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -166,6 +169,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_kmeans_assignments",
         "q_corpus_divergence",
         "q11_important_stock",
+        "q_heavy_hitters",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
