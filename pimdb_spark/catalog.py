@@ -272,6 +272,7 @@ _CHECK_FIRST: list[str] = [
     "q_histogram",
     "q_robust_outliers",
     "q_inverted_index",
+    "q_semdedup",
     # -- new in round 8 --
     "q2_min_cost_supplier",
     "q11_important_stock",

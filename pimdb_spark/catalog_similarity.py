@@ -255,17 +255,20 @@ _SQDIST = """
       (x, y) -> x + y)
 """
 
-_KMEANS_ORACLE = f"""
-    WITH init AS (
+# Two-iteration Lloyd's unrolled as CTEs, parameterized over the source
+# relation name ({src}) so the same chain serves q_kmeans_assignments
+# (src=embeddings) and q_semdedup (src=the dup-injected base CTE).
+_KM_CTES = f"""
+    init AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
              list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS cvec
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+      FROM (SELECT vec_id, embedding FROM {{src}} ORDER BY vec_id LIMIT 4)
     ), a1 AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_SQDIST}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN init c)
+        FROM {{src}} e CROSS JOIN init c)
       WHERE rn = 1
     ), s1 AS (
       SELECT a1.cid, count(*) AS n,
@@ -273,7 +276,7 @@ _KMEANS_ORACLE = f"""
                list(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE)
                     ORDER BY e.vec_id),
                (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])) AS summed
-      FROM a1 JOIN embeddings e USING (vec_id) GROUP BY a1.cid
+      FROM a1 JOIN {{src}} e USING (vec_id) GROUP BY a1.cid
     ), cent1 AS (
       SELECT i.cid,
              CASE WHEN s1.cid IS NULL THEN i.cvec
@@ -284,11 +287,15 @@ _KMEANS_ORACLE = f"""
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_SQDIST}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cent1 c)
+        FROM {{src}} e CROSS JOIN cent1 c)
       WHERE rn = 1
     )
-    SELECT vec_id, cid AS cluster FROM a2
 """
+
+_KMEANS_ORACLE = (
+    "WITH " + _KM_CTES.format(src="embeddings")
+    + " SELECT vec_id, cid AS cluster FROM a2"
+)
 
 
 @register("q_kmeans_assignments", oracle=_KMEANS_ORACLE, bench=True)
@@ -313,3 +320,60 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_assignments(vecs, k=4, n_iter=2, dim=64)
+
+
+_SEMDEDUP_ORACLE = (
+    """
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 7 = 0
+    ), """
+    + _KM_CTES.format(src="base")
+    + """, side AS (
+      SELECT a2.vec_id, a2.cid AS cluster, e.embedding
+      FROM a2 JOIN base e USING (vec_id)
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM side a JOIN side b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE """
+    + _COS_RAW.format(a="a", b="b")
+    + """ >= 0.95
+    )
+    SELECT s.vec_id, s.cluster, d.vid IS NULL AS keep
+    FROM side s LEFT JOIN dropped d ON s.vec_id = d.vid
+    """
+)
+
+
+@register("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (operators/clustering.semdedup — SemDeDup,
+    Abbas et al. 2023): k-means (k=4, 2 Lloyd passes) blocks the space,
+    then within each cluster every vector with a lower-id cosine>=0.95
+    neighbor is marked keep=false.  Every 7th vector is duplicated
+    (id + 100,000, same injection as q_embedding_dup_pairs) so the
+    expected drop set is known; the DuckDB oracle unrolls the identical
+    two k-means iterations and the in-cluster pair scan.
+
+    Scale: pair cost is sum(cluster_size^2) — k grows with the corpus
+    (paper uses k ~ sqrt(n)) to keep clusters bounded; assignment
+    broadcasts k centroid rows; the pair stage is one equi-join shuffle
+    on cluster id."""
+    emb = load(spark, sf_dir, "embeddings")
+    # explode-injection, not filter+union (Catalyst rewriteConstraints
+    # crash — see q_embedding_dup_pairs)
+    base = emb.select(
+        F.explode(
+            F.when(
+                F.col("vec_id") % 7 == 0,
+                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+            ).otherwise(F.array(F.col("vec_id")))
+        ).alias("vec_id"),
+        "embedding",
+    )
+    from pimdb_spark.operators.clustering import semdedup
+
+    return semdedup(base, k=4, n_iter=2, threshold=0.95, dim=64)

@@ -160,3 +160,58 @@ def kmeans_assignments(
         cents = update(assigned, vecs, cents, dim, id_col, vec_col)
         assigned = assign_clusters(vecs, cents, id_col, vec_col)
     return assigned.select(id_col, F.col("cid").alias("cluster"))
+
+
+def semdedup(
+    vecs: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with k-means, then WITHIN each cluster drop every
+    vector that has a lower-id neighbor with cosine >= threshold — the
+    keep-one-per-semantic-duplicate-group pass that removes paraphrases
+    and templated rewrites exact/MinHash dedup cannot see.  Returns one
+    row per vector: (id, cluster, keep).
+
+    Scale: this is the published algorithm's exact reason to exist — the
+    candidate pair join is blocked by cluster id, so pair cost is
+    sum(cluster_size^2), and k grows with the corpus to keep cluster
+    sizes bounded (the paper uses k ~ sqrt(n)).  The pipeline inherits
+    kmeans_assignments' shapes (broadcast-argmin assignment, one keyed
+    update shuffle); the pair stage is one equi-join shuffle on cluster
+    id; the dominated-id set distincts to at most n rows of one column.
+
+    The self-join side is localCheckpoint-ed before joining — Catalyst's
+    self-join attribute dedup mis-rebinds lambda variables inside
+    higher-order functions (see similarity.embedding_dup_pairs), and a
+    checkpointed leaf has no nested plan to mis-rewrite."""
+    from pimdb_spark.operators.similarity import cosine
+
+    assigned = kmeans_assignments(vecs, k, n_iter, dim, id_col, vec_col)
+    side = (
+        vecs.join(assigned, id_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cluster")
+        .localCheckpoint(eager=False)
+    )
+    a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "cluster")
+    b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cluster")
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select(F.col("id_b").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        side.join(dominated, side.id == F.col("_dropped"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )

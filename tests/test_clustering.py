@@ -59,3 +59,27 @@ def test_assignment_deterministic_across_runs(spark):
     a = sorted(map(tuple, kmeans_assignments(vecs, 3, 2, 64).collect()))
     b = sorted(map(tuple, kmeans_assignments(vecs, 3, 2, 64).collect()))
     assert a == b
+
+
+def test_semdedup_drops_higher_id_twin(spark):
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.clustering import semdedup
+
+    # two tight groups far apart; 11 duplicates 1, 12 duplicates 4
+    vecs = {
+        1: [1.0, 0.0], 2: [0.99, 0.01], 3: [0.98, -0.01],
+        4: [0.0, 1.0], 5: [0.01, 0.99],
+        11: [1.0, 0.0], 12: [0.0, 1.0],
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in sorted(vecs.items())]
+    )
+    rows = {r["vec_id"]: r for r in semdedup(df, k=2, n_iter=2, threshold=0.9999999, dim=2).collect()}
+    assert len(rows) == 7  # one row per vector
+    assert not rows[11]["keep"] and not rows[12]["keep"]  # twins dropped
+    for i in (1, 2, 3, 4, 5):
+        assert rows[i]["keep"]  # originals and non-dups survive
+    # twins land in their original's cluster
+    assert rows[11]["cluster"] == rows[1]["cluster"]
+    assert rows[12]["cluster"] == rows[4]["cluster"]
