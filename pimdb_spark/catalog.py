@@ -257,12 +257,18 @@ _CHECK_FIRST: list[str] = [
     # stalest attestation first).  Round 8 ordering follows
     # CORRECTNESS_r07.json: the only red row (q_table_profile) is in the
     # changed group (oracle cast fix); the stale entries' last green is
-    # r6.  With the second r8 batch the registry is 106 (> 100), so the
-    # THREE-round rotation documented in COVERAGE.md takes over: 12 new +
-    # 4 changed + 34 stalest = 50 window entries; the 7 stale names that
+    # r6.  With the r8 batches the registry is 109 (> 100), so the
+    # THREE-round rotation documented in COVERAGE.md takes over: 15 new +
+    # 4 changed + 31 stalest = 50 window entries; the 10 stale names that
     # no longer fit (tail of this list, last green r6) are the head of
     # round 9's stale group, keeping every attestation <= 3 rounds old.
+    # Mechanically verified at derivation time: registry \ (r6 ∪ r7 ∪ r8
+    # window) = ∅ over 109 entries; every never-attested entry is inside
+    # the window.
     #
+    # -- new in round 8 (third batch: real audio/video decode) --
+    "q_audio_stats",
+    "q_video_frame_stats",
     # -- new in round 8 (second batch: pipeline-hygiene families) --
     "q_paragraph_dedup",
     "q_ngram_decontaminate",

