@@ -266,9 +266,11 @@ _CHECK_FIRST: list[str] = [
     # window) = ∅ over 109 entries; every never-attested entry is inside
     # the window.
     #
-    # -- new in round 8 (third batch: real audio/video decode) --
+    # -- new in round 8 (third batch: audio/video decode, ER, layout) --
     "q_audio_stats",
     "q_video_frame_stats",
+    "q_fuzzy_link",
+    "q_zorder_key",
     # -- new in round 8 (second batch: pipeline-hygiene families) --
     "q_paragraph_dedup",
     "q_ngram_decontaminate",

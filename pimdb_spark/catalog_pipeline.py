@@ -292,3 +292,80 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap head tokens via a max-df filter first."""
     docs = load(spark, sf_dir, "documents")
     return R.inverted_index(docs)
+
+
+@register(
+    "q_fuzzy_link",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk FROM part
+    )
+    SELECT a.p_partkey AS left_id,
+           b.p_partkey AS right_id,
+           a.p_name AS left_name,
+           b.p_name AS right_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+    FROM (SELECT * FROM p WHERE p_partkey < 300) a
+    JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/linkage.fuzzy_link): link a new-batch
+    slice of parts (p_partkey < 300) against the master part table by
+    name similarity — blocked on the name's noun token, verified with an
+    exact Levenshtein <= 2 predicate.  Both the blocking key and the
+    edit distance are JVM built-ins, so DuckDB's levenshtein reproduces
+    the verdict bit-for-bit.
+
+    Scale: one shuffle on the blocking key; candidates are per-block
+    products, never all-pairs; a hot block is droppable via
+    max_block_size (flood-cap discipline shared with the LSH banding
+    join)."""
+    from pimdb_spark.operators.linkage import fuzzy_link
+
+    part = load(spark, sf_dir, "part")
+    batch = part.filter(F.col("p_partkey") < 300)
+    return fuzzy_link(
+        batch,
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block=F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=2,
+    )
+
+
+from pimdb_spark.functions.zorder import ZORDER_SQL_2D as _ZSQL
+
+# the oracle runs the TEXTUALLY IDENTICAL bit expressions Spark evaluates
+_ZORDER_ORACLE = f"""
+    SELECT o_orderkey,
+           CAST({_ZSQL("(o_custkey % 65536)",
+                       "((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 65536)")}
+                AS BIGINT) AS zkey
+    FROM orders
+"""
+
+
+@register("q_zorder_key", oracle=_ZORDER_ORACLE)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day)
+    (functions/zorder.zorder_key_2d): the multi-dimensional layout key
+    behind plans/store.write_zordered — files sorted by this key have
+    small bounding boxes in BOTH dimensions, so parquet min/max stats
+    prune range filters on either.  Pure JVM bit arithmetic (parallel-
+    prefix spreads, shifts, ors); the oracle runs the textually identical
+    bit expressions, so a hash match proves exact key parity.
+
+    Scale: zero-shuffle projection; the clustered write built on it costs
+    one range exchange (tests/test_build.py asserts the bounding-box
+    property)."""
+    from pimdb_spark.functions.zorder import zorder_key_2d
+
+    orders = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        zorder_key_2d(F.col("o_custkey") % 65536, day % 65536).alias("zkey"),
+    )

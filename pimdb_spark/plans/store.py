@@ -306,6 +306,40 @@ def write_sorted(
     out.write.mode("overwrite").parquet(db.path(table))
 
 
+def write_zordered(
+    db: "ParquetDatabase",
+    df: DataFrame,
+    table: str,
+    dim_a,
+    dim_b,
+    num_files: int | None = None,
+) -> None:
+    """Z-order clustered write: interleave two dimensions into a Morton
+    key (functions/zorder.zorder_key_2d — pure JVM bit expressions) and
+    range-cluster on it via write_sorted.  Every output file then covers
+    a small bounding box in BOTH dimensions, so min/max footer stats
+    prune range filters on either — the multi-dimensional generalization
+    of the single-column sorted layout.  ``dim_a``/``dim_b`` are column
+    expressions already normalized to non-negative 16-bit ranges
+    (``F.col(k) % 65536``, or a precomputed rank for continuous values).
+
+    Scale: one projection + one range exchange — identical cost to
+    write_sorted, strictly better pruning for two-dimensional access
+    patterns."""
+    from pimdb_spark.functions.zorder import zorder_key_2d
+
+    if table in db.bucket_spec:
+        db.spark.sql(f"DROP TABLE IF EXISTS {db._catalog_name(table)}")
+        db.bucket_spec.pop(table, None)
+    keyed = df.withColumn("_zkey", zorder_key_2d(dim_a, dim_b))
+    out = (
+        keyed.repartitionByRange(*([num_files] if num_files else []), "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")  # projection preserves the per-file clustering
+    )
+    out.write.mode("overwrite").parquet(db.path(table))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
