@@ -271,6 +271,7 @@ _CHECK_FIRST: list[str] = [
     "q_video_frame_stats",
     "q_fuzzy_link",
     "q_zorder_key",
+    "q_negative_sample",
     # -- new in round 8 (second batch: pipeline-hygiene families) --
     "q_paragraph_dedup",
     "q_ngram_decontaminate",

@@ -377,3 +377,48 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pimdb_spark.operators.clustering import semdedup
 
     return semdedup(base, k=4, n_iter=2, threshold=0.95, dim=64)
+
+
+@register(
+    "q_negative_sample",
+    oracle="""
+    WITH cand AS (
+      SELECT vec_id AS cand_id, label AS cand_label,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS b
+      FROM embeddings
+    ), anch AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':neg'), 1, 8))::BIGINT % 8 AS b
+      FROM embeddings WHERE vec_id < 30
+    ), ranked AS (
+      SELECT anchor_id, anchor_label, cand_id, cand_label,
+             row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY ('0x' || substring(md5(CAST(anchor_id AS VARCHAR) || ':'
+                          || CAST(cand_id AS VARCHAR)), 1, 8))::BIGINT, cand_id
+             ) AS neg_rank
+      FROM anch JOIN cand USING (b)
+      WHERE cand_label <> anchor_label AND cand_id <> anchor_id
+    )
+    SELECT anchor_id, anchor_label, CAST(neg_rank AS INTEGER) AS neg_rank,
+           cand_id, cand_label
+    FROM ranked WHERE neg_rank <= 5
+    """,
+)
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling (operators/curation.negative_sample):
+    per anchor, 5 deterministic different-label negatives drawn from one
+    md5-assigned hash bucket of the pool — a bucket equi-join plus a
+    pair-hash window, never anchors x N.  All hashes are the repo's
+    engine-portable md5-prefix integers, so DuckDB reproduces the draw
+    exactly.
+
+    Scale: candidate volume per anchor is N/buckets (tune buckets with
+    corpus size); one bucket-key shuffle + one per-anchor window."""
+    from pimdb_spark.operators.curation import negative_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 30)
+    return negative_sample(
+        emb, anchors, id_col="vec_id", label_col="label", k=5, buckets=8
+    )

@@ -423,3 +423,64 @@ def weighted_sample(
     )
     keyed = draws.groupBy(id_col, weight_col).agg(F.max("_draw").alias("sample_key"))
     return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)
+
+
+def negative_sample(
+    df: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    buckets: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Contrastive negative sampling WITHOUT a cross join: for each anchor
+    row, pick ``k`` deterministic negatives (rows with a different label)
+    from one hash bucket of the candidate pool.
+
+    Candidates are bucketed by an md5-derived integer of their id; each
+    anchor probes the bucket an independent salted hash assigns it, so
+    the join is a bucket equi-join over ~N/buckets candidates per anchor
+    — never anchors x N.  Within the probed bucket, candidates are ranked
+    by a pair hash md5(anchor_id:cand_id), making the draw reproducible
+    and engine-portable (the exact DuckDB arithmetic — catalog
+    q_negative_sample).
+
+    The bucket probe trades recall for cost exactly like LSH-ANN
+    (operators/similarity.py): negatives come from one of ``buckets``
+    shards.  For random negatives (the contrastive-training default) any
+    shard is as good as the full pool; raise ``buckets`` as the corpus
+    grows to keep per-anchor candidate volume constant.
+
+    Scale: one equi-join shuffle on the bucket id + one per-anchor window
+    over bucket-local candidates; output is |anchors| x k rows."""
+
+    def h8(c, off: int = 1):
+        return F.conv(F.substring(F.md5(c), off, 8), 16, 10).cast("bigint")
+
+    cand = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        (h8(F.col(id_col).cast("string")) % buckets).alias("_b"),
+    )
+    anch = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        (
+            h8(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) % buckets
+        ).alias("_b"),
+    )
+    pair_rank = h8(
+        F.concat(
+            F.col("anchor_id").cast("string"), F.lit(":"), F.col("cand_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(pair_rank, F.col("cand_id"))
+    return (
+        anch.join(cand, "_b")
+        .filter(F.col("cand_label") != F.col("anchor_label"))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_rank", "cand_id", "cand_label")
+    )

@@ -213,3 +213,26 @@ def test_table_profile_nulls_and_distincts(spark):
     # HLL variant returns plausible counts without exact guarantee
     approx = {r.column: r.n_distinct for r in table_profile(df, exact_distinct=False).collect()}
     assert approx["id"] >= 3
+
+
+def test_negative_sample_contract(spark):
+    """k different-label negatives per anchor, deterministic across runs,
+    never the anchor itself."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.operators.curation import negative_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    out1 = negative_sample(emb, anchors, "vec_id", "label", k=3, buckets=4).collect()
+    out2 = negative_sample(emb, anchors, "vec_id", "label", k=3, buckets=4).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    labels = {r.vec_id: r.label for r in anchors.collect()}
+    per_anchor = {}
+    for r in out1:
+        assert r.cand_label != labels[r.anchor_id]
+        assert r.cand_id != r.anchor_id
+        per_anchor.setdefault(r.anchor_id, []).append(r.neg_rank)
+    for a, ranks in per_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
