@@ -272,6 +272,8 @@ _CHECK_FIRST: list[str] = [
     "q_fuzzy_link",
     "q_zorder_key",
     "q_negative_sample",
+    "q_image_ahash",
+    "q_image_dup_pairs",
     # -- new in round 8 (second batch: pipeline-hygiene families) --
     "q_paragraph_dedup",
     "q_ngram_decontaminate",

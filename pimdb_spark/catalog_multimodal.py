@@ -226,3 +226,101 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     payloads = M.synth_image_payload(docs, "doc_id")
     return M.image_channel_stats(payloads, "doc_id", "payload")
+
+
+_AHASH_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             16 + (doc_id * 7) % 48 AS w,
+             16 + (doc_id * 13) % 48 AS h,
+             doc_id % 3 AS fmt
+      FROM documents WHERE doc_id < 120
+    ), px1 AS (
+      SELECT doc_id, w, h, fmt, unnest(range(0, w)) AS x FROM d
+    ), px AS (
+      SELECT doc_id, w, h, fmt, x, unnest(range(0, h)) AS y FROM px1
+    ), lum AS (
+      SELECT doc_id, w, h,
+             (CASE WHEN fmt = 0 THEN (doc_id + x + y) % 256
+                   WHEN fmt = 1 THEN ((x + y) % 2) * 255
+                   ELSE (x + y) % 256 END
+              + CASE WHEN fmt = 0 THEN (doc_id * 3 + x) % 256
+                     WHEN fmt = 1 THEN ((x + y) % 2) * 255
+                     ELSE (doc_id + y) % 256 END
+              + CASE WHEN fmt = 0 THEN (doc_id * 7 + y) % 256
+                     WHEN fmt = 1 THEN ((x + y) % 2) * 255
+                     ELSE (doc_id + x) % 256 END) // 3 AS l,
+             (x * 8) // w AS bx,
+             (y * 8) // h AS by
+      FROM px
+    ), blocks AS (
+      SELECT doc_id, bx, by, sum(l) AS bs, count(*) AS bn
+      FROM lum GROUP BY doc_id, bx, by
+    ), tot AS (
+      SELECT doc_id, sum(bs) AS ts, sum(bn) AS tn FROM blocks GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(sum(CASE WHEN by * 8 + bx < 32 AND bs * tn > ts * bn
+                         THEN (1::BIGINT << (by * 8 + bx)) ELSE 0 END) AS BIGINT)
+               AS hash_lo,
+           CAST(sum(CASE WHEN by * 8 + bx >= 32 AND bs * tn > ts * bn
+                         THEN (1::BIGINT << (by * 8 + bx - 32)) ELSE 0 END) AS BIGINT)
+               AS hash_hi
+    FROM blocks b JOIN tot USING (doc_id)
+    GROUP BY b.doc_id
+"""
+
+
+@register("q_image_ahash", oracle=_AHASH_ORACLE)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels
+    (operators/multimodal.image_ahash): integer luma, 8x8 block pooling
+    with cross-multiplied mean comparison — the whole 64-bit hash is
+    exact integer arithmetic, and the oracle recomputes it from the
+    encoders' generative pixel formulas, so a hash match proves the
+    pipeline decode -> luma -> pool -> threshold is bit-exact.
+
+    Scale: Arrow-batched mapInPandas, zero shuffle, 3 longs out per
+    image."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    payloads = M.synth_image_payload(docs, "doc_id")
+    return M.image_ahash(payloads, "doc_id", "payload")
+
+
+@register(
+    "q_image_dup_pairs",
+    oracle=f"""
+    WITH hashes AS ({_AHASH_ORACLE}),
+    bands AS (
+      SELECT doc_id, hash_lo, hash_hi, band_no,
+             CASE band_no
+               WHEN 0 THEN hash_lo & 65535
+               WHEN 1 THEN (hash_lo >> 16) & 65535
+               WHEN 2 THEN hash_hi & 65535
+               ELSE (hash_hi >> 16) & 65535
+             END AS band_val
+      FROM hashes, unnest(range(0, 4)) AS t(band_no)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+                + bit_count(xor(a.hash_hi, b.hash_hi)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+          + bit_count(xor(a.hash_hi, b.hash_hi)) <= 6
+    """,
+)
+def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs (operators/multimodal.image_dup_pairs):
+    16-bit banding over the perceptual hash generates candidates via an
+    equi-join (pigeonhole guarantees recall at Hamming <= 3; the
+    verify-then-filter keeps precision at the configured 6), JVM
+    bit_count(xor) verifies.  Never all-pairs — the SimHash discipline
+    applied to images.
+
+    Scale: one shuffle on (band_no, band_val); flood risk is bounded by
+    the 2^16 band-value space and the verify is 2 xors per candidate."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    hashes = M.image_ahash(M.synth_image_payload(docs, "doc_id"))
+    return M.image_dup_pairs(hashes, max_hamming=6)

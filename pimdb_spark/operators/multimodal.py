@@ -481,6 +481,136 @@ def image_channel_stats(
     return df.select(id_col, payload_col).mapInPandas(stats, CHANNEL_STATS_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hash_lo", LongType()),
+        StructField("hash_hi", LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", grid: int = 8
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: the image-dedup
+    primitive.  Pixels are decoded (PNG/GIF/BMP, same decoders as
+    image_channel_stats), reduced to integer luma ``(r+g+b)//3``, pooled
+    into a ``grid x grid`` block grid (block membership ``x*grid//w`` —
+    pure integer floors), and each block emits bit 1 iff its mean
+    exceeds the image mean.  The comparison is cross-multiplied
+    (``block_sum * total_n > total_sum * block_n``) so the whole hash is
+    exact integer arithmetic — bit-for-bit reproducible by a SQL oracle
+    from the fixtures' generative pixel formulas (catalog
+    q_image_ahash).  The 64 bits are returned as two 32-bit halves
+    (hash_lo = bits 0-31, hash_hi = bits 32-63) to stay inside signed
+    64-bit range.
+
+    Near-identical images (re-encodes, minor crops/noise) agree on most
+    bits, so Hamming distance on (hash_lo, hash_hi) is the image
+    near-dup metric; see image_dup_pairs for the banded (not all-pairs)
+    pair generation.
+
+    Scale: Arrow-batched mapInPandas; zero shuffle; output is 3 longs
+    per image regardless of resolution."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if data[:8] == _PNG_SIG:
+                    w, h, px = png_decode_pixels(data)
+                elif data[:2] == b"BM":
+                    w, h, px = bmp_decode_pixels(data)
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, px = gif_decode_pixels(data)
+                else:
+                    raise ValueError(
+                        f"image_ahash: PNG/BMP/GIF only (magic {data[:4]!r})"
+                    )
+                bs = [[0] * grid for _ in range(grid)]
+                bn = [[0] * grid for _ in range(grid)]
+                for y in range(h):
+                    by = y * grid // h
+                    row = y * w
+                    for x in range(w):
+                        p = (row + x) * 3
+                        l = (px[p] + px[p + 1] + px[p + 2]) // 3
+                        bx = x * grid // w
+                        bs[by][bx] += l
+                        bn[by][bx] += 1
+                ts = sum(map(sum, bs))
+                tn = w * h
+                lo = hi = 0
+                for by in range(grid):
+                    for bx in range(grid):
+                        if bs[by][bx] * tn > ts * bn[by][bx]:
+                            bit = by * grid + bx
+                            if bit < 32:
+                                lo |= 1 << bit
+                            else:
+                                hi |= 1 << (bit - 32)
+                rows.append((int(doc_id), lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "hash_lo", "hash_hi"])
+
+    return df.select(id_col, payload_col).mapInPandas(hashes, AHASH_SCHEMA)
+
+
+def image_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, band_bits: int = 16
+) -> DataFrame:
+    """Image near-dup pairs from perceptual hashes WITHOUT an all-pairs
+    comparison: the 64-bit aHash is cut into ``64 // band_bits`` bands;
+    two images become a candidate pair iff they agree exactly on at
+    least one band (pigeonhole: any pair within Hamming distance
+    ``64/band_bits - 1`` of band count shares an exact band), then the
+    true Hamming distance over both halves (JVM ``bit_count(xor)``)
+    verifies.  Identical banding discipline to SimHash text dedup
+    (operators/dedup.py) — one shuffle on (band_no, band_value), never
+    n².
+
+    Returns (doc_id_a, doc_id_b, hamming) with a < b, distinct."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_no"),
+                (
+                    F.shiftrightunsigned(
+                        F.col("hash_lo") if i * band_bits < 32 else F.col("hash_hi"),
+                        (i * band_bits) % 32,
+                    ).bitwiseAND(F.lit(mask))
+                ).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    tagged = hashes.select(
+        F.col("doc_id"), F.col("hash_lo"), F.col("hash_hi"), F.explode(bands).alias("b")
+    ).select("doc_id", "hash_lo", "hash_hi", "b.band_no", "b.band_val")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    ham = F.bit_count(
+        F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo"))
+    ) + F.bit_count(F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 SYNTH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

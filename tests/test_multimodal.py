@@ -397,3 +397,72 @@ def test_image_channel_stats_refuses_undecodable(spark):
     )
     with _pytest.raises(Exception, match="pixel decode supports PNG/BMP/GIF"):
         image_channel_stats(df).collect()
+
+
+def test_image_ahash_matches_reference(spark):
+    """aHash equals a direct Python recomputation from decoded pixels."""
+    from pimdb_spark.operators.multimodal import (
+        bmp_decode_pixels,
+        encode_bmp,
+        encode_png,
+        image_ahash,
+        png_decode_pixels,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    from pimdb_spark.operators.multimodal import synth_image_payload
+
+    out = {r.doc_id: (r.hash_lo, r.hash_hi)
+           for r in image_ahash(synth_image_payload(docs, "doc_id")).collect()}
+    assert len(out) == 12
+
+    def ref_hash(w, h, px, grid=8):
+        bs = [[0] * grid for _ in range(grid)]
+        bn = [[0] * grid for _ in range(grid)]
+        for y in range(h):
+            for x in range(w):
+                p = (y * w + x) * 3
+                l = (px[p] + px[p + 1] + px[p + 2]) // 3
+                bs[y * grid // h][x * grid // w] += l
+                bn[y * grid // h][x * grid // w] += 1
+        ts, tn = sum(map(sum, bs)), w * h
+        lo = hi = 0
+        for by in range(grid):
+            for bx in range(grid):
+                if bs[by][bx] * tn > ts * bn[by][bx]:
+                    bit = by * grid + bx
+                    if bit < 32:
+                        lo |= 1 << bit
+                    else:
+                        hi |= 1 << (bit - 32)
+        return lo, hi
+
+    for i in (0, 2):  # PNG (i%3==0) and BMP (i%3==2) fixtures
+        w, h = 16 + i * 7 % 48, 16 + i * 13 % 48
+        data = encode_png(w, h, seed=i) if i % 3 == 0 else encode_bmp(w, h, seed=i)
+        dec = png_decode_pixels if i % 3 == 0 else bmp_decode_pixels
+        assert out[i] == ref_hash(*dec(data))
+
+
+def test_image_dup_pairs_banding(spark):
+    """Band candidates + hamming verify: identical hashes pair at 0; a
+    hash differing only within one band still pairs (others match); a
+    hash with every band different is never a candidate even if hamming
+    would pass."""
+    from pimdb_spark.operators.multimodal import image_dup_pairs
+
+    rows = [
+        (1, 0x12345678, 0x0ABCDEF0),
+        (2, 0x12345678, 0x0ABCDEF0),              # identical -> hamming 0
+        (3, 0x12345679, 0x0ABCDEF0),              # 1 bit off in band 0
+        (4, 0x12345678 ^ 0x00010001, 0x0ABCDEF0 ^ 0x00010001),  # 1 bit per band
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "hash_lo", "hash_hi"])
+    out = {(r.doc_id_a, r.doc_id_b): r.hamming
+           for r in image_dup_pairs(df, max_hamming=6).collect()}
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 1 and out[(2, 3)] == 1
+    # doc 4 differs from docs 1/2 in ALL four bands -> no shared band ->
+    # never a candidate against them, despite hamming 4 <= max_hamming
+    # (it does pair with doc 3, whose band 0 coincides after the flips)
+    assert (1, 4) not in out and (2, 4) not in out
