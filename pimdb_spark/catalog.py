@@ -274,6 +274,8 @@ _CHECK_FIRST: list[str] = [
     "q_negative_sample",
     "q_image_ahash",
     "q_image_dup_pairs",
+    "q_audio_fingerprint",
+    "q_audio_dup_pairs",
     # -- new in round 8 (second batch: pipeline-hygiene families) --
     "q_paragraph_dedup",
     "q_ngram_decontaminate",

@@ -324,3 +324,90 @@ def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     hashes = M.image_ahash(M.synth_image_payload(docs, "doc_id"))
     return M.image_dup_pairs(hashes, max_hamming=6)
+
+
+_AUDIO_FP_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, doc_id // 3 AS seed, doc_id % 3 AS perturb
+      FROM documents WHERE doc_id < 150
+    ), p AS (
+      SELECT doc_id, seed, perturb,
+             (seed * 2654435761) % 65536 AS seed16,
+             320 + (seed % 5) * 64 AS n
+      FROM d
+    ), t AS (
+      SELECT doc_id, seed, perturb, seed16, n, unnest(range(0, n)) AS t FROM p
+    ), s AS (
+      SELECT doc_id, n, (t * 64) // n AS wi,
+             abs(((seed * 31 + t * 17) % 16000)
+                 * (1 + ((seed16 >> ((t * 16) // n)) & 1)) + perturb) AS a
+      FROM t
+    ), e AS (
+      SELECT doc_id, wi, sum(a) AS ws, count(*) AS wn
+      FROM s GROUP BY doc_id, wi
+    ), tot AS (
+      SELECT doc_id, sum(ws) AS ts, sum(wn) AS tn FROM e GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           CAST(sum(CASE WHEN wi < 32 AND ws * tn > ts * wn
+                         THEN (1::BIGINT << wi) ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(sum(CASE WHEN wi >= 32 AND ws * tn > ts * wn
+                         THEN (1::BIGINT << (wi - 32)) ELSE 0 END) AS BIGINT) AS hash_hi
+    FROM e JOIN tot USING (doc_id)
+    GROUP BY e.doc_id
+"""
+
+
+@register("q_audio_fingerprint", oracle=_AUDIO_FP_ORACLE)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-envelope audio fingerprint over REAL decoded samples
+    (operators/audio.audio_fingerprint): 64 time slices, exact integer
+    energy sums, cross-multiplied mean threshold — the whole 64-bit
+    fingerprint is integer arithmetic the oracle recomputes from the
+    variant fixtures' generative formula (seed-keyed loudness envelope).
+    A hash match proves decode -> envelope -> threshold is bit-exact.
+
+    Scale: Arrow-batched mapInPandas; zero shuffle; 3 longs per clip."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    payloads = A.synth_audio_variants(docs, "doc_id")
+    return A.audio_fingerprint(payloads, "doc_id", "payload")
+
+
+@register(
+    "q_audio_dup_pairs",
+    oracle=f"""
+    WITH hashes AS ({_AUDIO_FP_ORACLE}),
+    bands AS (
+      SELECT doc_id, hash_lo, hash_hi, band_no,
+             CASE band_no
+               WHEN 0 THEN hash_lo & 65535
+               WHEN 1 THEN (hash_lo >> 16) & 65535
+               WHEN 2 THEN hash_hi & 65535
+               ELSE (hash_hi >> 16) & 65535
+             END AS band_val
+      FROM hashes, unnest(range(0, 4)) AS t(band_no)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+                + bit_count(xor(a.hash_hi, b.hash_hi)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+          + bit_count(xor(a.hash_hi, b.hash_hi)) <= 2
+    """,
+)
+def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: band-candidate generation + Hamming verify
+    over the energy fingerprints (operators/multimodal.hamming_dup_pairs
+    — the generic SimHash-banding pair generator, shared with image
+    dedup).  The variant fixtures put re-normalized copies at Hamming 0
+    (the amplitude offset cancels in the threshold — see
+    synth_audio_variants) and unrelated clips >= 4 apart, so the <= 2
+    verify is load-bearing against band collisions.
+
+    Scale: one shuffle on (band_no, band_val); verify is 2 xors per
+    candidate; never all-pairs."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    fp = A.audio_fingerprint(A.synth_audio_variants(docs, "doc_id"))
+    return M.hamming_dup_pairs(fp, max_hamming=2)

@@ -36,7 +36,9 @@ __all__ = [
     "parse_wav_header",
     "wav_decode_samples",
     "synth_audio_payload",
+    "synth_audio_variants",
     "audio_stats",
+    "audio_fingerprint",
 ]
 
 
@@ -214,3 +216,110 @@ def audio_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hash_lo", LongType()),
+        StructField("hash_hi", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", windows: int = 64
+) -> DataFrame:
+    """Energy-envelope fingerprint over REAL decoded samples: the audio
+    near-dup primitive (the time-domain analogue of image_ahash).  Frames
+    are mapped to ``windows`` equal time slices (``t * windows // n`` —
+    integer floors), each slice accumulates the exact integer sum of
+    absolute amplitudes across channels, and slice bit = 1 iff its mean
+    energy exceeds the whole-clip mean — cross-multiplied
+    (``slice_sum * total_n > total_sum * slice_n``) so the entire 64-bit
+    fingerprint is exact integer arithmetic, reproducible by the SQL
+    oracle from the fixtures' generative sample formula (catalog
+    q_audio_fingerprint).  Bits return as two 32-bit halves.
+
+    Clips with matching loudness contours (re-encodes, resampled copies)
+    agree on most bits; Hamming-band candidate generation + verify is
+    operators/multimodal.hamming_dup_pairs — the identical banding
+    discipline as image and SimHash text dedup.
+
+    Scale: Arrow-batched mapInPandas; zero shuffle; 3 longs out per clip
+    regardless of duration."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                channels, _rate, samples = wav_decode_samples(bytes(payload))
+                n = len(samples) // channels
+                ws = [0] * windows
+                wn = [0] * windows
+                for t in range(n):
+                    wi = t * windows // n
+                    base = t * channels
+                    for c in range(channels):
+                        ws[wi] += abs(samples[base + c])
+                    wn[wi] += channels
+                ts, tn = sum(ws), n * channels
+                lo = hi = 0
+                for wi in range(windows):
+                    if ws[wi] * tn > ts * wn[wi]:
+                        if wi < 32:
+                            lo |= 1 << wi
+                        else:
+                            hi |= 1 << (wi - 32)
+                rows.append((int(doc_id), lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "hash_lo", "hash_hi"])
+
+    return df.select(id_col, payload_col).mapInPandas(fp, FINGERPRINT_SCHEMA)
+
+
+def synth_audio_variants(
+    df: DataFrame, id_col: str = "doc_id", group: int = 3
+) -> DataFrame:
+    """Near-duplicate audio fixtures: ids in the same ``group``-sized
+    cluster share a base clip (seed = id // group) and differ only by a
+    constant amplitude offset (id % group) — the WAV-domain analogue of a
+    re-normalized copy.  The base clip has a seed-keyed loudness
+    envelope: the clip is cut into 16 time slices and slice k is loud
+    (2x) iff bit k of the scrambled seed (Knuth multiplicative hash) is
+    set, so unrelated clips' envelopes differ in ~8 of 16 slices:
+
+        seed16  = (seed * 2654435761) % 65536
+        slice   = t * 16 // n          (n is a multiple of 64, so slices
+                                        align with fingerprint windows)
+        s(id,t) = ((seed * 31 + t * 17) % 16000)
+                  * (1 + bit_slice(seed16)) + (id % group)
+
+    The constant offset provably CANCELS in audio_fingerprint's
+    cross-multiplied threshold ((ws + p*wn)*tn > (ts + p*tn)*wn reduces
+    to ws*tn > ts*wn), so cluster members fingerprint identically —
+    the invariance a mean-thresholded envelope hash is designed for —
+    while unrelated clips land ~30+ bits apart.  Arrow-batched
+    mapInPandas; zero shuffle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                seed, perturb = i // group, i % group
+                seed16 = (seed * 2654435761) % 65536
+                n = 320 + (seed % 5) * 64
+                frames = bytearray()
+                for t in range(n):
+                    loud = (seed16 >> (t * 16 // n)) & 1
+                    frames += struct.pack(
+                        "<h",
+                        ((seed * 31 + t * 17) % 16000) * (1 + loud) + perturb,
+                    )
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                body += b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+                rows.append((i, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(id_col).mapInPandas(synth, AUDIO_SYNTH_SCHEMA)

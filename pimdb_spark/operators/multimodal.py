@@ -570,7 +570,11 @@ def image_dup_pairs(
     (operators/dedup.py) — one shuffle on (band_no, band_value), never
     n².
 
-    Returns (doc_id_a, doc_id_b, hamming) with a < b, distinct."""
+    Returns (doc_id_a, doc_id_b, hamming) with a < b, distinct.
+
+    Generic over the hash source: any (doc_id, hash_lo, hash_hi) frame
+    works — audio fingerprints (operators/audio.audio_fingerprint) reuse
+    this exact function via the ``hamming_dup_pairs`` alias below."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bands = F.array(
@@ -609,6 +613,10 @@ def image_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# band-candidate + hamming-verify pair generation is hash-source-agnostic
+hamming_dup_pairs = image_dup_pairs
 
 
 SYNTH_SCHEMA = StructType(

@@ -162,3 +162,35 @@ def test_video_frame_stats_stride_one(spark):
     out = video_frame_stats(synth_video_payload(docs, "doc_id"), stride=1).collect()
     for i in range(5):
         assert len([r for r in out if r.doc_id == i]) == 2 + i % 5
+
+
+def test_audio_fingerprint_offset_invariance(spark):
+    """Cluster members (same base clip, different amplitude offset) must
+    fingerprint IDENTICALLY — the offset cancels in the cross-multiplied
+    threshold — while unrelated clips differ."""
+    from pimdb_spark.operators.audio import audio_fingerprint, synth_audio_variants
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    fps = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in audio_fingerprint(synth_audio_variants(docs, "doc_id")).collect()
+    }
+    for g in range(10):
+        assert fps[g * 3] == fps[g * 3 + 1] == fps[g * 3 + 2]
+    distinct = {fps[g * 3] for g in range(10)}
+    assert len(distinct) > 1
+
+
+def test_audio_dup_pairs_clusters(spark):
+    from pimdb_spark.operators.audio import audio_fingerprint, synth_audio_variants
+    from pimdb_spark.operators.multimodal import hamming_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    fp = audio_fingerprint(synth_audio_variants(docs, "doc_id"))
+    out = hamming_dup_pairs(fp, max_hamming=2).collect()
+    pairs = {(r.doc_id_a, r.doc_id_b): r.hamming for r in out}
+    # every within-cluster pair present at hamming 0
+    for g in range(10):
+        a = g * 3
+        for x, y in [(a, a + 1), (a, a + 2), (a + 1, a + 2)]:
+            assert pairs[(x, y)] == 0
