@@ -276,6 +276,7 @@ _CHECK_FIRST: list[str] = [
     "q_image_dup_pairs",
     "q_audio_fingerprint",
     "q_audio_dup_pairs",
+    "q_sorted_neighborhood",
     # -- new in round 8 (second batch: pipeline-hygiene families) --
     "q_paragraph_dedup",
     "q_ngram_decontaminate",

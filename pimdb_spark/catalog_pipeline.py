@@ -369,3 +369,54 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zorder_key_2d(F.col("o_custkey") % 65536, day % 65536).alias("zkey"),
     )
+
+
+@register(
+    "q_sorted_neighborhood",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey AS left_id, p_name AS left_name,
+             substring(p_name, 1, 1) AS blk
+      FROM part
+    ), ranked AS (
+      SELECT left_id, left_name, blk,
+             lead(left_id, 1) OVER w AS r1_id, lead(left_name, 1) OVER w AS r1_nm,
+             lead(left_id, 2) OVER w AS r2_id, lead(left_name, 2) OVER w AS r2_nm,
+             lead(left_id, 3) OVER w AS r3_id, lead(left_name, 3) OVER w AS r3_nm
+      FROM base
+      WINDOW w AS (PARTITION BY blk ORDER BY left_name, left_id)
+    ), pairs AS (
+      SELECT left_id, left_name, r1_id AS right_id, r1_nm AS right_name FROM ranked
+      UNION ALL
+      SELECT left_id, left_name, r2_id, r2_nm FROM ranked
+      UNION ALL
+      SELECT left_id, left_name, r3_id, r3_nm FROM ranked
+    )
+    SELECT left_id, right_id, left_name, right_name,
+           CAST(levenshtein(left_name, right_name) AS INTEGER) AS distance
+    FROM pairs
+    WHERE right_id IS NOT NULL
+      AND levenshtein(left_name, right_name) <= 2
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER (operators/linkage.sorted_neighborhood_link):
+    per first-letter block, parts sorted by name and each compared to its
+    next 3 sort neighbors, Levenshtein <= 2 verified JVM-side — the
+    complement to q_fuzzy_link's equality blocking (SNM catches shared-
+    prefix near-matches a split blocking key would miss; multi-pass = a
+    second call with another sort key).
+
+    Scale: one block-key shuffle; candidates are exactly window x rows —
+    linear, no m-squared hot block."""
+    from pimdb_spark.operators.linkage import sorted_neighborhood_link
+
+    part = load(spark, sf_dir, "part")
+    return sorted_neighborhood_link(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block=F.substring(F.col("p_name"), 1, 1),
+        window=3,
+        max_distance=2,
+    )

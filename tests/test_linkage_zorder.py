@@ -109,3 +109,30 @@ def test_write_zordered_bounding_boxes(spark, tmp_path):
     assert min(avg_x, avg_y) < 0.6
     # stored schema is clean: the transient _zkey column is dropped
     assert spark.read.parquet(db.path("t")).columns == ["x", "y"]
+
+
+def test_sorted_neighborhood_link_semantics(spark):
+    """Each record pairs with at most `window` following sort neighbors
+    inside its block; verified pairs respect the distance bound; a match
+    beyond the neighborhood is NOT found (the documented SNM trade-off)."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.operators.linkage import sorted_neighborhood_link
+
+    rows = [
+        (1, "aaaa"),
+        (2, "aaab"),   # neighbor of 1, distance 1
+        (3, "aaac"),   # neighbor of 1 (lead 2), distance 1
+        (4, "azzz"),   # same block, sorted far but within lead 3 of 1
+        (5, "aaad"),   # also close to 1 but pushes 4 to lead 4 from 1
+        (6, "baaa"),   # different block, distance 1 from aaaa -> missed
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = sorted_neighborhood_link(
+        df, "id", "name", block=F.substring(F.col("name"), 1, 1),
+        window=2, max_distance=2,
+    ).collect()
+    pairs = {(r.left_id, r.right_id): r.distance for r in out}
+    # sort order in block 'a': aaaa(1) aaab(2) aaac(3) aaad(5) azzz(4)
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (2, 5): 1, (3, 5): 1}
+    # cross-block near-match (1,6) correctly absent: multi-pass territory
