@@ -277,6 +277,8 @@ _CHECK_FIRST: list[str] = [
     "q_audio_fingerprint",
     "q_audio_dup_pairs",
     "q_sorted_neighborhood",
+    "q_mixture_plan",
+    "q_validate_constraints",
     # -- new in round 8 (second batch: pipeline-hygiene families) --
     "q_paragraph_dedup",
     "q_ngram_decontaminate",

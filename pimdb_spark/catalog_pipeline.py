@@ -420,3 +420,92 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=3,
         max_distance=2,
     )
+
+
+@register(
+    "q_mixture_plan",
+    oracle="""
+    WITH inv AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS available,
+             CAST(CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                              ELSE 2 END AS BIGINT) AS weight
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+      GROUP BY source
+    ), keyed AS (
+      SELECT *, available * (30 // weight) AS sort_key FROM inv
+    ), binding AS (
+      SELECT available AS b_avail, weight AS b_weight
+      FROM keyed ORDER BY sort_key, source LIMIT 1
+    )
+    SELECT source, available, weight,
+           (b_avail * weight) // b_weight AS allocation,
+           CAST((b_avail * weight) // b_weight AS DOUBLE) / available
+               AS utilization
+    FROM keyed, binding
+    """,
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix allocation (operators/curation.mixture_plan): target
+    weights src0:src1:src2 = 5:3:2 over the documents corpus (n_chars as
+    the token inventory).  The scarcest source relative to its weight
+    caps the mix; every allocation is exact integer arithmetic (lcm sort
+    key + integer DIV), utilization the only division.
+
+    Scale: one map-side-combined groupBy(source); planning arithmetic
+    runs on a |sources|-row frame with a one-row broadcast attach."""
+    from pimdb_spark.operators.curation import mixture_plan
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, "source", "n_chars", weights={"src0": 5, "src1": 3, "src2": 2}
+    )
+
+
+@register(
+    "q_validate_constraints",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_value_not_null,
+        CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_value_nonneg,
+        CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r_known_type,
+        CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS r_user_id_valid
+      FROM events
+    )
+    SELECT 'value_not_null' AS rule_id, 'value must be present' AS description,
+           r_value_not_null AS n_violations, r_value_not_null = 0 AS passed FROM agg
+    UNION ALL
+    SELECT 'value_nonneg', 'value must be >= 0', r_value_nonneg, r_value_nonneg = 0 FROM agg
+    UNION ALL
+    SELECT 'known_type', 'event_type in allowed set', r_known_type, r_known_type = 0 FROM agg
+    UNION ALL
+    SELECT 'user_id_valid', 'user_id present and >= 0', r_user_id_valid,
+           r_user_id_valid = 0 FROM agg
+    """,
+)
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/profile.
+    validate_constraints): a 4-rule expectation suite over events
+    evaluated in ONE scan — violation predicates become conditional sums
+    in a single aggregate, exploded back to one row per rule.  The shape
+    a 100 TB ingest gate needs: rule count never adds passes.
+
+    Scale: one full scan with map-side combine; rules are JVM
+    expressions."""
+    from pimdb_spark.operators.profile import validate_constraints
+
+    events = load(spark, sf_dir, "events")
+    allowed = ["click", "view", "purchase", "signup", "error"]
+    rules = [
+        ("value_not_null", F.col("value").isNull(), "value must be present"),
+        ("value_nonneg", F.col("value") < 0, "value must be >= 0"),
+        ("known_type", ~F.col("event_type").isin(allowed), "event_type in allowed set"),
+        (
+            "user_id_valid",
+            F.col("user_id").isNull() | (F.col("user_id") < 0),
+            "user_id present and >= 0",
+        ),
+    ]
+    return validate_constraints(events, rules)

@@ -484,3 +484,57 @@ def negative_sample(
         .filter(F.col("neg_rank") <= k)
         .select("anchor_id", "anchor_label", "neg_rank", "cand_id", "cand_label")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Training-mix allocation: given per-source token inventories and
+    integer target weights, compute the largest mix honoring the weights
+    exactly — the scarcest source relative to its weight caps the whole
+    mix (allocation_i = floor(min_j(T_j / w_j) * w_i)).
+
+    All arithmetic is exact: the argmin is taken on ``T_j * (L / w_j)``
+    where L = lcm(weights) (an integer sort key equivalent to the
+    rational T_j / w_j), and allocations are integer multiply-floor-
+    divide off the binding source's row — no float enters until the
+    utilization ratio, one division per source.  A DuckDB oracle
+    reproduces every value (catalog q_mixture_plan).
+
+    Scale: one groupBy(source) over the corpus (map-side combined), then
+    arithmetic on a |sources|-row frame with the binding row attached by
+    a one-row broadcast cross join — corpus-size-independent planning."""
+    from math import lcm
+
+    L = lcm(*weights.values())
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    inv = (
+        df.filter(F.col(source_col).isin(*weights.keys()))
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(tokens_col).cast("bigint").alias("available"))
+        .withColumn("weight", wmap[F.col("source")].cast("bigint"))
+        .withColumn("sort_key", F.col("available") * F.expr(f"{L} DIV weight"))
+    )
+    binding = (
+        inv.orderBy("sort_key", "source")
+        .limit(1)
+        .select(
+            F.col("available").alias("_bind_avail"),
+            F.col("weight").alias("_bind_weight"),
+        )
+    )
+    return (
+        inv.crossJoin(F.broadcast(binding))
+        .withColumn(
+            "allocation",
+            F.expr("(_bind_avail * weight) DIV _bind_weight"),  # exact integer floor
+        )
+        .withColumn(
+            "utilization",
+            F.col("allocation").cast("double") / F.col("available"),
+        )
+        .select("source", "available", "weight", "allocation", "utilization")
+    )

@@ -181,3 +181,37 @@ def robust_outliers(
             .alias("n_outliers"),
         )
     )
+
+
+def validate_constraints(
+    df: DataFrame, rules: list[tuple[str, "F.Column", str]]
+) -> DataFrame:
+    """Declarative data-quality gate: evaluate a rule list in ONE scan.
+
+    ``rules`` is [(rule_id, violation_predicate_column, description)] —
+    each predicate marks a VIOLATING row.  Output is one row per rule:
+    (rule_id, description, n_violations, passed).  All counts are
+    conditional sums in a single aggregate, so the gate costs one
+    pass + partial aggregation regardless of rule count — the
+    expectation-suite shape (cf. batch ingest gates) without a second
+    framework.
+
+    Scale: one full scan, map-side combine, a one-row reduce; rule
+    predicates are JVM expressions (no Python)."""
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(rid)
+        for rid, pred, _desc in rules
+    ]
+    row = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(rid).alias("rule_id"),
+                F.lit(desc).alias("description"),
+                F.col(rid).alias("n_violations"),
+                (F.col(rid) == 0).alias("passed"),
+            )
+            for rid, _pred, desc in rules
+        ]
+    )
+    return row.select(F.explode(per_rule).alias("r")).select("r.*")

@@ -174,3 +174,52 @@ def test_paragraph_dedup_plan_no_text_in_first_shuffle(spark):
     plan = C.paragraph_dedup(docs, block=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_validate_constraints_counts_violations(spark):
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.operators.profile import validate_constraints
+
+    rows = [(1, 5.0, "a"), (2, -1.0, "a"), (3, None, "b"), (4, -2.0, "zz")]
+    df = spark.createDataFrame(rows, ["id", "v", "t"])
+    out = {
+        r.rule_id: (r.n_violations, r.passed)
+        for r in validate_constraints(
+            df,
+            [
+                ("v_not_null", F.col("v").isNull(), "v present"),
+                ("v_nonneg", F.col("v") < 0, "v >= 0"),
+                ("t_known", ~F.col("t").isin(["a", "b"]), "t in set"),
+                ("id_pos", F.col("id") <= 0, "id > 0"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "v_not_null": (1, False),
+        "v_nonneg": (2, False),
+        "t_known": (1, False),
+        "id_pos": (0, True),
+    }
+
+
+def test_mixture_plan_binding_source(spark):
+    """The scarcest source relative to its weight caps the mix; its own
+    allocation equals its inventory (utilization 1.0) and every
+    allocation honors the exact weight ratios."""
+    from pimdb_spark.operators.curation import mixture_plan
+
+    rows = (
+        [("a", 1000)] * 1   # plentiful
+        + [("b", 90)] * 1   # scarce: 90 tokens at weight 3 -> ratio 30
+        + [("c", 500)] * 1
+    )
+    df = spark.createDataFrame(rows, ["src", "tokens"])
+    out = {r.source: r for r in mixture_plan(df, "src", "tokens",
+                                             {"a": 5, "b": 3, "c": 2}).collect()}
+    # binding source is b (90/3=30 < 1000/5=200, 500/2=250)
+    assert out["b"].allocation == 90 and out["b"].utilization == 1.0
+    assert out["a"].allocation == 150   # 90*5 DIV 3
+    assert out["c"].allocation == 60    # 90*2 DIV 3
+    for r in out.values():
+        assert r.allocation <= r.available
