@@ -157,7 +157,10 @@ def test_no_plan_red_flags(spark, name, entry):
       constant attach, no pairing (same shape as q_token_df_idf).
     - q_heavy_hitters: the ONE-ROW row-total aggregate broadcast-attaches
       to the k top-key rows for the share division — constant attach over
-      an already-k-row frame."""
+      an already-k-row frame.
+    - q_mixture_plan: the ONE-ROW binding-source frame (ORDER BY + LIMIT 1
+      off the |sources|-row inventory) broadcast-attaches to that same
+      bounded inventory — planning arithmetic, corpus-size-independent."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -170,6 +173,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_corpus_divergence",
         "q11_important_stock",
         "q_heavy_hitters",
+        "q_mixture_plan",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
