@@ -3,8 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully executed (results drained via count on a cheap
-projection) but never collected to the driver.
+Each query is fully executed but never collected to the driver: the drain
+is max(xxhash64(*columns)) — a one-row aggregate that REFERENCES every
+output column, so Catalyst cannot prune the projection expressions.  A
+bare count() would let the optimizer drop unreferenced projections
+entirely (e.g. q_simhash's hash computation — the one projection the
+query exists to time) and report a parquet row-count scan instead.  This
+is the same drain as scripts/bench_scale.py::_drain; switched here in
+round 9 (the r1-r8 BENCH files used count(), so projection-only entries
+were understated — see SCALE.md "Bench drain change").
 """
 
 from __future__ import annotations
@@ -16,8 +23,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from pimdb_spark import entrypoints as _ep  # noqa: E402
 from pimdb_spark.session import get_spark  # noqa: E402
+
+
+def _drain(df) -> None:
+    df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
 
 
 def main() -> None:
@@ -36,7 +49,7 @@ def main() -> None:
     # footer/file-listing caches are one-time JVM costs, not query work).
     spark.range(1).count()
     for name, fn in bench.items():
-        fn(spark, sf_dir).count()
+        _drain(fn(spark, sf_dir))
     spark.catalog.clearCache()  # drop warm-up persists; keep JIT/codegen warm
     # Three timed iterations, report the min: local[32] on a shared box has
     # multi-hundred-ms scheduler/GC jitter that would otherwise dominate
@@ -48,7 +61,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _drain(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)

@@ -310,6 +310,7 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.hash_lo, b.hash_lo))
           + bit_count(xor(a.hash_hi, b.hash_hi)) <= 6
     """,
+    bench=True,
 )
 def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs (operators/multimodal.image_dup_pairs):

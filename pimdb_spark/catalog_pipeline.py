@@ -54,6 +54,7 @@ _H8 = "('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT"
            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM ranked GROUP BY doc_id
     """,
+    bench=True,
 )
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup (operators/corpus.paragraph_dedup):

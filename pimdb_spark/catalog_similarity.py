@@ -348,7 +348,7 @@ _SEMDEDUP_ORACLE = (
 )
 
 
-@register("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+@register("q_semdedup", oracle=_SEMDEDUP_ORACLE, bench=True)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication (operators/clustering.semdedup — SemDeDup,
     Abbas et al. 2023): k-means (k=4, 2 Lloyd passes) blocks the space,
