@@ -1,0 +1,254 @@
+"""Catalog entries for the event-log analytics and graph operator families
+(operators/analytics.py, operators/graph.py): cohort retention, last-touch
+attribution, session path mining, co-occurrence edge extraction, and
+multi-source BFS hop counts — all over the events table, all with exact
+DuckDB oracles (integer event-time arithmetic; the single retention ratio
+is one IEEE division of exact integers).
+
+Scale notes live on the operators; the catalog's parameter choices are
+sized so the sf0.01 gate exercises the interesting paths (the bucket cap
+actually drops flood buckets, BFS needs multiple hops, attribution has
+both matched and NULL rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pimdb_spark.catalog import load, register
+from pimdb_spark.operators.analytics import (
+    WEEK_US,
+    cohort_retention,
+    last_touch_attribution,
+    session_paths,
+)
+from pimdb_spark.operators.graph import bfs_hops, co_occurrence_edges
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000
+HORIZON_US = 3 * 24 * 3_600_000_000  # 3-day attribution horizon
+
+
+@register(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // {WEEK_US} AS period
+      FROM events
+    ), cohorts AS (
+      SELECT u, min(period) AS cohort_period FROM activity GROUP BY u
+    ), cells AS (
+      SELECT cohort_period, period - cohort_period AS period_offset,
+             count(DISTINCT a.u) AS n_active
+      FROM activity a JOIN cohorts c ON a.u = c.u
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort_period, count(DISTINCT u) AS cohort_size
+      FROM cohorts GROUP BY 1
+    )
+    SELECT cohort_period, period_offset, n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / cohort_size AS retention
+    FROM cells JOIN sizes USING (cohort_period)
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/analytics.
+    cohort_retention): users cohorted by first-active week; each
+    (cohort, offset) cell counts distinct users active that many weeks
+    later plus the retention ratio (ONE IEEE division of exact integers —
+    engine-exact, no rounding needed).
+
+    Scale: activity reduces to distinct (user, week) before any join;
+    everything after is O(users) then O(weeks^2); cohort sizes attach via
+    an O(weeks)-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(ev, user_col="user_id", ts_col="ts_us", period_us=WEEK_US)
+
+
+@register(
+    "q_last_touch",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), carried AS (
+      SELECT event_id, user_id, ts_us, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN struct_pack(ts := ts_us, id := event_id,
+                                              typ := event_type)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      FROM e
+    )
+    SELECT event_id AS conversion_id, user_id, ts_us AS conv_ts_us,
+           CASE WHEN lt IS NOT NULL AND lt.ts >= ts_us - {HORIZON_US}
+                THEN lt.id END AS touch_event_id,
+           CASE WHEN lt IS NOT NULL AND lt.ts >= ts_us - {HORIZON_US}
+                THEN lt.typ END AS touch_type,
+           CASE WHEN lt IS NOT NULL AND lt.ts >= ts_us - {HORIZON_US}
+                THEN ts_us - lt.ts END AS age_us
+    FROM carried WHERE event_type = 'purchase'
+    """,
+)
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/analytics.
+    last_touch_attribution): every purchase is attributed to the most
+    recent strictly-preceding click/view by the same user within 3 days;
+    unattributed purchases keep NULL columns so the row count equals the
+    purchase count.  The carried touch is one struct — id/type/age always
+    come from the same touch row; ties on ts break on event_id.
+
+    Scale: one window exchange on user_id over a 4-column projection; no
+    join."""
+    ev = load(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev,
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        horizon_us=HORIZON_US,
+        user_col="user_id",
+        ts_col="ts_us",
+        id_col="event_id",
+        type_col="event_type",
+    )
+
+
+@register(
+    "q_session_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us, event_id, event_type,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts_us, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM sessions
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 session opening paths (operators/analytics.session_paths):
+    30-min-gap sessions (the q_sessionize rule), summarized by their first
+    3 event types joined with '>', ranked by session count with ties
+    broken on the path string (deterministic top-k).
+
+    Scale: session flags, ids, and in-session row numbers all ride ONE
+    user_id exchange; the path count groups on at most |types|^3 keys and
+    finishes as TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events")
+    return session_paths(
+        ev,
+        gap_us=SESSION_GAP_US,
+        k=25,
+        path_len=3,
+        user_col="user_id",
+        ts_col="ts_us",
+        id_col="event_id",
+        type_col="event_type",
+    )
+
+
+# Shared co-occurrence SQL: distinct (event_type, hour, user) triples, flood
+# buckets (> cap users) dropped, then a within-bucket self-join src < dst.
+def _edges_cte(where: str, cap: int) -> str:
+    return f"""
+    keyed AS (
+      SELECT DISTINCT event_type AS k0,
+             epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS k1,
+             user_id AS node
+      FROM events {where}
+    ), ok AS (
+      SELECT k0, k1 FROM keyed GROUP BY k0, k1 HAVING count(*) <= {cap}
+    ), capped AS (
+      SELECT keyed.* FROM keyed JOIN ok USING (k0, k1)
+    ), edges AS (
+      SELECT DISTINCT a.node AS src, b.node AS dst
+      FROM capped a JOIN capped b
+        ON a.k0 = b.k0 AND a.k1 = b.k1 AND a.node < b.node
+    )"""
+
+
+@register(
+    "q_co_occurrence_edges",
+    oracle=f"""
+    WITH {_edges_cte("", 8)}
+    SELECT src, dst FROM edges
+    """,
+)
+def q_co_occurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User co-occurrence edges (operators/graph.co_occurrence_edges):
+    undirected (src < dst) edges between users sharing an
+    (event_type, hour) bucket, with buckets over 8 users dropped BEFORE
+    the self-join — the flood cap that keeps an adversarial mega-bucket
+    (a bot item every user touches) from going m².
+
+    Scale: distinct first, then candidate pairs are O(buckets x cap²);
+    both joins are hash equi-joins on the bucket key."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+    )
+    return co_occurrence_edges(
+        ev, ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8
+    )
+
+
+@register(
+    "q_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_edges_cte("WHERE event_type = 'purchase'", 8)},
+    sym AS (
+      SELECT src AS s, dst AS d FROM edges
+      UNION ALL
+      SELECT dst, src FROM edges
+    ),
+    walk(node, hop) AS (
+      SELECT DISTINCT user_id AS node, 0 AS hop FROM events
+      WHERE user_id % 20 = 0
+      UNION
+      SELECT sym.d, walk.hop + 1 FROM walk JOIN sym ON walk.node = sym.s
+      WHERE walk.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop counts (operators/graph.bfs_hops) over the
+    purchase co-occurrence graph: seeds are users with user_id % 20 = 0,
+    hops capped at 3.  First visit is the minimum hop, so the iterative
+    Spark frontier and the oracle's recursive-CTE min(hop) agree exactly.
+
+    Scale: <= 3 rounds of (frontier ⋈ edges) hash joins + anti-join
+    against visited, lineage cut per round with localCheckpoint; frames
+    carry (node, hop) only."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+    )
+    edges = co_occurrence_edges(
+        purchases, ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8
+    )
+    seeds = ev.filter(F.col("user_id") % 20 == 0).select("user_id").distinct()
+    return bfs_hops(edges, seeds, max_hops=3, seed_col="user_id")

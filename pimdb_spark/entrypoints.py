@@ -55,5 +55,9 @@ try:
     import pimdb_spark.catalog_pipeline  # noqa: F401  (paragraph dedup, chunking, skew/histogram profiling)
 except ImportError:
     pass
+try:
+    import pimdb_spark.catalog_analytics  # noqa: F401  (cohorts/attribution/paths/graph)
+except ImportError:
+    pass
 
 from pimdb_spark.catalog import bench_queries, oracle_sql, queries  # noqa: E402,F401

@@ -46,7 +46,15 @@ def cohort_retention(
     cohort-size attach is a broadcast join on an O(periods)-row frame.
     No step is ever proportional to raw event rows after the first
     distinct."""
-    period = F.expr(f"{ts_col} DIV {period_us}")
+    ts = F.col(ts_col)
+    # True FLOOR division via pmod (column API, no SQL-string splicing, so
+    # exotic column names need no backtick quoting): pmod is always
+    # non-negative, so negative epoch timestamps land in their correct
+    # (negative) period instead of DIV's double-width truncate-toward-zero
+    # period 0.  The double division is exact: the numerator is an exact
+    # multiple of period_us and epoch-micros magnitudes (< 2^53 until year
+    # ~2255) are exactly representable.
+    period = ((ts - F.pmod(ts, F.lit(period_us))) / F.lit(period_us)).cast("long")
     activity = (
         events.select(F.col(user_col).alias("user"), period.alias("period"))
         .distinct()
@@ -85,19 +93,25 @@ def last_touch_attribution(
     type_col: str = "event_type",
 ) -> DataFrame:
     """Last-touch attribution: every conversion event is attributed to the
-    most recent preceding touch event (same user) within `horizon_us`;
-    conversions with no in-horizon touch keep NULL attribution columns, so
-    the row count equals the conversion count (auditable).
+    most recent STRICTLY PRECEDING touch event (same user) within
+    `horizon_us`; conversions with no in-horizon touch keep NULL
+    attribution columns, so the row count equals the conversion count
+    (auditable).
 
     The carried touch is a single struct, so (event_id, type, ts) always
     come from the SAME touch row; ordering ties on ts are broken by
-    event_id, making the winner deterministic on every engine.
+    event_id, making the winner deterministic on every engine.  "Strictly
+    preceding" means earlier in (ts, event_id) order with the current row
+    EXCLUDED (frame ends at -1 row): a conversion can never attribute to
+    itself even when `conversion_type` also appears in `touch_types`, and
+    a same-timestamp touch counts only when its event_id is smaller —
+    the documented tie rule.
 
     Scale: one window exchange on user_id over a pre-projected
     (user, ts, id, type) frame — the carry-forward is O(rows) with no
     join; output is filtered to conversions before anything else runs."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+        Window.unboundedPreceding, -1
     )
     touch = F.when(
         F.col(type_col).isin(*touch_types),

@@ -58,12 +58,18 @@ def bfs_hops(
     max_hops: int,
     src: str = "src",
     dst: str = "dst",
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS over the undirected edge list: (node, hop) with the
     MINIMUM hop distance from any seed, limited to `max_hops`.  Nodes a
     frontier reaches for the first time get that round's hop — first
     visit IS the minimum, so no final re-aggregation is needed and the
     result is order-independent (deterministic on any engine/partitioning).
+
+    ``seeds`` contributes exactly one column of node ids: pass its name as
+    ``seed_col``, or leave it None for a single-column frame.  A
+    multi-column seeds frame without an explicit ``seed_col`` raises —
+    silently guessing a column would make the hop origin ambiguous.
 
     Scale: max_hops rounds, each ONE hash equi-join (frontier ⋈ edges on
     the node id) + a distinct + an anti-join against the visited set;
@@ -75,7 +81,13 @@ def bfs_hops(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
     sym = sym.localCheckpoint(eager=True)
-    seed_col = seeds.columns[0]
+    if seed_col is None:
+        if len(seeds.columns) != 1:
+            raise ValueError(
+                "seeds has columns "
+                f"{seeds.columns}; pass seed_col to pick the node-id column"
+            )
+        seed_col = seeds.columns[0]
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
