@@ -296,6 +296,36 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_inverted_index_capped",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT token, doc_id AS doc, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY token, doc_id
+    ), ok AS (
+      SELECT token FROM pairs GROUP BY token HAVING count(*) <= 390
+    )
+    SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+    FROM pairs JOIN ok USING (token) GROUP BY token
+    """,
+)
+def q_inverted_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-capped inverted index (operators/retrieval.inverted_index
+    with max_df=390): stop-word-grade tokens (df > 390 — roughly every
+    document at sf0.01) are dropped BEFORE postings aggregation, so no
+    corpus-sized postings string is ever built.  The production form of
+    q_inverted_index: head tokens carry ~zero retrieval signal but all
+    the memory and shuffle skew.
+
+    Scale: the df pre-count carries (token, df) only; the filter joins
+    back on the same token partitioning, bounding every collect_list by
+    max_df by construction."""
+    docs = load(spark, sf_dir, "documents")
+    return R.inverted_index(docs, max_df=390)
+
+
+@register(
     "q_fuzzy_link",
     oracle="""
     WITH p AS (
@@ -377,7 +407,8 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT p_partkey AS left_id, p_name AS left_name,
-             substring(p_name, 1, 1) AS blk
+             substring(p_name, 1, 1)
+               || substring(split_part(p_name, ' ', 2), 1, 1) AS blk
       FROM part
     ), ranked AS (
       SELECT left_id, left_name, blk,
@@ -402,14 +433,18 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood ER (operators/linkage.sorted_neighborhood_link):
-    per first-letter block, parts sorted by name and each compared to its
-    next 3 sort neighbors, Levenshtein <= 2 verified JVM-side — the
-    complement to q_fuzzy_link's equality blocking (SNM catches shared-
-    prefix near-matches a split blocking key would miss; multi-pass = a
-    second call with another sort key).
+    per block (the first letter of EACH of the first two name tokens —
+    a key whose cardinality multiplies with the name vocabulary instead
+    of capping at one alphabet), parts sorted by name and each compared
+    to its next 3 sort neighbors, Levenshtein <= 2 verified JVM-side —
+    the complement to q_fuzzy_link's equality blocking (SNM catches
+    shared-prefix near-matches a split blocking key would miss;
+    multi-pass = q_snm_multipass).
 
     Scale: one block-key shuffle; candidates are exactly window x rows —
-    linear, no m-squared hot block."""
+    linear, no m-squared hot block.  The token-initial block keeps the
+    per-block sort parallel at scale (first-letter-only blocking would
+    mean <= 26 effective partitions forever)."""
     from pimdb_spark.operators.linkage import sorted_neighborhood_link
 
     part = load(spark, sf_dir, "part")
@@ -417,7 +452,95 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         part,
         id_col="p_partkey",
         name_col="p_name",
-        block=F.substring(F.col("p_name"), 1, 1),
+        block=_two_initial_block(),
+        window=3,
+        max_distance=2,
+    )
+
+
+def _two_initial_block() -> F.Column:
+    # first letter of token 0 + first letter of token 1 (missing second
+    # token -> '' on both engines: coalesce matches DuckDB's split_part)
+    return F.concat(
+        F.substring(F.col("p_name"), 1, 1),
+        F.substring(
+            F.coalesce(F.split(F.col("p_name"), " ").getItem(1), F.lit("")), 1, 1
+        ),
+    )
+
+
+@register(
+    "q_snm_multipass",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey AS left_id, p_name AS left_name,
+             substring(p_name, 1, 1)
+               || substring(split_part(p_name, ' ', 2), 1, 1) AS blk1,
+             substring(reverse(p_name), 1, 2) AS blk2,
+             reverse(p_name) AS rname
+      FROM part
+    ), r1 AS (
+      SELECT left_id, left_name,
+             lead(left_id, 1) OVER w AS r1_id, lead(left_name, 1) OVER w AS r1_nm,
+             lead(left_id, 2) OVER w AS r2_id, lead(left_name, 2) OVER w AS r2_nm,
+             lead(left_id, 3) OVER w AS r3_id, lead(left_name, 3) OVER w AS r3_nm
+      FROM base
+      WINDOW w AS (PARTITION BY blk1 ORDER BY left_name, left_id)
+    ), r2 AS (
+      SELECT left_id, left_name,
+             lead(left_id, 1) OVER w AS r1_id, lead(left_name, 1) OVER w AS r1_nm,
+             lead(left_id, 2) OVER w AS r2_id, lead(left_name, 2) OVER w AS r2_nm,
+             lead(left_id, 3) OVER w AS r3_id, lead(left_name, 3) OVER w AS r3_nm
+      FROM base
+      WINDOW w AS (PARTITION BY blk2 ORDER BY rname, left_id)
+    ), pairs AS (
+      SELECT left_id, left_name, r1_id AS right_id, r1_nm AS right_name FROM r1
+      UNION ALL SELECT left_id, left_name, r2_id, r2_nm FROM r1
+      UNION ALL SELECT left_id, left_name, r3_id, r3_nm FROM r1
+      UNION ALL SELECT left_id, left_name, r1_id, r1_nm FROM r2
+      UNION ALL SELECT left_id, left_name, r2_id, r2_nm FROM r2
+      UNION ALL SELECT left_id, left_name, r3_id, r3_nm FROM r2
+    ), verified AS (
+      SELECT left_id, left_name, right_id, right_name,
+             CAST(levenshtein(left_name, right_name) AS INTEGER) AS distance
+      FROM pairs
+      WHERE right_id IS NOT NULL
+        AND levenshtein(left_name, right_name) <= 2
+    )
+    SELECT DISTINCT
+           least(left_id, right_id) AS a_id,
+           greatest(left_id, right_id) AS b_id,
+           CASE WHEN left_id < right_id THEN left_name ELSE right_name END AS a_name,
+           CASE WHEN left_id < right_id THEN right_name ELSE left_name END AS b_name,
+           distance
+    FROM verified
+    """,
+)
+def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER (operators/linkage.snm_multipass):
+    pass 1 blocks on the two token initials and sorts by name; pass 2
+    blocks on the first two characters of the REVERSED name and sorts by
+    it — suffix-adjacent near-matches that pass 1's prefix sort separates
+    become neighbors in pass 2.  Pairs are orientation-normalized
+    (a_id < b_id) and deduplicated across passes.
+
+    Scale: two linear SNM passes (one block-key shuffle each, window x
+    rows candidates) + one output-sized distinct; block cardinality
+    scales with the vocabulary in both passes."""
+    from pimdb_spark.operators.linkage import snm_multipass
+
+    part = load(spark, sf_dir, "part")
+    return snm_multipass(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        passes=[
+            (_two_initial_block(), None),
+            (
+                F.substring(F.reverse(F.col("p_name")), 1, 2),
+                F.reverse(F.col("p_name")),
+            ),
+        ],
         window=3,
         max_distance=2,
     )

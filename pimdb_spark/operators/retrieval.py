@@ -128,6 +128,7 @@ def inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = " ",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full inverted index over the corpus: one row per token with its
     document frequency, collection frequency, and the postings list
@@ -140,12 +141,21 @@ def inverted_index(
     render is engine-portable (oracle-hashable) and writes/scans as a
     plain parquet column.
 
+    ``max_df`` is the head-token flood cap: tokens appearing in more than
+    ``max_df`` documents are dropped BEFORE their postings are
+    aggregated, so a stop-word-dense 100 TB corpus never builds a
+    corpus-sized postings string for "the" — those tokens carry no
+    retrieval signal (df-proportional idf ~ 0) but would dominate memory
+    and skew the token shuffle.  Production builds should always set it;
+    the None default preserves the exhaustive export.
+
     Scale: explode -> (token, doc) partial-aggregated count (one
-    shuffle), then groupBy(token) (second shuffle carrying (token, doc,
-    tf) triples).  The per-token collect_list is bounded by the token's
-    document frequency — for head tokens ("the") that is the corpus size,
-    so production builds cap or shard head postings; the flood guard here
-    is the same max-df filter callers apply via doc_frequency."""
+    shuffle), then groupBy(token) for df/cf.  With ``max_df``, the df
+    pre-aggregation carries only (token, df) — no postings yet — and the
+    surviving-token filter joins back on the SAME token key before the
+    postings aggregation, so the collect_list is bounded by max_df by
+    construction (the filter and both aggregations share one hash
+    partitioning on token; AQE coalesces the reused exchange)."""
     pairs = (
         docs.select(
             F.col(id_col).alias("doc"),
@@ -154,6 +164,14 @@ def inverted_index(
         .groupBy("token", "doc")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if max_df is not None:
+        ok = (
+            pairs.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("token")
+        )
+        pairs = pairs.join(ok, "token")
     return pairs.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("cf"),

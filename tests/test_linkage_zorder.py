@@ -136,3 +136,39 @@ def test_sorted_neighborhood_link_semantics(spark):
     # sort order in block 'a': aaaa(1) aaab(2) aaac(3) aaad(5) azzz(4)
     assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (2, 5): 1, (3, 5): 1}
     # cross-block near-match (1,6) correctly absent: multi-pass territory
+
+def test_snm_multipass_unions_and_normalizes(spark):
+    """A suffix-matching pair missed by the name-order pass is found by the
+    reversed-name pass; pairs found by both passes appear once, oriented
+    a_id < b_id."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.operators.linkage import snm_multipass
+
+    rows = [
+        (1, "aaaa"),
+        (2, "aaab"),   # pass-1 neighbor of 1
+        (6, "baaa"),   # blocks differ from 1 in pass 1; reversed "aaab"
+                       # is adjacent to reversed "aaaa" in pass 2
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = snm_multipass(
+        df,
+        "id",
+        "name",
+        passes=[
+            (F.substring(F.col("name"), 1, 1), None),
+            (F.substring(F.reverse(F.col("name")), 1, 1), F.reverse(F.col("name"))),
+        ],
+        window=2,
+        max_distance=2,
+    ).collect()
+    pairs = {(r.a_id, r.b_id): r.distance for r in out}
+    # (1,2): found by BOTH passes (same block either way) -> exactly once.
+    # (1,6): cross-block in pass 1, adjacent under reversal in pass 2.
+    # (2,6): reversed "baaa"/"aaab" start differently -> pass-2 blocks
+    # differ; pass-1 blocks differ too -> correctly absent (distance 2
+    # pair that no pass surfaces).
+    assert pairs == {(1, 2): 1, (1, 6): 1}
+    for r in out:
+        assert r.a_id < r.b_id

@@ -167,6 +167,23 @@ def test_inverted_index_postings_ordered(spark):
     assert rows["b"]["postings"] == "1:1,2:2,3:1"
 
 
+def test_inverted_index_max_df_drops_head_tokens(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the a"),
+            Row(doc_id=2, text="the b"),
+            Row(doc_id=3, text="the the a"),
+        ]
+    )
+    rows = {r["token"]: r for r in R.inverted_index(docs, max_df=2).collect()}
+    # "the" has df=3 > cap: dropped entirely, no postings built for it
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["postings"] == "1:1,3:1"
+    # cap equal to df keeps the token
+    with_cap3 = {r["token"] for r in R.inverted_index(docs, max_df=3).collect()}
+    assert with_cap3 == {"a", "b", "the"}
+
+
 def test_paragraph_dedup_plan_no_text_in_first_shuffle(spark):
     """The keep-first window partitions on md5(seg) — segments move, whole
     documents never do; and there is no cartesian/BNLJ anywhere."""
