@@ -252,75 +252,29 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # registration order (attestation already on recent record).
 _CHECK_FIRST: list[str] = [
     # Rotation invariant (COVERAGE.md "Attestation rotation"): re-derived
-    # every round as (new entries) + (changed entries) + (entries that
-    # failed last round) + (entries outside last round's window, i.e.
-    # stalest attestation first).  Round 8 ordering follows
-    # CORRECTNESS_r07.json: the only red row (q_table_profile) is in the
-    # changed group (oracle cast fix); the stale entries' last green is
-    # r6.  With the r8 batches the registry is 109 (> 100), so the
-    # THREE-round rotation documented in COVERAGE.md takes over: 15 new +
-    # 4 changed + 31 stalest = 50 window entries; the 10 stale names that
-    # no longer fit (tail of this list, last green r6) are the head of
-    # round 9's stale group, keeping every attestation <= 3 rounds old.
-    # Mechanically verified at derivation time: registry \ (r6 ∪ r7 ∪ r8
-    # window) = ∅ over 109 entries; every never-attested entry is inside
-    # the window.
+    # every round — now mechanically, by scripts/derive_rotation.py — as
+    # (new entries) + (changed entries) + (entries that failed last
+    # round) + (entries outside last round's window, stalest attestation
+    # first, ties in registration order).  Round 9 derivation over the
+    # 126-entry registry: 7 new + 2 changed + 0 failed + the 20 r6-green
+    # names bumped from round 8's window + the r7-green names in
+    # registration order.  The first 50 emitted form round 9's driver
+    # window; derive_rotation.py verified registry \ (r7 ∪ r8 ∪ r9
+    # windows) = ∅ and that every entry outside the r8/r9 windows is
+    # r7-green — the three-round invariant (valid to 150 entries) holds.
     #
-    # -- new in round 8 (third batch: audio/video decode, ER, layout) --
-    "q_audio_stats",
-    "q_video_frame_stats",
-    "q_fuzzy_link",
-    "q_zorder_key",
-    "q_negative_sample",
-    "q_image_ahash",
-    "q_image_dup_pairs",
-    "q_audio_fingerprint",
-    "q_audio_dup_pairs",
-    "q_sorted_neighborhood",
-    "q_mixture_plan",
-    "q_validate_constraints",
-    # -- new in round 8 (second batch: pipeline-hygiene families) --
-    "q_paragraph_dedup",
-    "q_ngram_decontaminate",
-    "q_chunk_documents",
-    "q_budget_take",
-    "q_heavy_hitters",
-    "q_histogram",
-    "q_robust_outliers",
-    "q_inverted_index",
-    "q_semdedup",
-    # -- new in round 8 --
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q20_part_promotion",
-    # -- changed in round 8 --
-    "q_table_profile",      # oracle HUGEINT->BIGINT cast fix (r7's one red)
-    "q_approx_distinct",    # rows-only -> bound-verdict oracle
-    "q_approx_percentile",  # rows-only -> bound-verdict oracle
-    "q7_nation_volume",     # nation filter pushed to both join sides
-    # -- outside the round-7 window (last green r6) --
-    "q_dedup_keep_first",
-    "q_distinct_multi",
-    "q_key_table_tokens",
-    "q_left_join_coalesce",
-    "q_window_rank",
-    "q_count_star",
-    "q_set_ops",
-    "q_json_extract",
-    "q_sql_passthrough",
-    "q_posexplode_ordering",
-    "q_explode_resolve_renumber",
-    "q_token_decompose",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_counts",
-    "q_doc_fingerprint_dedup",
-    "q_ngram_jaccard_pairs",
-    "q_minhash_signatures",
-    "q_minhash_lsh_pairs",
-    "q_simhash",
-    "q_cosine_topk",
+    # -- new in round 9 --
+    "q_cohort_retention",
+    "q_last_touch",
+    "q_session_paths",
+    "q_co_occurrence_edges",
+    "q_bfs_hops",
+    "q_snm_multipass",
+    "q_inverted_index_capped",
+    # -- changed in round 9 --
+    "q_sorted_neighborhood",   # higher-cardinality two-initial block
+    "q_inverted_index",        # operator gained max_df (default None)
+    # -- stalest first: last green r6 (bumped from round 8's window) --
     "q_lsh_ann_topk",
     "q_ivf_ann_topk",
     "q_embedding_dup_pairs",
@@ -341,6 +295,56 @@ _CHECK_FIRST: list[str] = [
     "q_window_suite",
     "q_scalar_functions",
     "q_list_membership_join",
+    # -- last green r7, registration order (window cuts off after 50) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_filter_project_rename",
+    "q_conjunctive_isin",
+    "q_self_join_pairs",
+    "q_composite_key_join",
+    "q_multiway_distinct",
+    "q_topk_orders",
+    "q_bm25_topk",
+    "q_cosine_topk_np",
+    "q_ivf_ann_topk_np",
+    "q_kmeans_assignments",
+    "q_multimodal_decode",
+    "q_multimodal_decode_pinned",
+    "q_image_channel_stats",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "q17_small_quantity",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q16_supplier_parts",
+    "q_rolling_window",
+    "q4_priority_count",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q9_product_profit",
+    "q_hash_split",
+    "q_domain_quota",
+    "q_seq_packing",
+    "q_quality_funnel",
+    "q_dup_clusters",
+    "q_stratified_sample",
+    "q_dup_clusters_star",
+    "q_weighted_sample",
+    "q_snapshot_diff",
+    "q_snapshot_merge",
+    "q_scd2_intervals",
+    "q_token_df_idf",
+    "q_top_bigrams",
+    "q_decontaminate",
+    "q_priority_dedup",
+    "q_repetition_ratio",
+    "q_redact",
+    "q_corpus_divergence",
 ]
 
 
