@@ -271,6 +271,7 @@ _CHECK_FIRST: list[str] = [
     "q_bfs_hops",
     "q_snm_multipass",
     "q_inverted_index_capped",
+    "q_jpeg_pixel_stats",
     # -- changed in round 9 --
     "q_sorted_neighborhood",   # higher-cardinality two-initial block
     "q_inverted_index",        # operator gained max_df (default None)

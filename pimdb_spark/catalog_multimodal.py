@@ -228,6 +228,52 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_channel_stats(payloads, "doc_id", "payload")
 
 
+@register(
+    "q_jpeg_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 + (doc_id * 7) % 48 AS w,
+             16 + (doc_id * 13) % 48 AS h
+      FROM documents WHERE doc_id < 100
+    ), px1 AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d
+    ), px AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px1
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum((doc_id + 16 * (x // 8) + 29 * (y // 8)) % 256) AS DOUBLE)
+               / count(*) AS mean_r,
+           CAST(sum((doc_id + 16 * (x // 8) + 29 * (y // 8)) % 256) AS DOUBLE)
+               / count(*) AS mean_g,
+           CAST(sum((doc_id + 16 * (x // 8) + 29 * (y // 8)) % 256) AS DOUBLE)
+               / count(*) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, hash-checked end to end: synth
+    payloads are fully valid SOF0 grayscale JPEGs (DQT/DHT/SOF0/SOS +
+    entropy-coded scan) whose pixels are constant per 8x8 block, and
+    image_channel_stats decodes them through the full general baseline
+    path — canonical Huffman rebuilt from the file's own DHT, byte
+    unstuffing, DC prediction, zigzag, dequantization, 2-D IDCT
+    (operators/multimodal.jpeg_decode_pixels — no stub).  Block-constant
+    input + DC quant step 8 (the DCT gain) make the lossy format
+    round-trip bit-exact, so the oracle predicts every decoded pixel from
+    the generative formula; the per-block-varying values mean a decoder
+    that skips the entropy decode or the IDCT cannot pass.  Completes the
+    four-format pixel-decode symmetry (q_image_channel_stats covers
+    PNG/GIF/BMP).
+
+    Scale: Arrow-batched mapInPandas over payload bytes; zero shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = M.synth_jpeg_payload(docs, "doc_id")
+    return M.image_channel_stats(payloads, "doc_id", "payload")
+
+
 _AHASH_ORACLE = """
     WITH d AS (
       SELECT doc_id,

@@ -18,6 +18,7 @@ upstream if payloads are heavily skewed.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -423,6 +424,375 @@ def gif_lzw_decode(stream: bytes, min_code: int, err: str = "gif_lzw_decode") ->
     return out
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT): a real pure-Python encoder and
+# decoder pair.  The decoder implements the full general baseline path —
+# DQT/DHT/SOF0/SOS marker parse, canonical Huffman decode built from the
+# file's OWN DHT segments, byte-unstuffed bit reading, DC prediction,
+# zigzag, dequantization, a genuine 2-D IDCT, level shift — for any
+# non-subsampled 8-bit baseline stream.  Bit-exactness for the oracle
+# fixtures comes from the INPUT structure, not decoder shortcuts: pixels
+# constant per 8x8 block have a DC-only DCT, and with the DC quant step
+# equal to the DCT's own gain (8) the quantized DC is exactly
+# pixel - 128, so the decode round-trips integer-exact.  Non-constant
+# images round-trip through the same code within normal JPEG quantization
+# error (tests assert both).
+
+
+def _zigzag_order() -> list[int]:
+    # Generate T.81's zigzag scan: diagonals x+y = s; odd s runs from
+    # (s,0) toward (0,s) (x decreasing), even s the reverse.
+    order = []
+    for s in range(15):
+        xs = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 else range(
+            max(0, s - 7), min(s, 7) + 1
+        )
+        for x in xs:
+            y = s - x
+            order.append(8 * y + x)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+_JPEG_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)
+]
+_JPEG_C = [math.sqrt(0.5)] + [1.0] * 7
+# quant table (natural order): DC step 8 (the DCT gain — constant blocks
+# quantize losslessly), AC step 16.
+_JPEG_QUANT = [8] + [16] * 63
+# Canonical Huffman tables written to DHT: DC categories 0..11 as 4-bit
+# codes; all 162 standard AC symbols (EOB, (run,size) r=0..15 s=1..10, ZRL)
+# as 9-bit codes.  162 < 2^9 and canonical assignment starts at 0, so the
+# all-ones code is never used (T.81 requirement).
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_DC_BITS = [0] * 16
+_DC_BITS[3] = 12  # twelve 4-bit codes
+_AC_BITS = [0] * 16
+_AC_BITS[8] = len(_AC_SYMBOLS)  # 9-bit codes
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for li, n in enumerate(bits):
+        length = li + 1
+        for _ in range(n):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+        return bytes(self.out)
+
+
+def encode_jpeg(
+    width: int, height: int, seed: int = 0, pixels: bytes | None = None
+) -> bytes:
+    """Fully valid baseline (SOF0) grayscale JPEG.  Without ``pixels``,
+    values are constant per 8x8 block: pixel(x, y) =
+    (seed + 16*(x div 8) + 29*(y div 8)) % 256 — the generative formula
+    the catalog oracle reproduces.  The encoder runs the real pipeline
+    (level shift, float forward DCT, quantization, DC prediction, zigzag
+    run-length, canonical Huffman, byte stuffing); the block-constant
+    input makes every quantized AC exactly 0 and the quantized DC exactly
+    pixel-128, so the file decodes bit-exact.  With ``pixels`` (row-major
+    grayscale bytes), any image encodes through the same path with normal
+    JPEG quantization loss — the general-AC test input."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = 0
+    mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+
+    def px_at(px: int, py: int) -> int:
+        px, py = min(px, width - 1), min(py, height - 1)  # edge replication
+        if pixels is not None:
+            return pixels[py * width + px] - 128
+        return (seed + 16 * (px // 8) + 29 * (py // 8)) % 256 - 128
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            block = [
+                [px_at(mx * 8 + x, my * 8 + y) for x in range(8)]
+                for y in range(8)
+            ]
+            coef = [[0.0] * 8 for _ in range(8)]
+            for v in range(8):
+                for u in range(8):
+                    s = 0.0
+                    for y in range(8):
+                        for x in range(8):
+                            s += block[y][x] * _JPEG_COS[x][u] * _JPEG_COS[y][v]
+                    coef[v][u] = _JPEG_C[u] * _JPEG_C[v] * s / 4.0
+            q = [
+                int(round(coef[zz // 8][zz % 8] / _JPEG_QUANT[zz]))
+                for zz in _ZIGZAG
+            ]
+            diff = q[0] - pred
+            pred = q[0]
+            size = diff.bit_length() if diff else 0
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            for k in range(1, 64):
+                if q[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    bw.write(zc, zl)
+                    run -= 16
+                asize = abs(q[k]).bit_length()
+                code, length = ac_codes[(run << 4) | asize]
+                bw.write(code, length)
+                bw.write(q[k] if q[k] > 0 else q[k] + (1 << asize) - 1, asize)
+                run = 0
+            ec, el = ac_codes[0x00]
+            bw.write(ec, el)  # EOB
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # DQT body stores the table in zigzag order
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[pos] for pos in _ZIGZAG))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; any other
+    marker ends the segment (RSTn unsupported -> ValueError upstream)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.ended = False
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.ended or self.pos >= len(self.data):
+                raise ValueError("jpeg_decode_pixels: truncated entropy segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    self.ended = True
+                    raise ValueError("jpeg_decode_pixels: marker inside scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg_decode_pixels: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """REAL baseline-JPEG pixel decode, pure Python: marker walk, DQT /
+    DHT (canonical Huffman rebuilt from the file's own tables) / SOF0 /
+    SOS parse, byte-unstuffed bit reading, DC prediction, zigzag
+    placement, dequantization, full 2-D IDCT, level shift + clamp.
+    Supports 8-bit baseline streams with 1x1 sampling (no chroma
+    subsampling) and no restart markers; grayscale output is replicated
+    to RGB triples (row-major), 3-component YCbCr raises (the fixtures
+    are grayscale — conversion adds nothing the oracle could check).
+    Returns (width, height, RGB bytes)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg_decode_pixels: not a JPEG (no SOI)")
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc tbl, ac tbl)
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("jpeg_decode_pixels: marker sync lost")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        ln = int.from_bytes(data[i + 2 : i + 4], "big")
+        body = data[i + 4 : i + 2 + ln]
+        if ln < 2 or len(body) != ln - 2:
+            raise ValueError("jpeg_decode_pixels: truncated marker segment")
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq != 0:
+                    raise ValueError("jpeg_decode_pixels: 16-bit DQT unsupported")
+                if len(body) < j + 65:
+                    raise ValueError("jpeg_decode_pixels: truncated DQT")
+                zz = list(body[j + 1 : j + 65])
+                nat = [0] * 64
+                for k, pos in enumerate(_ZIGZAG):
+                    nat[pos] = zz[k]
+                quant[tq] = nat
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                nsym = sum(bits)
+                syms = list(body[j + 17 : j + 17 + nsym])
+                if len(bits) < 16 or len(syms) < nsym:
+                    raise ValueError("jpeg_decode_pixels: truncated DHT")
+                codes = _canonical_codes(bits, syms)
+                huff[(tc, th)] = {(l, c): s for s, (c, l) in codes.items()}
+                j += 17 + nsym
+        elif marker == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("jpeg_decode_pixels: truncated SOF")
+            if ncomp != 1:
+                raise ValueError(
+                    "jpeg_decode_pixels: only grayscale baseline supported"
+                )
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("jpeg_decode_pixels: subsampling unsupported")
+                comps.append((cid, tq))
+        elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
+            raise ValueError("jpeg_decode_pixels: non-baseline frame type")
+        elif marker == 0xDD:
+            raise ValueError("jpeg_decode_pixels: restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("jpeg_decode_pixels: truncated SOS")
+            for c in range(ns):
+                cs, tbl = body[1 + 2 * c], body[2 + 2 * c]
+                matches = [k for k, (cid, _) in enumerate(comps) if cid == cs]
+                if not matches:
+                    raise ValueError(
+                        "jpeg_decode_pixels: SOS references unknown component"
+                    )
+                scan_comps.append((matches[0], tbl >> 4, tbl & 15))
+            i = i + 2 + ln
+            break
+        i += 2 + ln
+    if not scan_comps or not w or not h:
+        raise ValueError("jpeg_decode_pixels: missing SOF/SOS")
+    br = _BitReader(data, i)
+    cidx, dc_t, ac_t = scan_comps[0]
+    qt = quant.get(comps[cidx][1])
+    dc_table, ac_table = huff.get((0, dc_t)), huff.get((1, ac_t))
+    if qt is None or dc_table is None or ac_table is None:
+        raise ValueError("jpeg_decode_pixels: scan references missing DQT/DHT")
+    mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+    gray = bytearray(w * h)
+    pred = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            coef = [0] * 64
+            size = _huff_decode(br, dc_table)
+            pred += _extend(br.bits(size), size) if size else 0
+            coef[0] = pred * qt[0]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_table)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("jpeg_decode_pixels: AC index overflow")
+                asize = rs & 15
+                coef[_ZIGZAG[k]] = _extend(br.bits(asize), asize) * qt[_ZIGZAG[k]]
+                k += 1
+            for y in range(8):
+                py = my * 8 + y
+                if py >= h:
+                    break
+                row = py * w
+                for x in range(8):
+                    px = mx * 8 + x
+                    if px >= w:
+                        break
+                    s = 0.0
+                    for v in range(8):
+                        cyv = _JPEG_COS[y][v] * _JPEG_C[v]
+                        base = v * 8
+                        for u in range(8):
+                            c = coef[base + u]
+                            if c:
+                                s += _JPEG_C[u] * c * _JPEG_COS[x][u] * cyv
+                    val = int(round(s / 4.0)) + 128
+                    gray[row + px] = 0 if val < 0 else 255 if val > 255 else val
+    rgb = bytearray(w * h * 3)
+    rgb[0::3] = gray
+    rgb[1::3] = gray
+    rgb[2::3] = gray
+    return w, h, bytes(rgb)
+
+
 CHANNEL_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -440,12 +810,12 @@ def image_channel_stats(
 ) -> DataFrame:
     """Per-channel pixel means from REAL pixel decoding (PNG via inflate +
     filter reconstruction, BMP via row parsing, GIF via general LZW +
-    palette lookup) — the feature-extraction step of an image-curation
-    pipeline, done on actual pixel data in pure Python.  Channel sums are
-    exact integers, so mean = sum/count is one bit-stable double division
-    — oracle-checkable.  Unsupported formats (JPEG's DCT) raise
-    ValueError at decode time: this operator never fakes pixel
-    statistics.
+    palette lookup, baseline JPEG via Huffman + dequant + IDCT) — the
+    feature-extraction step of an image-curation pipeline, done on actual
+    pixel data in pure Python.  Channel sums are exact integers, so
+    mean = sum/count is one bit-stable double division —
+    oracle-checkable.  Unsupported formats raise ValueError at decode
+    time: this operator never fakes pixel statistics.
 
     Scale: Arrow-batched mapInPandas; one task holds batch_size payloads;
     zero shuffle."""
@@ -461,10 +831,12 @@ def image_channel_stats(
                     w, h, px = bmp_decode_pixels(data)
                 elif data[:6] in (b"GIF87a", b"GIF89a"):
                     w, h, px = gif_decode_pixels(data)
+                elif data[:2] == b"\xff\xd8":
+                    w, h, px = jpeg_decode_pixels(data)
                 else:
                     raise ValueError(
                         "image_channel_stats: pixel decode supports "
-                        f"PNG/BMP/GIF only (magic {data[:4]!r})"
+                        f"PNG/BMP/GIF/JPEG only (magic {data[:4]!r})"
                     )
                 n = w * h
                 sr = sum(px[0::3])
@@ -525,9 +897,11 @@ def image_ahash(
                     w, h, px = bmp_decode_pixels(data)
                 elif data[:6] in (b"GIF87a", b"GIF89a"):
                     w, h, px = gif_decode_pixels(data)
+                elif data[:2] == b"\xff\xd8":
+                    w, h, px = jpeg_decode_pixels(data)
                 else:
                     raise ValueError(
-                        f"image_ahash: PNG/BMP/GIF only (magic {data[:4]!r})"
+                        f"image_ahash: PNG/BMP/GIF/JPEG only (magic {data[:4]!r})"
                     )
                 bs = [[0] * grid for _ in range(grid)]
                 bn = [[0] * grid for _ in range(grid)]
@@ -655,6 +1029,28 @@ def synth_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 else:
                     payload = encode_bmp(w, h, seed=i)
                 rows.append((i, payload, fmt))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "fmt"])
+
+    return df.select(id_col).mapInPandas(synth, SYNTH_SCHEMA)
+
+
+def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG payload synthesis: same dimension
+    formulas as synth_image_payload (width 16 + 7*id % 48, height
+    16 + 13*id % 48), pixels constant per 8x8 block via encode_jpeg's
+    generative formula (seed = doc_id), so the SQL oracle predicts every
+    decoded pixel: value(x, y) = (doc_id + 16*(x div 8) + 29*(y div 8))
+    % 256.  Fully valid SOF0 files — DQT/DHT/SOF0/SOS + entropy-coded
+    scan.  Arrow-batched mapInPandas; zero shuffle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = 16 + (i * 7) % 48
+                h = 16 + (i * 13) % 48
+                rows.append((i, encode_jpeg(w, h, seed=i), "jpeg"))
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "fmt"])
 
     return df.select(id_col).mapInPandas(synth, SYNTH_SCHEMA)

@@ -391,11 +391,19 @@ def test_image_channel_stats_refuses_undecodable(spark):
 
     from pimdb_spark.operators.multimodal import image_channel_stats
 
+    # unknown magic -> the dispatcher refuses
+    df = spark.createDataFrame(
+        [(1, b"XXXX not an image at all")],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="pixel decode supports PNG/BMP/GIF/JPEG"):
+        image_channel_stats(df).collect()
+    # JPEG magic but corrupt stream -> the real decoder raises, no fake stats
     df = spark.createDataFrame(
         [(1, b"\xff\xd8 not-pixel-decodable jpeg-ish")],
         "doc_id long, payload binary",
     )
-    with _pytest.raises(Exception, match="pixel decode supports PNG/BMP/GIF"):
+    with _pytest.raises(Exception, match="jpeg_decode_pixels"):
         image_channel_stats(df).collect()
 
 
@@ -466,3 +474,80 @@ def test_image_dup_pairs_banding(spark):
     # never a candidate against them, despite hamming 4 <= max_hamming
     # (it does pair with doc 3, whose band 0 coincides after the flips)
     assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """Baseline JPEG encode -> full decode (Huffman + dequant + IDCT) is
+    bit-exact for block-constant fixtures: DC quant step equals the DCT
+    gain, so the lossy format round-trips losslessly by construction."""
+    from pimdb_spark.operators.multimodal import (
+        encode_jpeg,
+        jpeg_decode_pixels,
+        parse_image_header,
+    )
+
+    for w, h, seed in [(16, 16, 0), (23, 37, 5), (50, 17, 123), (8, 8, 255)]:
+        data = encode_jpeg(w, h, seed)
+        assert parse_image_header(data) == (w, h, "L")
+        dw, dh, rgb = jpeg_decode_pixels(data)
+        assert (dw, dh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                expect = (seed + 16 * (x // 8) + 29 * (y // 8)) % 256
+                p = (y * w + x) * 3
+                assert rgb[p] == rgb[p + 1] == rgb[p + 2] == expect
+
+
+def test_jpeg_general_pixels_exercise_ac_path():
+    """A non-constant image drives the general AC run-length / extend /
+    IDCT path and round-trips within normal quantization error — the
+    decoder is a real baseline decoder, not a DC-only shortcut."""
+    from pimdb_spark.operators.multimodal import encode_jpeg, jpeg_decode_pixels
+
+    w, h = 24, 19
+    pixels = bytes(((3 * x + 7 * y) % 256) for y in range(h) for x in range(w))
+    data = encode_jpeg(w, h, pixels=pixels)
+    dw, dh, rgb = jpeg_decode_pixels(data)
+    assert (dw, dh) == (w, h)
+    errs = [
+        abs(rgb[(y * w + x) * 3] - pixels[y * w + x])
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert max(errs) <= 8  # smooth gradient: small quantization error only
+    assert sum(errs) / len(errs) < 2.0
+
+
+def test_jpeg_decoder_rejects_unsupported_and_corrupt():
+    from pimdb_spark.operators.multimodal import encode_jpeg, jpeg_decode_pixels
+    import pytest
+
+    with pytest.raises(ValueError):
+        jpeg_decode_pixels(b"\x89PNG\r\n\x1a\n")  # not a JPEG
+    data = bytearray(encode_jpeg(16, 16, 1))
+    # flip the SOF0 marker to SOF2 (progressive): non-baseline must raise
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg_decode_pixels(bytes(data))
+    # truncate mid-scan: must raise, never IndexError
+    data = encode_jpeg(16, 16, 1)
+    with pytest.raises(ValueError):
+        jpeg_decode_pixels(data[: len(data) // 2])
+
+
+def test_jpeg_decoder_corruption_fuzz_valueerror_only():
+    """Every single-byte corruption either decodes or raises ValueError —
+    never IndexError/KeyError/StopIteration (the bounds discipline all
+    binary parsers in this repo follow)."""
+    from pimdb_spark.operators.multimodal import encode_jpeg, jpeg_decode_pixels
+
+    data = bytearray(encode_jpeg(16, 16, 3))
+    for pos in range(2, len(data), 3):
+        for flip in (0x01, 0xFF):
+            d = bytearray(data)
+            d[pos] ^= flip
+            try:
+                jpeg_decode_pixels(bytes(d))
+            except ValueError:
+                pass
