@@ -256,13 +256,16 @@ _SQDIST = """
 """
 
 # Two-iteration Lloyd's unrolled as CTEs, parameterized over the source
-# relation name ({src}) so the same chain serves q_kmeans_assignments
-# (src=embeddings) and q_semdedup (src=the dup-injected base CTE).
+# relation name ({src}) and the cluster count ({k}) so the same chain
+# serves q_kmeans_assignments (src=embeddings, k=4) and q_semdedup
+# (src=the dup-injected base CTE, k=16 — SemDeDup's k grows with the
+# corpus to bound sum(cluster_size^2); every CTE except the init LIMIT is
+# k-independent).
 _KM_CTES = f"""
     init AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
              list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS cvec
-      FROM (SELECT vec_id, embedding FROM {{src}} ORDER BY vec_id LIMIT 4)
+      FROM (SELECT vec_id, embedding FROM {{src}} ORDER BY vec_id LIMIT {{k}})
     ), a1 AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -293,7 +296,7 @@ _KM_CTES = f"""
 """
 
 _KMEANS_ORACLE = (
-    "WITH " + _KM_CTES.format(src="embeddings")
+    "WITH " + _KM_CTES.format(src="embeddings", k=4)
     + " SELECT vec_id, cid AS cluster FROM a2"
 )
 
@@ -330,7 +333,7 @@ _SEMDEDUP_ORACLE = (
       SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
       WHERE vec_id % 7 = 0
     ), """
-    + _KM_CTES.format(src="base")
+    + _KM_CTES.format(src="base", k=16)
     + """, side AS (
       SELECT a2.vec_id, a2.cid AS cluster, e.embedding
       FROM a2 JOIN base e USING (vec_id)
@@ -351,7 +354,7 @@ _SEMDEDUP_ORACLE = (
 @register("q_semdedup", oracle=_SEMDEDUP_ORACLE, bench=True)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication (operators/clustering.semdedup — SemDeDup,
-    Abbas et al. 2023): k-means (k=4, 2 Lloyd passes) blocks the space,
+    Abbas et al. 2023): k-means (k=16, 2 Lloyd passes) blocks the space,
     then within each cluster every vector with a lower-id cosine>=0.95
     neighbor is marked keep=false.  Every 7th vector is duplicated
     (id + 100,000, same injection as q_embedding_dup_pairs) so the
@@ -376,7 +379,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pimdb_spark.operators.clustering import semdedup
 
-    return semdedup(base, k=4, n_iter=2, threshold=0.95, dim=64)
+    return semdedup(base, k=16, n_iter=2, threshold=0.95, dim=64)
 
 
 @register(

@@ -199,24 +199,46 @@ def semdedup(
     self-join attribute dedup mis-rebinds lambda variables inside
     higher-order functions (see similarity.embedding_dup_pairs), and a
     checkpointed leaf has no nested plan to mis-rewrite."""
-    from pimdb_spark.operators.similarity import scored_cosine
+    from pimdb_spark.operators.similarity import cosine_pandas, dot, norm
 
     assigned = kmeans_assignments(vecs, k, n_iter, dim, id_col, vec_col)
+    # Per-vector norms are computed ONCE here, before the checkpoint and
+    # the pair join: the pair stage then runs a single 64-element fold
+    # (the dot product) per candidate instead of three (dot + both
+    # norms).  Bit-parity with the oracle is preserved — sqrt(fold) over
+    # the same floats yields the same double whether evaluated per vector
+    # or per pair.  Measured ~3x less interpreted-lambda work on the
+    # fold scorer.
     side = (
         vecs.join(assigned, id_col)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cluster")
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+            "cluster",
+        )
         .localCheckpoint(eager=False)
     )
-    a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "cluster")
-    b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cluster")
-    dominated = (
-        scored_cosine(
-            a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b")),
-            "vec_a",
-            "vec_b",
-            scorer,
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"), "cluster",
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"), "cluster",
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    if scorer == "numpy":
+        scored = pairs.withColumn("cos", cosine_pandas("vec_a", "vec_b"))
+    elif scorer == "fold":
+        scored = pairs.withColumn(
+            "cos",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
         )
-        .filter(F.col("cos") >= threshold)
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}: use 'fold' or 'numpy'")
+    dominated = (
+        scored.filter(F.col("cos") >= threshold)
         .select(F.col("id_b").alias("_dropped"))
         .distinct()
     )

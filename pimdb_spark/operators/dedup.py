@@ -220,9 +220,7 @@ def simhash32_sql(toks_sql: str) -> str:
 
 
 def token_hashes_sql(toks_sql: str) -> str:
-    """SQL text: 32-bit md5-derived hash per distinct token.  Materialize
-    this in its own projection before simhash32_from_hashes_sql so md5 runs
-    once per token, not once per (token, bit)."""
+    """SQL text: 32-bit md5-derived hash per distinct token."""
     return (
         f"transform(array_distinct({toks_sql}), "
         "t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
@@ -230,13 +228,27 @@ def token_hashes_sql(toks_sql: str) -> str:
 
 
 def simhash32_from_hashes_sql(hashes_sql: str) -> str:
+    """All 32 bit-votes accumulate in ONE pass over the hash array: the
+    fold state is a 32-long vote vector updated per token via zip_with.
+
+    This shape matters: the naive form (a per-bit ``transform(sequence(0,
+    31), b -> aggregate(hashes, ...))``) references the hash array inside
+    the per-bit lambda, so after Catalyst's CollapseProject inlines the
+    md5 transform (it is textually a single reference, hence "cheap" to
+    collapse), md5 runs once per (token, bit) — 32x the hashing work.
+    Measured at sf0.1: 5.2 s -> 0.96 s for the single-pass form, identical
+    results.  With the hash transform inlined HERE, it sits in the fold's
+    input position and is evaluated exactly once per row regardless of
+    projection collapsing."""
     votes = (
-        f"aggregate({hashes_sql}, CAST(0 AS BIGINT), "
-        "(acc, h) -> acc + (((h >> b) & 1) * 2 - 1))"
+        f"aggregate({hashes_sql}, array_repeat(CAST(0 AS BIGINT), 32), "
+        "(acc, h) -> zip_with(acc, sequence(0, 31), "
+        "(a, b) -> a + (((h >> b) & 1) * 2 - 1)))"
     )
     bits = (
-        f"transform(sequence(0, 31), b -> CASE WHEN {votes} > 0 "
-        "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
+        f"zip_with({votes}, sequence(0, 31), "
+        "(v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+        "ELSE CAST(0 AS BIGINT) END)"
     )
     return f"aggregate({bits}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 
