@@ -272,6 +272,9 @@ _CHECK_FIRST: list[str] = [
     "q_snm_multipass",
     "q_inverted_index_capped",
     "q_jpeg_pixel_stats",
+    "q_funnel_steps",
+    "q_pagerank",
+    "q_triangle_count",
     # -- changed in round 9 --
     "q_sorted_neighborhood",   # higher-cardinality two-initial block
     "q_inverted_index",        # operator gained max_df (default None)

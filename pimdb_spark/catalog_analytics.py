@@ -20,10 +20,16 @@ from pimdb_spark.catalog import load, register
 from pimdb_spark.operators.analytics import (
     WEEK_US,
     cohort_retention,
+    funnel_steps,
     last_touch_attribution,
     session_paths,
 )
-from pimdb_spark.operators.graph import bfs_hops, co_occurrence_edges
+from pimdb_spark.operators.graph import (
+    bfs_hops,
+    co_occurrence_edges,
+    pagerank,
+    triangle_count,
+)
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -252,3 +258,149 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = ev.filter(F.col("user_id") % 20 == 0).select("user_id").distinct()
     return bfs_hops(edges, seeds, max_hops=3, seed_col="user_id")
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts, event_type AS typ FROM events
+    ), s1 AS (
+      SELECT user_id, min(CASE WHEN typ = 'view' THEN ts END) AS t1
+      FROM e GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, max(s1.t1) AS t1,
+             min(CASE WHEN typ = 'click' AND s1.t1 IS NOT NULL
+                       AND ts > s1.t1 THEN ts END) AS t2
+      FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, max(s2.t1) AS t1, max(s2.t2) AS t2,
+             min(CASE WHEN typ = 'purchase' AND s2.t2 IS NOT NULL
+                       AND ts > s2.t2 THEN ts END) AS t3
+      FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+    )
+    SELECT user_id, t1, t2, t3,
+           CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS steps_reached
+    FROM s3
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (operators/analytics.
+    funnel_steps): per user, the earliest time each step completes
+    strictly after the previous step; NULL from the first missed step on;
+    steps_reached counts completions.  Pure integer event-time math.
+
+    Scale: one aggregation per step, all keyed on user_id — a single hash
+    partitioning serves the chain; between-step state is one row per
+    user."""
+    ev = load(spark, sf_dir, "events")
+    return funnel_steps(
+        ev,
+        steps=["view", "click", "purchase"],
+        user_col="user_id",
+        ts_col="ts_us",
+        type_col="event_type",
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle=f"""
+    WITH {_edges_cte("WHERE event_type = 'purchase'", 8)},
+    sym AS (
+      SELECT src AS s, dst AS d FROM edges
+      UNION ALL
+      SELECT dst, src FROM edges
+    ), deg AS (
+      SELECT s, count(*) AS deg FROM sym GROUP BY s
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+    ), r0 AS (
+      SELECT deg.s AS node, deg.deg, CAST(1.0 AS DOUBLE) / nn.n AS rank
+      FROM deg, nn
+    ), i1 AS (
+      SELECT sym.d AS node,
+             list_reduce(list(r0.rank / r0.deg ORDER BY sym.s),
+                         (x, y) -> x + y) AS in_sum
+      FROM sym JOIN r0 ON sym.s = r0.node GROUP BY sym.d
+    ), r1 AS (
+      SELECT r0.node, r0.deg,
+             CAST(0.5 AS DOUBLE) / nn.n + CAST(0.5 AS DOUBLE) * i1.in_sum AS rank
+      FROM r0 JOIN i1 USING (node), nn
+    ), i2 AS (
+      SELECT sym.d AS node,
+             list_reduce(list(r1.rank / r1.deg ORDER BY sym.s),
+                         (x, y) -> x + y) AS in_sum
+      FROM sym JOIN r1 ON sym.s = r1.node GROUP BY sym.d
+    ), r2 AS (
+      SELECT r1.node,
+             CAST(0.5 AS DOUBLE) / nn.n + CAST(0.5 AS DOUBLE) * i2.in_sum AS rank
+      FROM r1 JOIN i2 USING (node), nn
+    )
+    SELECT node, rank FROM r2
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power iterations of PageRank (operators/graph.pagerank,
+    damping 0.5 — an exactly-representable double, so (1-d) and d-scaling
+    are exact on both engines) over the purchase co-occurrence graph.
+    The oracle unrolls the SAME two iterations; contributions sum as an
+    ordered fold over neighbors (the kmeans discipline), so an ITERATIVE
+    float algorithm hash-matches to the last bit.
+
+    Scale: one rank ⋈ edges equi-join + one destination groupBy per
+    iteration, both on node ids; state is (node, deg, rank)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+    )
+    edges = co_occurrence_edges(
+        purchases, ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8
+    )
+    return pagerank(edges, n_iter=2, damping=0.5)
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_edges_cte("WHERE event_type = 'purchase'", 8)},
+    degs AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY v
+    ), okv AS (
+      SELECT v FROM degs WHERE deg <= 30
+    ), ce AS (
+      SELECT a.src, a.dst FROM edges a
+      JOIN okv o1 ON a.src = o1.v JOIN okv o2 ON a.dst = o2.v
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM ce e1
+      JOIN ce e2 ON e1.dst = e2.src
+      JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), corners AS (
+      SELECT unnest([a, b, c]) AS node FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_count) over the
+    purchase co-occurrence graph with a degree cap of 30: each triangle
+    a<b<c is generated once as an (a,b)+(b,c) wedge closed by an (a,c)
+    edge check — two hash equi-joins, wedge volume bounded by the cap.
+
+    Scale: sum(deg^2) wedge cost with the cap as the dial; the corner
+    explode is 3 rows per triangle."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+    )
+    edges = co_occurrence_edges(
+        purchases, ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8
+    )
+    return triangle_count(edges, max_degree=30)

@@ -194,3 +194,63 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(k)
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest timestamp at
+    which each step of ``steps`` completes IN ORDER — t_k is the minimum
+    event time of step k STRICTLY AFTER t_{k-1} (earliest-first
+    semantics, the standard product-funnel definition).  A user who never
+    reaches step k has NULL from t_k on.  Output: one row per user with
+    (user, t_1..t_n, steps_reached).
+
+    All comparisons are integer epoch-microsecond arithmetic — every
+    output value is engine-exact.
+
+    Scale: one aggregation per step, every one keyed on user_id, so a
+    single hash partitioning serves the whole chain (each round is a
+    co-partitioned join + groupBy on the same key; AQE reuses the
+    exchange).  State between rounds is one row per user.  Step count is
+    a plan-size multiplier, not a data multiplier."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("typ"),
+    )
+    cur = ev.groupBy("user").agg(
+        F.min(F.when(F.col("typ") == steps[0], F.col("ts"))).alias("t1")
+    )
+    for k in range(2, len(steps) + 1):
+        prev = f"t{k - 1}"
+        carried = [F.max(f"t{j}").alias(f"t{j}") for j in range(1, k)]
+        cur = (
+            ev.join(cur, "user")
+            .groupBy("user")
+            .agg(
+                *carried,
+                F.min(
+                    F.when(
+                        (F.col("typ") == steps[k - 1])
+                        & (F.col(prev).isNotNull())
+                        & (F.col("ts") > F.col(prev)),
+                        F.col("ts"),
+                    )
+                ).alias(f"t{k}"),
+            )
+        )
+    reached = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        reached = reached + F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        F.col("user").alias(user_col),
+        *[F.col(f"t{k}") for k in range(1, len(steps) + 1)],
+        reached.cast("int").alias("steps_reached"),
+    )

@@ -111,3 +111,118 @@ def bfs_hops(
         visited = visited.union(fresh).localCheckpoint(eager=True)
         frontier = fresh
     return visited.select(F.col("node"), F.col("hop"))
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over the undirected edge list (both directions walk), the
+    classic importance score for interaction graphs.  Returns (node, rank)
+    after ``n_iter`` power iterations from the uniform vector.
+
+    Bit-determinism (the house rule for float iteration, see
+    clustering.kmeans_assignments): each node's incoming contributions are
+    summed as an ORDERED fold over neighbors sorted by source id — never a
+    partial-aggregation-order groupBy sum — so every iteration is exactly
+    reproducible and a DuckDB oracle can unroll the same iterations to the
+    last bit.  The node count rides along as a one-row broadcast attach
+    (never collected to the driver).
+
+    Scale: per iteration, ONE hash equi-join (ranks ⋈ edges on the source
+    node) + one groupBy on the destination — both partition on a node id,
+    so AQE reuses the exchange; state is (node, rank, degree) only.  The
+    ordered fold makes the per-group cost O(degree) with an O(degree)
+    collected list: for web-scale supernodes swap the fold for a plain
+    sum (losing bit-parity, not correctness).  A symmetric simple graph
+    has no dangling nodes, so no dangling-mass redistribution term is
+    needed; rank mass is conserved by construction."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # (node, deg, n): the per-node loop state frame
+    state = deg.crossJoin(F.broadcast(n_row)).select(
+        F.col("s").alias("node"), "deg", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = sym.join(
+            state.select(
+                F.col("node").alias("s"), (F.col("rank") / F.col("deg")).alias("c")
+            ),
+            "s",
+        )
+        summed = contrib.groupBy("d").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("c")))),
+                F.lit(0.0),
+                lambda acc, v: acc + v["c"],
+            ).alias("in_sum")
+        )
+        state = (
+            state.join(summed, state.node == summed.d)
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    (1.0 - damping) / F.col("n") + damping * F.col("in_sum")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge list
+    (rows src < dst, distinct).  Returns (node, n_triangles) for every
+    node on at least one triangle.
+
+    Each triangle a<b<c is generated exactly once: (a,b) ⋈ (b,c) wedges
+    (the shared vertex is the middle id) closed by an (a,c) edge-existence
+    semi-check — two hash equi-joins, never a cross product.  With
+    ``max_degree``, vertices above the cap are dropped first (both the
+    wedge volume Σ deg(b)² and the output drop; the standard high-degree
+    mitigation — a celebrity node's triangles are rarely worth their
+    quadratic wedge cost, and the drop is explicit, not an overflow).
+
+    Scale: wedge volume is Σ_b deg(b)² bounded by the cap; the close join
+    ships (a, b, c) triples keyed on (a, c).  Per-node counts come from
+    exploding each triangle's three corners — 3 rows per triangle, one
+    final groupBy."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    if max_degree is not None:
+        sym = e.select(F.col("a").alias("v")).union(e.select("b"))
+        ok = (
+            sym.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") <= max_degree)
+            .select("v")
+        )
+        e = (
+            e.join(ok.withColumnRenamed("v", "a"), "a")
+            .join(ok.withColumnRenamed("v", "b"), "b")
+            .select("a", "b")
+        )
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )  # a<b<c by construction
+    closed = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    corners = closed.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -189,3 +189,57 @@ def test_bfs_hops_multicolumn_seeds_requires_seed_col(spark):
         for r in bfs_hops(edges, seeds, max_hops=1, seed_col="user_id").collect()
     }
     assert got == {1: 0, 2: 1}
+
+
+def test_funnel_steps_ordered_semantics(spark):
+    rows = [
+        # user 1 completes A->B->C in order
+        (1, 1, 100, "A"), (2, 1, 200, "B"), (3, 1, 300, "C"),
+        # user 2 has B BEFORE A: step 2 must use the B AFTER A (none) -> t2 NULL
+        (4, 2, 100, "B"), (5, 2, 200, "A"),
+        # user 3: A then C then B then C -> t3 is the C after B (400), not 250
+        (6, 3, 100, "A"), (7, 3, 250, "C"), (8, 3, 300, "B"), (9, 3, 400, "C"),
+        # user 4: no step-1 event at all
+        (10, 4, 100, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, event_type string"
+    )
+    from pimdb_spark.operators.analytics import funnel_steps
+
+    out = {r.user_id: (r.t1, r.t2, r.t3, r.steps_reached)
+           for r in funnel_steps(df, ["A", "B", "C"]).collect()}
+    assert out == {
+        1: (100, 200, 300, 3),
+        2: (200, None, None, 1),
+        3: (100, 300, 400, 3),
+        4: (None, None, None, 0),
+    }
+
+
+def test_pagerank_star_and_mass_conservation(spark):
+    """Star graph 0-1, 0-2, 0-3: the hub must outrank the leaves, the
+    three leaves tie exactly, and total rank mass stays 1."""
+    from pimdb_spark.operators.graph import pagerank
+
+    edges = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=3, damping=0.5).collect()}
+    assert set(ranks) == {0, 1, 2, 3}
+    assert ranks[1] == ranks[2] == ranks[3]
+    assert ranks[0] > ranks[1]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-12
+
+
+def test_triangle_count_counts_and_degree_cap(spark):
+    from pimdb_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4}: every node is on 3 triangles
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    out = {r.node: r.n_triangles for r in triangle_count(_edges(spark, k4)).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # cap 2 drops every K4 vertex (degree 3); the separate triangle
+    # {10,11,12} (degree 2 each) survives
+    both = k4 + [(10, 11), (10, 12), (11, 12)]
+    capped = {r.node: r.n_triangles
+              for r in triangle_count(_edges(spark, both), max_degree=2).collect()}
+    assert capped == {10: 1, 11: 1, 12: 1}
