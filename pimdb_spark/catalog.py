@@ -275,6 +275,8 @@ _CHECK_FIRST: list[str] = [
     "q_funnel_steps",
     "q_pagerank",
     "q_triangle_count",
+    "q_sparse_doc_sim",
+    "q_group_auc",
     # -- changed in round 9 --
     "q_sorted_neighborhood",   # higher-cardinality two-initial block
     "q_inverted_index",        # operator gained max_df (default None)

@@ -633,3 +633,102 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return validate_constraints(events, rules)
+
+
+@register(
+    "q_sparse_doc_sim",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks WHERE len(t) >= 2
+    ), tf AS (
+      SELECT doc_id AS doc, gram, count(*) AS tf FROM grams GROUP BY 1, 2
+    ), dfs AS (
+      SELECT gram, count(*) AS df FROM tf GROUP BY gram
+      HAVING count(*) <= 40
+    ), nn AS (
+      SELECT count(*) AS n FROM documents
+    ), w AS (
+      SELECT doc, tf.gram,
+             tf.tf * ((CAST(nn.n AS DOUBLE) - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+      FROM tf JOIN dfs USING (gram), nn
+    ), n2 AS (
+      SELECT doc, list_reduce(list(w * w ORDER BY gram), (x, y) -> x + y) AS n2
+      FROM w GROUP BY doc
+    ), dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             list_reduce(list(a.w * b.w ORDER BY a.gram), (x, y) -> x + y) AS dot
+      FROM w a JOIN w b ON a.gram = b.gram AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+    FROM dots JOIN n2 na ON dots.doc_a = na.doc
+              JOIN n2 nb ON dots.doc_b = nb.doc
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+    """,
+)
+def q_sparse_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine over bigrams (operators/retrieval.
+    sparse_doc_similarity, max_df=40, threshold 0.5) — the lexical twin
+    of the dense embedding near-dup operators: candidates come from an
+    equi-join on shared under-the-cap grams (never all-pairs; Σdf²
+    bounded), weights use the rational idf, and norms/dots are ordered
+    folds so every cosine is engine-exact.
+
+    Scale: one gram shuffle for tf, capped-gram pair join keyed on gram,
+    pair groupBy on (doc_a, doc_b); max_df is the cost dial."""
+    docs = load(spark, sf_dir, "documents")
+    return R.sparse_doc_similarity(docs, max_df=40, threshold=0.5, n=2)
+
+
+@register(
+    "q_group_auc",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id % 3 AS bucket, label >= 5 AS is_pos,
+             embedding[1]::DOUBLE AS s
+      FROM embeddings
+    ), ranked AS (
+      SELECT bucket, is_pos,
+             rank() OVER (PARTITION BY bucket ORDER BY s)
+               + (count(*) OVER (PARTITION BY bucket, s) - 1) / 2.0::DOUBLE
+                 AS arank
+      FROM base
+    ), agg AS (
+      SELECT bucket,
+             sum(CASE WHEN is_pos THEN arank END) AS rank_sum,
+             CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM ranked GROUP BY bucket
+    )
+    SELECT bucket, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (rank_sum - n_pos * (n_pos + 1) / 2.0::DOUBLE)
+                     / CAST(n_pos * n_neg AS DOUBLE)
+           END AS auc
+    FROM agg
+    """,
+)
+def q_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-slice ROC AUC (operators/profile.group_auc) via the
+    rank-sum identity with average ranks for ties — the offline model
+    eval gate, computed exactly (ranks are half-integers, their sums
+    order-independent in double; one final division).  Slices are
+    vec_id % 3, positives label >= 5, score the first embedding
+    coordinate.
+
+    Scale: one group-key exchange feeds both rank windows and the final
+    aggregation."""
+    from pimdb_spark.operators.profile import group_auc
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") % 3).alias("bucket"),
+        (F.col("label") >= 5).alias("is_pos"),
+        F.element_at("embedding", 1).cast("double").alias("s"),
+    )
+    return group_auc(base, "bucket", "is_pos", "s")

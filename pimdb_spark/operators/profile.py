@@ -215,3 +215,61 @@ def validate_constraints(
         ]
     )
     return row.select(F.explode(per_rule).alias("r")).select("r.*")
+
+
+def group_auc(
+    df: DataFrame,
+    group_col: str,
+    label_col,
+    score_col,
+) -> DataFrame:
+    """Exact per-group ROC AUC via the rank-sum (Mann-Whitney U)
+    identity: AUC = (Σ ranks of positives - n_pos(n_pos+1)/2) /
+    (n_pos · n_neg), with AVERAGE ranks for tied scores — the standard
+    tie convention, equivalently counting ties as half-wins.  The
+    offline-eval gate of a training pipeline (per-domain / per-slice
+    model quality) computed exactly, no sampling, no trapezoids.
+
+    ``label_col`` is a boolean column/expression (positive class);
+    ``score_col`` a numeric expression.  Groups with zero positives or
+    zero negatives emit NULL auc (undefined), keeping the row auditable.
+
+    Exactness: ranks are integers, average ranks half-integers; their
+    sums are exact in double at any realistic group size (multiples of
+    0.5 below 2^52), so the sum is independent of partial-aggregation
+    order and ONE final division makes the value engine-exact.
+
+    Scale: one hash exchange on the group key feeds both rank windows
+    (rank + tie count share the sort) and the final aggregation; state
+    is O(1) per group."""
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    base = df.select(
+        F.col(group_col).alias("grp"), lbl.alias("pos"), sc.alias("score")
+    )
+    w_rank = Window.partitionBy("grp").orderBy("score")
+    w_tie = Window.partitionBy("grp", "score")
+    ranked = base.select(
+        "grp",
+        "pos",
+        # average rank of a tie bucket = first rank + (bucket size - 1)/2
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("arank"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum(F.when(F.col("pos"), F.col("arank"))).alias("rank_sum"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_neg"),
+    )
+    u = F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )

@@ -183,3 +183,118 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def ngram_weights(
+    docs: DataFrame,
+    max_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    n: int = 2,
+    idf_fn: Callable[[Column, Column], Column] = _rational_idf,
+) -> DataFrame:
+    """Per-(doc, n-gram) TF-IDF weights with a df flood cap: grams in more
+    than ``max_df`` documents are dropped (they carry ~no signal and are
+    exactly the grams whose pair joins explode).  Returns
+    (doc, gram, w) with w = tf * rational_idf(df, N); the corpus size
+    rides along as a one-row broadcast."""
+    toks = F.split(F.col(text_col), sep)
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    sep, *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(grams).alias("gram"))
+        .groupBy("doc", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = (
+        tf.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        tf.join(dfs, "gram")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "gram",
+            (F.col("tf") * idf_fn(F.col("df"), F.col("_n_docs"))).alias("w"),
+        )
+    )
+
+
+def sparse_doc_similarity(
+    docs: DataFrame,
+    max_df: int,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    n: int = 2,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over n-gram TF-IDF vectors — the
+    lexical counterpart to the dense embedding near-dup operators
+    (similarity.embedding_dup_pairs): candidate pairs are generated by an
+    EQUI-JOIN on shared grams, so two documents are compared iff they
+    share at least one under-the-cap gram, and the ``max_df`` cap bounds
+    candidate volume at Σ_gram df² — the DISCO/stop-word discipline;
+    never all-pairs.  Returns (doc_a, doc_b, cos) with doc_a < doc_b and
+    cos >= threshold.
+
+    Bit-determinism: per-doc norms and per-pair dot products are ORDERED
+    folds over grams sorted lexicographically (gram keys are unique per
+    doc after the tf aggregation), so a DuckDB oracle reproduces every
+    cosine exactly; the idf is the repo's rational convention (no log).
+
+    Scale: one gram shuffle for tf; the pair join ships (doc, gram, w)
+    for capped grams only; the pair groupBy keys on (doc_a, doc_b);
+    norms attach via two doc-keyed joins.  max_df is the cost dial —
+    exactly the knob inverted_index documents."""
+    w = ngram_weights(docs, max_df, id_col, text_col, sep, n).localCheckpoint(
+        eager=False
+    )
+    n2 = w.groupBy("doc").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("gram"), (F.col("w") * F.col("w")).alias("w2")))),
+            F.lit(0.0),
+            lambda acc, v: acc + v["w2"],
+        ).alias("n2")
+    )
+    a = w.select(F.col("doc").alias("doc_a"), "gram", F.col("w").alias("w_a"))
+    b = w.select(F.col("doc").alias("doc_b"), "gram", F.col("w").alias("w_b"))
+    dots = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("gram"), (F.col("w_a") * F.col("w_b")).alias("p"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v["p"],
+            ).alias("dot")
+        )
+    )
+    na = n2.select(F.col("doc").alias("doc_a"), F.sqrt("n2").alias("na"))
+    nb = n2.select(F.col("doc").alias("doc_b"), F.sqrt("n2").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )

@@ -240,3 +240,52 @@ def test_mixture_plan_binding_source(spark):
     assert out["c"].allocation == 60    # 90*2 DIV 3
     for r in out.values():
         assert r.allocation <= r.available
+
+
+def test_sparse_doc_similarity_semantics(spark):
+    """Identical docs reach cos 1.0; docs sharing no under-cap gram are
+    never candidates; a stop-gram above max_df is excluded from scoring."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="alpha beta gamma"),   # exact twin of 1
+            Row(doc_id=3, text="delta epsilon zeta"),  # disjoint from 1/2
+            Row(doc_id=4, text="alpha beta other"),    # shares "alpha beta"
+        ]
+    )
+    from pimdb_spark.operators.retrieval import sparse_doc_similarity
+
+    out = {(r.doc_a, r.doc_b): r.cos
+           for r in sparse_doc_similarity(docs, max_df=10, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out  # no shared gram: no pair
+    assert 0.0 < out[(1, 4)] < 1.0
+    # cap = 2: "alpha beta" (df 3) now dropped -> 1-4 lose their only
+    # shared gram; 1-2 still pair on "beta gamma" (df 2)
+    capped = {(r.doc_a, r.doc_b)
+              for r in sparse_doc_similarity(docs, max_df=2, threshold=0.0).collect()}
+    assert (1, 2) in capped and (1, 4) not in capped
+
+
+def test_group_auc_exact_values(spark):
+    """Perfect separation -> 1.0; reversed -> 0.0; a tie between one pos
+    and one neg -> the half-win convention; one-class groups -> NULL."""
+    rows = [
+        # g=perfect: pos scores all above neg
+        ("perfect", True, 0.9), ("perfect", True, 0.8),
+        ("perfect", False, 0.2), ("perfect", False, 0.1),
+        # g=reversed
+        ("rev", True, 0.1), ("rev", False, 0.9),
+        # g=tied: one pos and one neg share the score -> AUC 0.5
+        ("tied", True, 0.5), ("tied", False, 0.5),
+        # g=onecls: no negatives
+        ("onecls", True, 0.7), ("onecls", True, 0.3),
+    ]
+    df = spark.createDataFrame(rows, "g string, pos boolean, s double")
+    from pimdb_spark.operators.profile import group_auc
+
+    out = {r.g: (r.n_pos, r.n_neg, r.auc) for r in group_auc(df, "g", "pos", "s").collect()}
+    assert out["perfect"] == (2, 2, 1.0)
+    assert out["rev"] == (1, 1, 0.0)
+    assert out["tied"] == (1, 1, 0.5)
+    assert out["onecls"] == (2, 0, None)
