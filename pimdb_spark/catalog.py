@@ -277,6 +277,8 @@ _CHECK_FIRST: list[str] = [
     "q_triangle_count",
     "q_sparse_doc_sim",
     "q_group_auc",
+    "q_bpe_pairs",
+    "q_bpe_train",
     # -- changed in round 9 --
     "q_sorted_neighborhood",   # higher-cardinality two-initial block
     "q_inverted_index",        # operator gained max_df (default None)

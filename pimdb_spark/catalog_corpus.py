@@ -196,3 +196,107 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_divergence(
         docs.filter(F.col("lang") == "en"), docs.filter(F.col("lang") != "en")
     )
+
+
+# --- BPE tokenizer-training oracles -------------------------------------
+# Shared CTE fragments: the word vocabulary, pair counting over a symbol
+# string, one merge rewrite.  DuckDB replace() has the same left-to-right
+# non-overlapping semantics as Spark's F.replace, applied twice for
+# back-to-back occurrences (see operators/corpus.bpe_train_steps).
+
+_BPE_WORDS = """
+    words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    )"""
+
+# pair counts over a (sym, freq) relation named {v}: symbols are the
+# space-split of trim(sym)
+def _bpe_counts(v: str) -> str:
+    return f"""(
+      SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq, s, unnest(range(1, len(s))) AS i
+        FROM (SELECT string_split(trim(sym), ' ') AS s, freq FROM {v})
+      ) GROUP BY 1, 2
+    )"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    parts = [
+        "WITH " + _BPE_WORDS + """, v0 AS (
+      SELECT ' ' || array_to_string(
+               list_append(list_transform(range(1, len(word) + 1),
+                                          i -> word[i]), '</w>'), ' ')
+             || ' ' AS sym, freq
+      FROM words
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f", c{r} AS {_bpe_counts(f'v{r - 1}')}")
+        parts.append(
+            f", b{r} AS (SELECT lhs, rhs, cnt FROM c{r} "
+            "ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if r < n_merges:
+            parts.append(
+                f""", v{r} AS (
+      SELECT replace(replace(sym,
+               ' ' || b.lhs || ' ' || b.rhs || ' ',
+               ' ' || b.lhs || b.rhs || ' '),
+               ' ' || b.lhs || ' ' || b.rhs || ' ',
+               ' ' || b.lhs || b.rhs || ' ') AS sym, freq
+      FROM v{r - 1}, b{r} b
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, lhs, rhs, cnt FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + " " + selects
+
+
+@register(
+    "q_bpe_pairs",
+    oracle="WITH "
+    + _BPE_WORDS
+    + """, syms AS (
+      SELECT freq,
+             list_append(list_transform(range(1, len(word) + 1),
+                                        i -> word[i]), '</w>') AS s
+      FROM words
+    )
+    SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM syms)
+    GROUP BY 1, 2
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus vocabulary
+    (operators/corpus.bpe_pair_counts) — the inner statistic of BPE
+    tokenizer training: chars + </w> end marker, counts weighted by word
+    frequency.
+
+    Scale: the symbol explode runs over DISTINCT words (Zipf: orders of
+    magnitude below corpus occurrences); one pair groupBy with map-side
+    combine."""
+    docs = load(spark, sf_dir, "documents")
+    return C.bpe_pair_counts(docs)
+
+
+@register("q_bpe_train", oracle=_bpe_oracle(3))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of BPE tokenizer training (operators/corpus.
+    bpe_train_steps): per round, pair counts over the distinct-word
+    vocabulary, deterministic top pair (count desc, then the pair
+    strings), whole-token left-to-right merge rewrite.  The oracle
+    unrolls the identical three rounds — an ITERATIVE vocabulary
+    algorithm under the hash gate (the kmeans/pagerank discipline,
+    here with exact integer counts).
+
+    Scale: per round one pair-count shuffle + a top-1 TakeOrdered; the
+    winning pair attaches as a one-row broadcast; vocabulary state is
+    one row per distinct word, checkpointed per round."""
+    docs = load(spark, sf_dir, "documents")
+    return C.bpe_train_steps(docs, n_merges=3)

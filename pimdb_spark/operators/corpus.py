@@ -328,3 +328,132 @@ def corpus_divergence(
         .orderBy(F.col("chi2").desc(), "token")
         .limit(top_k)
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies — the inner statistic
+    of byte-pair-encoding tokenizer training.  Words are whitespace
+    tokens with the </w> end marker; symbols start as characters; the
+    count of pair (a, b) is Σ over distinct words of
+    word_frequency x in-word occurrences.  Returns (lhs, rhs, cnt) —
+    named to dodge LEFT/RIGHT reserved-word traps downstream.
+
+    Scale: the word vocabulary is distinct-ed FIRST (groupBy word →
+    freq), so the per-word symbol explode runs once per DISTINCT word,
+    not once per corpus occurrence — on a natural-language corpus that
+    is orders of magnitude less work (Zipf); the only other shuffle is
+    the final pair groupBy with map-side combine."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return _pair_counts_from_words(words, F.col("word"))
+
+
+def _pair_counts_from_words(words: DataFrame, symbols_src) -> DataFrame:
+    """(word, freq) + a column expression rendering the word as a
+    space-joined symbol string -> (lhs, rhs, cnt).  Internal: shared
+    by bpe_pair_counts (char symbols) and bpe_train_steps (post-merge
+    symbol strings)."""
+    syms = F.split(symbols_src, " ") if isinstance(symbols_src, str) else None
+    if syms is None:
+        # char symbols + </w>: "ab" -> ["a", "b", "</w>"]
+        syms = F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+        )
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lhs"),
+                F.element_at(syms, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+
+def bpe_train_steps(
+    docs: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``n_merges`` rounds of BPE tokenizer training as DataFrame plans:
+    each round counts adjacent-symbol pairs over the (distinct-word,
+    frequency) vocabulary, picks the most frequent pair — ties broken on
+    (left, right) strings, so the winner is deterministic on every
+    engine — and merges every non-overlapping left-to-right occurrence.
+    Returns one row per merge round: (merge_rank, lhs, rhs, cnt).
+
+    The merge rewrite is a whole-token string replace on the space-joined
+    symbol rendering (" a b " -> " ab " with boundary guards), which is
+    exactly BPE's left-to-right non-overlapping rule; the winning pair
+    attaches to the vocabulary as a ONE-ROW BROADCAST (never collected),
+    and each round's vocabulary is localCheckpoint-ed — the house
+    iterative pattern (kmeans/bfs).
+
+    Scale: the heavy statistic (pair counts) runs over distinct words x
+    rounds; vocabulary state is one row per distinct word.  Production
+    BPE runs thousands of merges — each round here is one pair-count
+    shuffle + a TakeOrdered top-1, so rounds are cheap but sequential;
+    batch several merges per count round (the standard approximation)
+    when merge count dominates."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # symbol rendering with sentinel spaces for whole-symbol replace
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))),
+                    " ",
+                ),
+                F.lit(" "),
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for rank in range(1, n_merges + 1):
+        counts = _pair_counts_from_words(
+            words.select(F.trim(F.col("sym")).alias("word"), "freq"), "word"
+        )
+        best = (
+            counts.orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"), "lhs", "rhs", "cnt"
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = best if out is None else out.unionByName(best)
+        # merge: " left right " -> " leftright "; replace twice because
+        # left-to-right non-overlapping replace consumes the shared
+        # boundary space of back-to-back occurrences ("a b a b")
+        pat = F.concat(F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+        words = (
+            words.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select(
+                F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out

@@ -89,3 +89,48 @@ def test_top_ngrams_plans_take_ordered(spark):
 
     plan = plan_of(C.top_ngrams(load(spark, SF, "documents"), n=2, k=20))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest")], ["doc_id", "text"]
+    )
+    from pimdb_spark.operators.corpus import bpe_pair_counts
+
+    got = {(r.lhs, r.rhs): r.cnt for r in bpe_pair_counts(docs).collect()}
+    # "low" x3, "lower" x1 -> (l,o) and (o,w) appear 4x; "w </w>" only in low x3
+    assert got[("l", "o")] == 4
+    assert got[("o", "w")] == 4
+    assert got[("w", "</w>")] == 3
+    assert got[("t", "</w>")] == 1  # newest
+
+
+def test_bpe_train_steps_merges_in_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest")], ["doc_id", "text"]
+    )
+    from pimdb_spark.operators.corpus import bpe_train_steps
+
+    steps = sorted(bpe_train_steps(docs, 3).collect(), key=lambda r: r.merge_rank)
+    # round 1: (l,o) and (o,w) tie at 4; lexicographic tie-break picks (l,o)
+    assert (steps[0].lhs, steps[0].rhs, steps[0].cnt) == ("l", "o", 4)
+    # round 2: merged symbol "lo" now pairs with w 4x
+    assert (steps[1].lhs, steps[1].rhs, steps[1].cnt) == ("lo", "w", 4)
+    # round 3: "low </w>" 3x beats the rest
+    assert (steps[2].lhs, steps[2].rhs, steps[2].cnt) == ("low", "</w>", 3)
+
+
+def test_bpe_merge_handles_back_to_back_occurrences(spark):
+    # word "abab": symbols a b a b </w>; merging (a,b) must produce
+    # ab ab </w> — the second occurrence shares the boundary space the
+    # first replace consumed (the double-replace rule)
+    docs = spark.createDataFrame([(1, "abab abab")], ["doc_id", "text"])
+    from pimdb_spark.operators.corpus import bpe_train_steps
+
+    steps = sorted(bpe_train_steps(docs, 2).collect(), key=lambda r: r.merge_rank)
+    assert (steps[0].lhs, steps[0].rhs, steps[0].cnt) == ("a", "b", 4)
+    # after the merge the word is "ab ab </w>": pairs (ab,ab) and (ab,</w>)
+    # tie at 2, and '<' sorts before 'a' so (ab,</w>) wins the tie-break.
+    # Count 2 itself proves BOTH back-to-back occurrences merged: a failed
+    # second merge would leave "ab a b </w>" with no (ab,</w>) pair at all.
+    assert (steps[1].lhs, steps[1].rhs, steps[1].cnt) == ("ab", "</w>", 2)
