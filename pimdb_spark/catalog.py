@@ -283,8 +283,10 @@ _CHECK_FIRST: list[str] = [
     "q_sorted_neighborhood",   # higher-cardinality two-initial block
     "q_inverted_index",        # operator gained max_df (default None)
     "q_semdedup",              # k=4 -> k=16 (bounded sum(size^2)) + pre-join norms
-    # (q_simhash also changed — single-pass vote fold — but it already
-    # sits in the r6-stale group below, inside the window either way)
+    # (q_simhash — single-pass vote fold — and the similarity fold
+    # entries q_cosine_topk / q_lsh_ann_topk / q_ivf_ann_topk /
+    # q_embedding_dup_pairs — pre-join norm hoist — also changed, but
+    # they already sit in the r6-stale group below, inside the window)
     # -- stalest first: last green r6 (bumped from round 8's window) --
     "q_lsh_ann_topk",
     "q_ivf_ann_topk",

@@ -124,6 +124,7 @@ def ivf_topk(
         side = df.select(
             F.col(query_id if id_alias == "q_id" else cand_id).alias(id_alias),
             F.col(vec_col).alias(id_alias[0] + "_vec"),
+            norm(F.col(vec_col)).alias(id_alias[0] + "_nrm"),
         )
         if id_alias == "q_id":
             # query side lazily checkpointed — small by contract, and it
@@ -141,16 +142,17 @@ def ivf_topk(
     # lsh_ann_topk docstring) — cells are non-null, semantics identical,
     # still a hash equi-join
     assigned = with_dists(candidates, "c_id").select(
-        "c_id", "c_vec", F.array_position("dists", F.array_min("dists")).alias("c_cell")
+        "c_id", "c_vec", "c_nrm",
+        F.array_position("dists", F.array_min("dists")).alias("c_cell"),
     )
     probe_w = Window.partitionBy("q_id").orderBy("dist", "q_cell")
     probes = (
         with_dists(queries, "q_id")
-        .select("q_id", "q_vec", F.posexplode("dists").alias("pos", "dist"))
+        .select("q_id", "q_vec", "q_nrm", F.posexplode("dists").alias("pos", "dist"))
         .withColumn("q_cell", (F.col("pos") + 1).cast("bigint"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
-        .select("q_id", "q_vec", "q_cell")
+        .select("q_id", "q_vec", "q_nrm", "q_cell")
     )
     scored = scored_cosine(
         assigned.join(probes, F.col("c_cell").eqNullSafe(F.col("q_cell"))).filter(
@@ -159,6 +161,8 @@ def ivf_topk(
         "q_vec",
         "c_vec",
         scorer,
+        a_norm="q_nrm",
+        b_norm="c_nrm",
     ).withColumn("cos", F.round("cos", round_digits))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
     return (
@@ -168,7 +172,14 @@ def ivf_topk(
     )
 
 
-def scored_cosine(df: DataFrame, a: str, b: str, scorer: str = "fold") -> DataFrame:
+def scored_cosine(
+    df: DataFrame,
+    a: str,
+    b: str,
+    scorer: str = "fold",
+    a_norm: str | None = None,
+    b_norm: str | None = None,
+) -> DataFrame:
     """Attach a ``cos`` column scoring df[a] x df[b].
 
     scorer="fold": JVM-side sequential fold — deterministic accumulation
@@ -177,10 +188,21 @@ def scored_cosine(df: DataFrame, a: str, b: str, scorer: str = "fold") -> DataFr
     BLAS summation order may differ from the fold in the last ulp, which
     the round-digits contract downstream absorbs (ranking happens on
     values rounded to >=4 fewer digits than the ulp gap, ties break by
-    id)."""
+    id).
+
+    With ``a_norm``/``b_norm`` (names of PRE-COMPUTED norm columns), the
+    fold path runs one fold per pair (the dot) instead of three —
+    bit-identical to inline norms (same expression over the same floats;
+    the semdedup measurement: ~3x less interpreted-fold work).  Callers
+    should compute norms once per vector in their side frames."""
     if scorer == "numpy":
         return df.withColumn("cos", cosine_pandas(a, b))
     if scorer == "fold":
+        if a_norm is not None and b_norm is not None:
+            return df.withColumn(
+                "cos",
+                dot(F.col(a), F.col(b)) / (F.col(a_norm) * F.col(b_norm)),
+            )
         return df.withColumn("cos", cosine(F.col(a), F.col(b)))
     raise ValueError(f"unknown scorer {scorer!r}: use 'fold' or 'numpy'")
 
@@ -215,14 +237,22 @@ def cosine_topk(
     (see embedding_dup_pairs docstring); the query set is small by
     contract (it broadcasts), so the checkpoint is cheap."""
     q = queries.select(
-        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     ).localCheckpoint(eager=False)
-    c = candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = candidates.select(
+        F.col(cand_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
+    )
     scored = scored_cosine(
         c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id")),
         "q_vec",
         "c_vec",
         scorer,
+        a_norm="q_nrm",
+        b_norm="c_nrm",
     )
     if round_digits is not None:
         # round BEFORE ranking so rank ties at the output precision break
@@ -265,11 +295,13 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(query_id).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
         sign_bucket(F.col(vec_col), n_bits).alias("q_bucket"),
     ).localCheckpoint(eager=False)
     c = candidates.select(
         F.col(cand_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
         sign_bucket(F.col(vec_col), n_bits).alias("c_bucket"),
     )
     scored = scored_cosine(
@@ -279,6 +311,8 @@ def lsh_ann_topk(
         "q_vec",
         "c_vec",
         scorer,
+        a_norm="q_nrm",
+        b_norm="c_nrm",
     )
     if round_digits is not None:
         scored = scored.withColumn("cos", F.round("cos", round_digits))
@@ -306,18 +340,34 @@ def embedding_dup_pairs(
     inside higher-order functions (executor-side INTERNAL_ERROR_ATTRIBUTE_
     NOT_FOUND in BindReferences, dependent on session attribute-id state),
     and a checkpointed leaf has no nested plan to mis-rewrite.  It also
-    means one scan+bucket computation serves both join sides."""
+    means one scan+bucket computation serves both join sides.
+
+    Per-vector norms are computed ONCE before the pair join (and
+    materialize with the checkpoint), so each candidate pair costs one
+    fold (the dot product) instead of three — bit-identical to inline
+    norms (same expression over the same floats; see clustering.semdedup,
+    where this measured ~3x less interpreted-fold work)."""
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     ).localCheckpoint(eager=False)
-    a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"), "bucket",
+    )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cos",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
