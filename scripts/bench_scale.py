@@ -61,6 +61,35 @@ def blow_up_embeddings(spark, out_dir: str, copies: int = 10) -> str:
     return out_dir
 
 
+def blow_up_events(spark, out_dir: str, copies: int = 10) -> str:
+    # Shift user/event ids AND timestamps per copy: 10x disconnected
+    # replicas of the interaction graph, each in its own time range — the
+    # honest scaling shape for per-user windows, funnels, and graph ops.
+    # Without the time shift, all copies' users land in the SAME
+    # co-occurrence hour buckets, so a bucket cap drops nearly every
+    # bucket at 10x and graph ops falsely bench FASTER on more data.
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    nu = ev.agg(F.max("user_id")).first()[0] + 1
+    ne = ev.agg(F.max("event_id")).first()[0] + 1
+    parts = [
+        ev.select(
+            (F.col("event_id") + i * ne).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 60} DAYS")).alias("ts"),
+            (F.col("user_id") + i * nu).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    path = os.path.join(out_dir, "events.parquet")
+    out.write.mode("overwrite").parquet(path)
+    return out_dir
+
+
 def _drain(df) -> None:
     # xxhash64 over every output column: forces full evaluation.  A bare
     # count() lets Catalyst prune unused aggregate/projection expressions
@@ -89,17 +118,37 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="bench_scale_")
     blow_up_documents(spark, work)
     blow_up_embeddings(spark, work)
+    blow_up_events(spark, work)
 
+    from pimdb_spark.operators.analytics import funnel_steps
     from pimdb_spark.operators.clustering import kmeans_assignments, semdedup
-    from pimdb_spark.operators.corpus import ngram_decontaminate, paragraph_dedup
+    from pimdb_spark.operators.corpus import (
+        bpe_train_steps,
+        ngram_decontaminate,
+        paragraph_dedup,
+    )
     from pimdb_spark.operators.curation import weighted_sample
-    from pimdb_spark.operators.retrieval import bm25_topk, inverted_index
+    from pimdb_spark.operators.graph import co_occurrence_edges, pagerank
+    from pimdb_spark.operators.retrieval import (
+        bm25_topk,
+        inverted_index,
+        sparse_doc_similarity,
+    )
 
     def docs(d):
         return spark.read.parquet(f"{d}/documents.parquet")
 
     def emb(d):
         return spark.read.parquet(f"{d}/embeddings.parquet")
+
+    HOUR_US = 3_600_000_000
+
+    def events(d):
+        # catalog.load sniffs the parquet timestamp unit and normalizes to
+        # ts_us (epoch micros) for BOTH the sf dir and the blow-up dir
+        from pimdb_spark.catalog import load
+
+        return load(spark, d, "events")
 
     ops = {
         "bm25_topk": lambda d: bm25_topk(docs(d), ["spark", "join", "window"], top_k=20),
@@ -120,6 +169,22 @@ def main() -> None:
         # the 1x k would measure the anti-pattern the paper exists to avoid
         # scorer="numpy": the pair stage at scale runs the Arrow einsum
         # (the fold scorer exists for oracle bit-parity, not throughput)
+        "funnel_steps": lambda d: funnel_steps(
+            events(d), ["view", "click", "purchase"]
+        ),
+        "pagerank": lambda d: pagerank(
+            co_occurrence_edges(
+                events(d).filter(F.col("event_type") == "purchase").withColumn(
+                    "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+                ),
+                ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8,
+            ),
+            n_iter=2, damping=0.5,
+        ),
+        "sparse_doc_sim": lambda d: sparse_doc_similarity(
+            docs(d), max_df=40, threshold=0.5, n=2
+        ),
+        "bpe_train_steps": lambda d: bpe_train_steps(docs(d), n_merges=3),
         "semdedup": lambda d: semdedup(
             emb(d).select("vec_id", "embedding"),
             k=4 if d == SF else 13, n_iter=2, dim=64, scorer="numpy",
