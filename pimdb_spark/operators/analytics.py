@@ -1,5 +1,5 @@
 """Event-log analytics operators: cohort retention, last-touch conversion
-attribution, and top session paths.
+attribution, top session paths, and ordered funnel analysis.
 
 These are the product-analytics queries every event warehouse runs daily
 (cohort matrices, attribution joins, path mining) expressed as single-pass

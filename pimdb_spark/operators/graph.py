@@ -1,14 +1,17 @@
 """Graph operators over an edge list derived from event co-occurrence:
-edge extraction with a flood cap, and multi-source BFS hop counts.
+edge extraction with a flood cap, multi-source BFS hop counts, PageRank,
+and triangle counting.
 
 The companion to operators/curation.py's connected components: components
-answer "which nodes touch at all", BFS hop counts answer "how close" —
-the building block for influence radii, fraud-ring proximity, and
-crawl-frontier scheduling over user/item interaction graphs.
+answer "which nodes touch at all", BFS hop counts "how close", PageRank
+"how central", triangles "how clustered" — the building blocks for
+influence radii, fraud-ring proximity, and crawl-frontier scheduling
+over user/item interaction graphs.
 
-Reference parity: none (beyond-parity).  The DuckDB oracle for BFS is a
-recursive CTE bounded by the same max_hops, so every (node, hop) value is
-cross-checked exactly — hop counts are pure integers.
+Reference parity: none (beyond-parity).  Oracles: BFS is a recursive CTE
+bounded by the same max_hops (integer-exact); PageRank unrolls the same
+power iterations with ordered-fold contribution sums (bit-exact floats,
+the kmeans discipline); triangles are exact integer counts.
 """
 
 from __future__ import annotations
