@@ -279,6 +279,7 @@ _CHECK_FIRST: list[str] = [
     "q_group_auc",
     "q_bpe_pairs",
     "q_bpe_train",
+    "q_linear_attribution",
     # -- changed in round 9 --
     "q_sorted_neighborhood",   # higher-cardinality two-initial block
     "q_inverted_index",        # operator gained max_df (default None)

@@ -404,3 +404,64 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8
     )
     return triangle_count(edges, max_degree=30)
+
+
+@register(
+    "q_linear_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), conv AS (
+      SELECT user_id, event_id AS conversion_id, ts_us AS conv_ts
+      FROM e WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts,
+             event_type AS touch_type
+      FROM e WHERE event_type IN ('click', 'view')
+    ), pairs AS (
+      SELECT c.conversion_id, c.user_id, c.conv_ts, t.touch_event_id,
+             t.touch_type, c.conv_ts - t.touch_ts AS age_us
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.touch_ts >= c.conv_ts - {HORIZON_US}
+       AND (t.touch_ts < c.conv_ts
+            OR (t.touch_ts = c.conv_ts AND t.touch_event_id < c.conversion_id))
+    ), counted AS (
+      SELECT *, CAST(count(*) OVER (PARTITION BY conversion_id) AS BIGINT)
+               AS n_touches
+      FROM pairs
+    )
+    SELECT conversion_id, user_id, conv_ts AS conv_ts_us, touch_event_id,
+           touch_type, age_us, n_touches,
+           CAST(1.0 AS DOUBLE) / n_touches AS weight
+    FROM counted
+    UNION ALL
+    SELECT c.conversion_id, c.user_id, c.conv_ts, NULL, NULL, NULL,
+           CAST(0 AS BIGINT), NULL
+    FROM conv c
+    WHERE c.conversion_id NOT IN (SELECT conversion_id FROM pairs)
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/analytics.
+    linear_attribution): every purchase splits credit 1/n across all
+    strictly-preceding click/view touches within 3 days; unattributed
+    purchases emit one NULL row.  The weight is one IEEE division of
+    exact integers.
+
+    Scale: candidates from an equi-join on (user, horizon-width bucket)
+    with a two-bucket probe (the range-join neighbor discipline) — never
+    per-user all-pairs; one conversion-keyed window for the count."""
+    ev = load(spark, sf_dir, "events")
+    from pimdb_spark.operators.analytics import linear_attribution
+
+    return linear_attribution(
+        ev,
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        horizon_us=HORIZON_US,
+        user_col="user_id",
+        ts_col="ts_us",
+        id_col="event_id",
+        type_col="event_type",
+    )

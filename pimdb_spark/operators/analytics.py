@@ -254,3 +254,89 @@ def funnel_steps(
         *[F.col(f"t{k}") for k in range(1, len(steps) + 1)],
         reached.cast("int").alias("steps_reached"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    horizon_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Linear (multi-touch) attribution: every conversion splits its
+    credit EQUALLY across all strictly-preceding same-user touches within
+    ``horizon_us`` — weight 1/n per touch, so each conversion's credit
+    sums to exactly 1.  Conversions with no in-horizon touch emit one
+    NULL-touch row (weight NULL), keeping the conversion count auditable.
+    "Strictly preceding" is the last-touch rule: earlier in
+    (ts, event_id) order.
+
+    Output: (conversion_id, user_id, conv_ts_us, touch_event_id,
+    touch_type, age_us, n_touches, weight).  The weight is one IEEE
+    division of exact integers — engine-exact.
+
+    Scale: candidates come from an EQUI-join on (user, horizon-width
+    time bucket) — each conversion probes its own and the previous
+    bucket (a touch within the horizon can span at most two), the
+    neighbor-bucket discipline of operators/asof.range_join_pairs; no
+    per-user all-pairs, no unbounded window state.  The per-conversion
+    count rides one window keyed by conversion id."""
+    ts = F.col(ts_col)
+    bkt = ((ts - F.pmod(ts, F.lit(horizon_us))) / F.lit(horizon_us)).cast("long")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("conversion_id"),
+        ts.alias("conv_ts"),
+        bkt.alias("_cb"),
+    )
+    probes = conv.select(
+        "user",
+        "conversion_id",
+        "conv_ts",
+        F.explode(F.array(F.col("_cb"), F.col("_cb") - 1)).alias("_bkt"),
+    )
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("touch_event_id"),
+        ts.alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+        bkt.alias("_bkt"),
+    )
+    strictly_before = (F.col("touch_ts") < F.col("conv_ts")) | (
+        (F.col("touch_ts") == F.col("conv_ts"))
+        & (F.col("touch_event_id") < F.col("conversion_id"))
+    )
+    pairs = (
+        probes.join(touch, ["user", "_bkt"])
+        .filter(F.col("touch_ts") >= F.col("conv_ts") - F.lit(horizon_us))
+        .filter(strictly_before)
+    )
+    w = Window.partitionBy("conversion_id")
+    matched = pairs.select(
+        "conversion_id",
+        F.col("user").alias(user_col),
+        F.col("conv_ts").alias("conv_ts_us"),
+        "touch_event_id",
+        "touch_type",
+        (F.col("conv_ts") - F.col("touch_ts")).alias("age_us"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_touches"),
+    ).withColumn("weight", F.lit(1.0) / F.col("n_touches"))
+    unmatched = (
+        conv.join(
+            pairs.select("conversion_id").distinct(), "conversion_id", "left_anti"
+        )
+        .select(
+            "conversion_id",
+            F.col("user").alias(user_col),
+            F.col("conv_ts").alias("conv_ts_us"),
+            F.lit(None).cast("long").alias("touch_event_id"),
+            F.lit(None).cast("string").alias("touch_type"),
+            F.lit(None).cast("long").alias("age_us"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            F.lit(None).cast("double").alias("weight"),
+        )
+    )
+    return matched.unionByName(unmatched)

@@ -243,3 +243,50 @@ def test_triangle_count_counts_and_degree_cap(spark):
     capped = {r.node: r.n_triangles
               for r in triangle_count(_edges(spark, both), max_degree=2).collect()}
     assert capped == {10: 1, 11: 1, 12: 1}
+
+
+def test_linear_attribution_splits_credit(spark):
+    from pimdb_spark.operators.analytics import linear_attribution
+
+    rows = [
+        (1, 1, 100, "click"),
+        (2, 1, 200, "view"),
+        (3, 1, 250, "purchase"),    # two in-horizon touches -> 1/2 each
+        (4, 2, 100, "click"),
+        (5, 2, 5000, "purchase"),   # click outside horizon 1000 -> NULL row
+        (6, 3, 100, "purchase"),    # no touches at all -> NULL row
+    ]
+    out = linear_attribution(
+        _events(spark, rows), "purchase", ["click", "view"], horizon_us=1000
+    ).collect()
+    by_conv: dict = {}
+    for r in out:
+        by_conv.setdefault(r.conversion_id, []).append(r)
+    touches3 = {(r.touch_event_id, r.weight, r.n_touches) for r in by_conv[3]}
+    assert touches3 == {(1, 0.5, 2), (2, 0.5, 2)}
+    assert sum(r.weight for r in by_conv[3]) == 1.0
+    assert [(r.touch_event_id, r.weight) for r in by_conv[5]] == [(None, None)]
+    assert [(r.touch_event_id, r.weight) for r in by_conv[6]] == [(None, None)]
+
+
+def test_linear_attribution_bucket_boundary_and_ties(spark):
+    """A touch just inside the horizon but in the PREVIOUS time bucket is
+    still found (the two-bucket probe), and same-timestamp ties follow
+    the strictly-preceding event-id rule."""
+    from pimdb_spark.operators.analytics import linear_attribution
+
+    h = 1000
+    rows = [
+        (1, 1, 950, "click"),        # bucket 0; conversion in bucket 1
+        (2, 1, 1900, "purchase"),    # 950 >= 1900-1000 -> attributed
+        (3, 2, 300, "purchase"),     # tie at same ts:
+        (4, 2, 300, "click"),        # larger id -> NOT strictly preceding
+        (5, 2, 300, "purchase"),     # click id 4 < 5 -> attributed
+    ]
+    out = linear_attribution(
+        _events(spark, rows), "purchase", ["click"], horizon_us=h
+    ).collect()
+    got = {r.conversion_id: (r.touch_event_id, r.n_touches) for r in out}
+    assert got[2] == (1, 1)
+    assert got[3] == (None, 0)
+    assert got[5] == (4, 1)
