@@ -280,6 +280,8 @@ _CHECK_FIRST: list[str] = [
     "q_bpe_pairs",
     "q_bpe_train",
     "q_linear_attribution",
+    "q_bpe_apply",
+    "q_calibration_bins",
     # -- changed in round 9 --
     "q_sorted_neighborhood",   # higher-cardinality two-initial block
     "q_inverted_index",        # operator gained max_df (default None)

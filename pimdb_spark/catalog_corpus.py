@@ -300,3 +300,80 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per distinct word, checkpointed per round."""
     docs = load(spark, sf_dir, "documents")
     return C.bpe_train_steps(docs, n_merges=3)
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    # learn b1..bn exactly as _bpe_oracle, then apply them in order to the
+    # per-document word stream (duplicates kept) and count symbols per doc
+    parts = [
+        "WITH " + _BPE_WORDS + """, v0 AS (
+      SELECT ' ' || array_to_string(
+               list_append(list_transform(range(1, len(word) + 1),
+                                          i -> word[i]), '</w>'), ' ')
+             || ' ' AS sym, freq
+      FROM words
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f", c{r} AS {_bpe_counts(f'v{r - 1}')}")
+        parts.append(
+            f", b{r} AS (SELECT lhs, rhs, cnt FROM c{r} "
+            "ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if r < n_merges:
+            parts.append(
+                f""", v{r} AS (
+      SELECT replace(replace(sym,
+               ' ' || b.lhs || ' ' || b.rhs || ' ',
+               ' ' || b.lhs || b.rhs || ' '),
+               ' ' || b.lhs || ' ' || b.rhs || ' ',
+               ' ' || b.lhs || b.rhs || ' ') AS sym, freq
+      FROM v{r - 1}, b{r} b
+    )"""
+            )
+    parts.append(
+        """, dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), a0 AS (
+      SELECT doc_id,
+             ' ' || array_to_string(
+               list_append(list_transform(range(1, len(word) + 1),
+                                          i -> word[i]), '</w>'), ' ')
+             || ' ' AS sym
+      FROM dw WHERE word <> ''
+    )"""
+    )
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""", a{r} AS (
+      SELECT doc_id, replace(replace(sym,
+               ' ' || b.lhs || ' ' || b.rhs || ' ',
+               ' ' || b.lhs || b.rhs || ' '),
+               ' ' || b.lhs || ' ' || b.rhs || ' ',
+               ' ' || b.lhs || b.rhs || ' ') AS sym
+      FROM a{r - 1}, b{r} b
+    )"""
+        )
+    parts.append(
+        f""" SELECT doc_id,
+           CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT) AS n_tokens
+    FROM a{n_merges} GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
+@register("q_bpe_apply", oracle=_bpe_apply_oracle(3))
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE train→apply loop closed (operators/corpus.bpe_apply): the
+    3 merges learned by q_bpe_train are applied in rank order to every
+    document's word stream (same whole-token double-replace rewrite) and
+    the post-BPE token count is emitted per document — the sequence
+    length token-budget curation actually consumes.  The oracle re-learns
+    the identical merges and re-applies them.
+
+    Scale: merges attach as one-row broadcasts (collect-free); the
+    rewrite is a projection over the exploded word stream; one doc-keyed
+    groupBy sums symbol counts."""
+    docs = load(spark, sf_dir, "documents")
+    merges = C.bpe_train_steps(docs, n_merges=3)
+    return C.bpe_apply(docs, merges, n_merges=3)

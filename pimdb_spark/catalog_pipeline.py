@@ -732,3 +732,46 @@ def q_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("s"),
     )
     return group_auc(base, "bucket", "is_pos", "s")
+
+
+@register(
+    "q_calibration_bins",
+    oracle="""
+    WITH base AS (
+      SELECT label >= 5 AS pos, embedding[1]::DOUBLE AS s FROM embeddings
+    ), agg AS (
+      SELECT LEAST(CAST(floor((LEAST(GREATEST(s, -0.25::DOUBLE), 0.25::DOUBLE)
+                               - (-0.25::DOUBLE)) / 0.05::DOUBLE) AS INT),
+                   9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM base GROUP BY 1
+    ), grid AS (
+      SELECT CAST(unnest(range(0, 10)) AS INT) AS bin
+    )
+    SELECT g.bin,
+           -0.25::DOUBLE + g.bin * 0.05::DOUBLE AS bin_lo,
+           -0.25::DOUBLE + (g.bin + 1) * 0.05::DOUBLE AS bin_hi,
+           coalesce(a.n, 0) AS n,
+           coalesce(a.n_pos, 0) AS n_pos,
+           CASE WHEN a.n IS NOT NULL
+                THEN CAST(a.n_pos AS DOUBLE) / a.n END AS pos_rate
+    FROM grid g LEFT JOIN agg a USING (bin)
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins (operators/profile.
+    calibration_bins): scores (first embedding coordinate) clamped into
+    10 equal-width bins over [-0.25, 0.25), per bin the count, positive
+    count (label >= 5) and exact positive rate — with group_auc the
+    offline-eval pair: AUC ranks, calibration checks the probabilities.
+    Empty bins are emitted (dense grid), edge bins absorb outliers.
+
+    Scale: one map-side-combined scan into <= 10 groups + a broadcast
+    dense-grid left join."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("label") >= 5).alias("is_pos"),
+        F.element_at("embedding", 1).cast("double").alias("s"),
+    )
+    return P.calibration_bins(base, "is_pos", "s", lo=-0.25, hi=0.25, n_bins=10)

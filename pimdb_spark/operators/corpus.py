@@ -457,3 +457,53 @@ def bpe_train_steps(
             .localCheckpoint(eager=False)
         )
     return out
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list to the corpus and count the
+    resulting tokens per document — the train→apply loop closed:
+    ``merges`` is a (merge_rank, lhs, rhs) frame (bpe_train_steps
+    output), applied in rank order with the same whole-token
+    double-replace rewrite the trainer uses.  Returns
+    (doc_id, n_tokens): the post-BPE sequence length, the number that
+    token-budget curation (budget_take / pack_sequences) actually needs.
+
+    Scale: the rewrite runs over the exploded per-doc word stream (no
+    distinct here — counts are per document); each merge attaches as a
+    ONE-ROW broadcast filtered by rank, so the plan stays collect-free;
+    one final doc-keyed groupBy sums symbol counts."""
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc",
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))),
+                    " ",
+                ),
+                F.lit(" "),
+            ).alias("sym"),
+        )
+    )
+    for rank in range(1, n_merges + 1):
+        m = merges.filter(F.col("merge_rank") == rank).select("lhs", "rhs")
+        pat = F.concat(F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+        words = words.crossJoin(F.broadcast(m)).select(
+            "doc",
+            F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias("sym"),
+        )
+    return words.groupBy(F.col("doc").alias(id_col)).agg(
+        F.sum(F.size(F.split(F.trim(F.col("sym")), " "))).cast("bigint").alias("n_tokens")
+    )

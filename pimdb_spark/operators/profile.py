@@ -273,3 +273,58 @@ def group_auc(
             u / (F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col,
+    score_col,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Reliability-diagram bins: scores clamped into ``n_bins`` equal-width
+    bins over [lo, hi) (same clamp-and-dense-grid discipline as
+    numeric_histogram — empty bins are emitted, outliers land in the edge
+    bins), each bin reporting its count, positive count, and exact
+    positive rate.  Together with group_auc this is the offline
+    model-eval pair: AUC ranks, calibration checks the probabilities.
+
+    Output: (bin, bin_lo, bin_hi, n, n_pos, pos_rate) — bin edges are
+    exact float arithmetic shared with the oracle; pos_rate is one IEEE
+    division of exact integers (NULL for empty bins).
+
+    Scale: one scan with map-side combine into <= n_bins groups, then a
+    broadcast-side dense-grid left join to emit empty bins."""
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    width = (hi - lo) / n_bins
+    clamped = F.least(F.greatest(sc, F.lit(lo)), F.lit(hi))
+    b = F.least(
+        F.floor((clamped - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    agg = (
+        df.select(b.alias("bin"), lbl.cast("int").alias("pos"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    spark = df.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(F.broadcast(agg), "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+            F.when(
+                F.col("n").isNotNull(),
+                F.col("n_pos").cast("double") / F.col("n"),
+            ).alias("pos_rate"),
+        )
+    )

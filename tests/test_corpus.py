@@ -134,3 +134,17 @@ def test_bpe_merge_handles_back_to_back_occurrences(spark):
     # Count 2 itself proves BOTH back-to-back occurrences merged: a failed
     # second merge would leave "ab a b </w>" with no (ab,</w>) pair at all.
     assert (steps[1].lhs, steps[1].rhs, steps[1].cnt) == ("ab", "</w>", 2)
+
+
+def test_bpe_apply_counts_post_merge_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest")], ["doc_id", "text"]
+    )
+    from pimdb_spark.operators.corpus import bpe_apply, bpe_train_steps
+
+    merges = bpe_train_steps(docs, 3)  # (l,o) -> (lo,w) -> (low,</w>)
+    got = {r.doc_id: r.n_tokens for r in bpe_apply(docs, merges, 3).collect()}
+    # doc 1: "low"x2 -> ["low</w>"] = 1 token each; "lower" ->
+    # [low, e, r, </w>] = 4  => 1+1+4 = 6
+    # doc 2: "low" -> 1; "newest" -> n e w e s t </w> = 7 => 8
+    assert got == {1: 6, 2: 8}

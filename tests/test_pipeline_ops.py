@@ -289,3 +289,18 @@ def test_group_auc_exact_values(spark):
     assert out["rev"] == (1, 1, 0.0)
     assert out["tied"] == (1, 1, 0.5)
     assert out["onecls"] == (2, 0, None)
+
+
+def test_calibration_bins_dense_grid_and_rates(spark):
+    rows = [(True, 0.05), (False, 0.05), (True, 0.96), (True, 2.0), (False, -1.0)]
+    df = spark.createDataFrame(rows, "pos boolean, s double")
+    bins = {r.bin: r for r in
+            P.calibration_bins(df, "pos", "s", lo=0.0, hi=1.0, n_bins=4).collect()}
+    assert len(bins) == 4  # empty bins emitted
+    # bin 0: the two 0.05 scores plus the clamped -1.0 -> 3 rows, 1 positive
+    assert (bins[0].n, bins[0].n_pos) == (3, 1)
+    assert bins[0].pos_rate == 1.0 / 3.0
+    # 0.96 and the clamped 2.0 land in the top bin
+    assert (bins[3].n, bins[3].n_pos, bins[3].pos_rate) == (2, 2, 1.0)
+    assert bins[1].n == 0 and bins[1].pos_rate is None
+    assert bins[0].bin_lo == 0.0 and bins[0].bin_hi == 0.25

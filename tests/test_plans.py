@@ -160,7 +160,12 @@ def test_no_plan_red_flags(spark, name, entry):
       an already-k-row frame.
     - q_mixture_plan: the ONE-ROW binding-source frame (ORDER BY + LIMIT 1
       off the |sources|-row inventory) broadcast-attaches to that same
-      bounded inventory — planning arithmetic, corpus-size-independent."""
+      bounded inventory — planning arithmetic, corpus-size-independent.
+    - q_bpe_apply: each learned merge is a ONE-ROW broadcast (rank-filtered
+      off the LIMIT-1-per-round trainer output) attached to the word
+      stream for the rewrite — constant attach per merge, no pairing
+      (q_bpe_train itself returns checkpointed one-row frames, so its
+      plan has no join at all)."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -174,6 +179,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q11_important_stock",
         "q_heavy_hitters",
         "q_mixture_plan",
+        "q_bpe_apply",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
