@@ -59,15 +59,21 @@ def main() -> int:
             print(f"ERROR: {n} not in registry")
             return 1
 
-    # Latest green round per entry over the last three recorded rounds.
     rounds = []
     r = 1
     while os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")):
         rounds.append(r)
         r += 1
-    last3 = rounds[-3:]
+    # The K-round invariant generalizes with registry size: the union of
+    # K consecutive 50-entry windows must cover the registry, so
+    # K = ceil(N / WINDOW).  Because stale entries are ordered oldest
+    # attestation first, any entry bumped from round N's window heads
+    # round N+1's stale group — the same derivation rule yields the
+    # K-round bound automatically; only the lookback widens.
+    k_rounds = max(2, -(-len(registry) // WINDOW))
+    lookback = rounds[-(k_rounds - 1):]
     latest_green: dict[str, int] = {}
-    for rn in last3:
+    for rn in lookback:
         for name in green_names(rn):
             latest_green[name] = rn
     last = rounds[-1]
@@ -95,22 +101,26 @@ def main() -> int:
     emitted = check_first + [n for n in reg_order if n not in set(check_first)]
     window_n = set(emitted[:WINDOW])
 
-    prev1 = set(correctness(rounds[-1])) if len(rounds) >= 1 else set()
-    prev2 = set(correctness(rounds[-2])) if len(rounds) >= 2 else set()
-    uncovered = registry - (window_n | prev1 | prev2)
+    prev_windows: set[str] = set()
+    for rn in lookback:
+        prev_windows |= set(correctness(rn))
+    uncovered = registry - (window_n | prev_windows)
     ok = not uncovered
-    # every entry outside the upcoming + previous window must be green in N-2
-    older = registry - window_n - prev1
-    not_attested = {n for n in older if n not in green_names(rounds[-2])}
+    # every entry outside the upcoming + most-recent window must hold a
+    # green attestation somewhere in the lookback
+    older = registry - window_n - set(correctness(rounds[-1]))
+    not_attested = {n for n in older if n not in latest_green}
 
-    print(f"# registry: {len(registry)} entries; window {WINDOW}")
+    union_label = "∪".join(f"r{rn}" for rn in lookback)
+    print(f"# registry: {len(registry)} entries; window {WINDOW}; "
+          f"{k_rounds}-round invariant (lookback {union_label})")
     print(f"# new: {len(new)}  changed: {len(changed)}  failed-last: {len(failed_last)}")
     print(f"# upcoming window covers {len(window_n)}; stale overflow {len(check_first) - WINDOW if len(check_first) > WINDOW else 0}")
-    print(f"# invariant r{rounds[-2]}∪r{rounds[-1]}∪next covers registry: {ok}")
+    print(f"# invariant {union_label}∪next covers registry: {ok}")
     if uncovered:
         print(f"# UNCOVERED: {sorted(uncovered)}")
     if not_attested:
-        print(f"# entries outside next∪r{rounds[-1]} windows lacking r{rounds[-2]} green: {sorted(not_attested)}")
+        print(f"# entries outside next∪r{rounds[-1]} windows lacking a lookback green: {sorted(not_attested)}")
     print()
     print("_CHECK_FIRST: list[str] = [")
     for group, names in [
