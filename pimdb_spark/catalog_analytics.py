@@ -262,6 +262,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_funnel_steps",
+    bench=True,
     oracle="""
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS ts, event_type AS typ FROM events
@@ -308,6 +309,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pagerank",
+    bench=True,
     oracle=f"""
     WITH {_edges_cte("WHERE event_type = 'purchase'", 8)},
     sym AS (

@@ -637,6 +637,7 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sparse_doc_sim",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
