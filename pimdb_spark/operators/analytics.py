@@ -1,5 +1,6 @@
-"""Event-log analytics operators: cohort retention, last-touch conversion
-attribution, top session paths, and ordered funnel analysis.
+"""Event-log analytics operators: cohort retention, last-touch and
+linear multi-touch conversion attribution, top session paths, and
+ordered funnel analysis.
 
 These are the product-analytics queries every event warehouse runs daily
 (cohort matrices, attribution joins, path mining) expressed as single-pass
