@@ -187,18 +187,25 @@ def inverted_index(
 
 def ngram_weights(
     docs: DataFrame,
-    max_df: int,
+    max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = " ",
     n: int = 2,
     idf_fn: Callable[[Column, Column], Column] = _rational_idf,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Per-(doc, n-gram) TF-IDF weights with a df flood cap: grams in more
-    than ``max_df`` documents are dropped (they carry ~no signal and are
-    exactly the grams whose pair joins explode).  Returns
+    than ``max_df`` documents (or ``max_df_frac`` of the corpus — the
+    production knob, since an absolute cap silently tightens as the
+    corpus grows) are dropped: they carry ~no signal and are exactly the
+    grams whose pair joins explode.  At least one cap is required — an
+    uncapped all-pairs gram join has no scale story.  Returns
     (doc, gram, w) with w = tf * rational_idf(df, N); the corpus size
-    rides along as a one-row broadcast."""
+    rides along as a one-row broadcast (also feeding the frac cap, so
+    nothing collects to the driver)."""
+    if max_df is None and max_df_frac is None:
+        raise ValueError("set max_df or max_df_frac: the cap is the scale dial")
     toks = F.split(F.col(text_col), sep)
     if n == 1:
         grams = toks
@@ -217,12 +224,14 @@ def ngram_weights(
         .groupBy("doc", "gram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfs = (
-        tf.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    dfs = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_frac is not None:
+        dfs = dfs.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("_n_docs"))
+        ).drop("_n_docs")
+    if max_df is not None:
+        dfs = dfs.filter(F.col("df") <= max_df)
     return (
         tf.join(dfs, "gram")
         .crossJoin(F.broadcast(n_docs))
@@ -236,12 +245,13 @@ def ngram_weights(
 
 def sparse_doc_similarity(
     docs: DataFrame,
-    max_df: int,
+    max_df: int | None = None,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = " ",
     n: int = 2,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """All-pairs sparse cosine similarity over n-gram TF-IDF vectors — the
     lexical counterpart to the dense embedding near-dup operators
@@ -261,9 +271,9 @@ def sparse_doc_similarity(
     for capped grams only; the pair groupBy keys on (doc_a, doc_b);
     norms attach via two doc-keyed joins.  max_df is the cost dial —
     exactly the knob inverted_index documents."""
-    w = ngram_weights(docs, max_df, id_col, text_col, sep, n).localCheckpoint(
-        eager=False
-    )
+    w = ngram_weights(
+        docs, max_df, id_col, text_col, sep, n, max_df_frac=max_df_frac
+    ).localCheckpoint(eager=False)
     n2 = w.groupBy("doc").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct(F.col("gram"), (F.col("w") * F.col("w")).alias("w2")))),

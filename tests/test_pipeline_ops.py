@@ -304,3 +304,19 @@ def test_calibration_bins_dense_grid_and_rates(spark):
     assert (bins[3].n, bins[3].n_pos, bins[3].pos_rate) == (2, 2, 1.0)
     assert bins[1].n == 0 and bins[1].pos_rate is None
     assert bins[0].bin_lo == 0.0 and bins[0].bin_hi == 0.25
+
+
+def test_ngram_weights_relative_cap_and_required_cap(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared next u{i} v{i}") for i in range(4)]
+    )
+    # "shared next" appears in all 4 docs; frac 0.5 -> cap floor(2) drops it
+    caps = {r.gram for r in R.ngram_weights(docs, max_df_frac=0.5).collect()}
+    assert "shared next" not in caps and any(g.startswith("next ") for g in caps)
+    # absolute cap still works and the two compose (tightest wins)
+    both = {r.gram for r in R.ngram_weights(docs, max_df=1, max_df_frac=0.9).collect()}
+    assert all(g not in ("shared next",) for g in both)
+    with _pytest.raises(ValueError, match="cap"):
+        R.ngram_weights(docs)
