@@ -447,3 +447,82 @@ def test_corpus_divergence_matches_bruteforce(spark, seed):
         for r in corpus_divergence(da, db, top_k=5).collect()
     ]
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_group_auc_matches_bruteforce(spark, seed):
+    """Exact AUC vs the O(n^2) pair-counting definition: wins + half-ties
+    over n_pos x n_neg — the rank-sum identity must reproduce it exactly,
+    including tied scores and one-class groups."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for g in range(3):
+        for i in range(rng.randint(0, 14)):
+            # coarse score grid forces plenty of exact ties
+            rows.append((f"g{g}", rng.random() < 0.5, rng.randint(0, 4) / 4.0))
+    if not rows:
+        rows = [("g0", True, 0.5)]
+    df = spark.createDataFrame(rows, "g string, pos boolean, s double")
+    from pimdb_spark.operators.profile import group_auc
+
+    got = {r.g: (r.n_pos, r.n_neg, r.auc) for r in group_auc(df, "g", "pos", "s").collect()}
+    by_g: dict = {}
+    for g, pos, s in rows:
+        by_g.setdefault(g, []).append((pos, s))
+    for g, items in by_g.items():
+        ps = [s for pos, s in items if pos]
+        ns = [s for pos, s in items if not pos]
+        n_pos, n_neg, auc = got[g]
+        assert (n_pos, n_neg) == (len(ps), len(ns))
+        if not ps or not ns:
+            assert auc is None
+            continue
+        wins = sum(1.0 for p in ps for q in ns if p > q)
+        ties = sum(0.5 for p in ps for q in ns if p == q)
+        assert auc == (wins + ties) / (len(ps) * len(ns))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_linear_attribution_matches_bruteforce(spark, seed):
+    """Bucketed candidate generation vs the O(n^2) definition: every
+    strictly-preceding in-horizon touch of the same user, weight 1/n —
+    bucket boundaries and (ts, id) ties must not lose or duplicate pairs."""
+    import random
+
+    rng = random.Random(seed)
+    h = 50
+    rows = []
+    eid = 0
+    for _ in range(rng.randint(1, 30)):
+        eid += 1
+        rows.append(
+            (eid, rng.randint(0, 2), rng.randint(0, 200),
+             rng.choice(["touch", "conv", "other"]))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, event_type string"
+    )
+    from pimdb_spark.operators.analytics import linear_attribution
+
+    out = linear_attribution(df, "conv", ["touch"], horizon_us=h).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r.conversion_id, set()).add(
+            (r.touch_event_id, r.n_touches, r.weight)
+        )
+    for cid, u, cts, typ in rows:
+        if typ != "conv":
+            continue
+        touches = [
+            tid
+            for tid, tu, tts, tty in rows
+            if tty == "touch" and tu == u and tts >= cts - h
+            and (tts, tid) < (cts, cid)
+        ]
+        if not touches:
+            assert got[cid] == {(None, 0, None)}
+        else:
+            n = len(touches)
+            assert got[cid] == {(tid, n, 1.0 / n) for tid in touches}
