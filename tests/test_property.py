@@ -526,3 +526,62 @@ def test_linear_attribution_matches_bruteforce(spark, seed):
         else:
             n = len(touches)
             assert got[cid] == {(tid, n, 1.0 / n) for tid in touches}
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_bpe_train_matches_bruteforce(spark, seed):
+    """The DataFrame BPE trainer (string double-replace rewrite, one-row
+    broadcast merges) vs the classic symbol-list algorithm: same winning
+    pair, count, and post-merge vocabulary effects every round — including
+    back-to-back runs ('abab'), same-symbol runs ('aaa'), and count ties
+    (broken count-desc then lexicographic on the pair)."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "ab"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(1, 8))
+    ]
+    text = " ".join(words)
+    n_merges = 3
+
+    # pure-python model over (symbol-tuple, freq) entries
+    freqs: dict = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    entries = [(tuple(w) + ("</w>",), f) for w, f in freqs.items()]
+    expected = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in entries:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        mx = max(counts.values())
+        pair = min(p for p, c in counts.items() if c == mx)
+        expected.append((pair[0], pair[1], mx))
+        merged = []
+        for syms, f in entries:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged.append((tuple(out), f))
+        entries = merged
+
+    from pimdb_spark.operators.corpus import bpe_train_steps
+
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [
+        (r.lhs, r.rhs, r.cnt)
+        for r in sorted(
+            bpe_train_steps(docs, n_merges).collect(), key=lambda r: r.merge_rank
+        )
+    ]
+    assert got == expected
