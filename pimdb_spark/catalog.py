@@ -255,9 +255,9 @@ _CHECK_FIRST: list[str] = [
     # every round — now mechanically, by scripts/derive_rotation.py — as
     # (new entries) + (changed entries) + (entries that failed last
     # round) + (entries outside last round's window, stalest attestation
-    # first, ties in registration order).  Round 9 derivation over the
-    # 126-entry registry: 7 new + 2 changed + 0 failed + the 20 r6-green
-    # names bumped from round 8's window + the r7-green names in
+    # first, ties in registration order).  Round 9 final derivation over
+    # the 137-entry registry: 18 new + 3 changed + 0 failed + the 20
+    # r6-green names bumped from round 8's window + r7-green names in
     # registration order.  The first 50 emitted form round 9's driver
     # window; derive_rotation.py verified registry \ (r7 ∪ r8 ∪ r9
     # windows) = ∅ and that every entry outside the r8/r9 windows is

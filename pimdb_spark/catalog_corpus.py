@@ -377,3 +377,118 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = C.bpe_train_steps(docs, n_merges=3)
     return C.bpe_apply(docs, merges, n_merges=3)
+
+
+def _bpe_batched_oracle(n_rounds: int, m: int) -> str:
+    # the batched trainer's semantics unrolled: per round, pair counts,
+    # top-m pool with pool position pr, the pool-position conflict filter
+    # (NOT EXISTS a higher-ranked pool pair sharing a symbol-or-output),
+    # then ONE list_reduce fold applying the accepted merges in pool
+    # order (list_prepend supplies the fold's initial accumulator — the
+    # vocabulary string rides as element 0, merges as chr(1)-encoded
+    # "lhs\x01rhs" strings, safe for the documented ASCII/BMP corpus).
+    dr = (
+        "replace(replace(acc,"
+        " ' ' || string_split(x, chr(1))[1] || ' ' ||"
+        " string_split(x, chr(1))[2] || ' ',"
+        " ' ' || string_split(x, chr(1))[1] ||"
+        " string_split(x, chr(1))[2] || ' '),"
+        " ' ' || string_split(x, chr(1))[1] || ' ' ||"
+        " string_split(x, chr(1))[2] || ' ',"
+        " ' ' || string_split(x, chr(1))[1] ||"
+        " string_split(x, chr(1))[2] || ' ')"
+    )
+    parts = [
+        "WITH " + _BPE_WORDS + """, v0 AS (
+      SELECT ' ' || array_to_string(
+               list_append(list_transform(range(1, len(word) + 1),
+                                          i -> word[i]), '</w>'), ' ')
+             || ' ' AS sym, freq
+      FROM words
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f", c{r} AS {_bpe_counts(f'v{r - 1}')}")
+        parts.append(
+            f""", p{r} AS (
+      SELECT lhs, rhs, cnt,
+             row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS pr
+      FROM (SELECT * FROM c{r} ORDER BY cnt DESC, lhs, rhs LIMIT {m})
+    ), g{r} AS (
+      SELECT * FROM p{r} a WHERE NOT EXISTS (
+        SELECT 1 FROM p{r} b WHERE b.pr < a.pr
+          AND len(list_intersect([a.lhs, a.rhs, a.lhs || a.rhs],
+                                 [b.lhs, b.rhs, b.lhs || b.rhs])) > 0)
+    )"""
+        )
+        if r < n_rounds:
+            parts.append(
+                f""", m{r} AS (
+      SELECT coalesce(list(lhs || chr(1) || rhs ORDER BY pr),
+                      CAST([] AS VARCHAR[])) AS ms FROM g{r}
+    ), v{r} AS (
+      SELECT list_reduce(list_prepend(sym, mm.ms), (acc, x) -> {dr}) AS sym,
+             freq
+      FROM v{r - 1}, m{r} mm
+    )"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS batch_no, pr, lhs, rhs, cnt FROM g{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return (
+        "".join(parts)
+        + f""" SELECT CAST(row_number() OVER (ORDER BY batch_no, pr) AS INT)
+             AS merge_rank,
+           CAST(batch_no AS INT) AS batch_no, lhs, rhs, cnt
+    FROM ({union})"""
+    )
+
+
+@register("q_bpe_train_batched", oracle=_bpe_batched_oracle(2, 4))
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE tokenizer training (operators/corpus.bpe_train_batched)
+    — the production approximation the classic trainer's round-per-merge
+    loop cannot reach at ~30k merges: per count round, the top-4 pair
+    pool is conflict-filtered (a pair is dropped if ANY higher-ranked
+    pool pair shares a symbol-or-output — pool-position-based, so both
+    engines evaluate it as a plain anti-join, no sequential state) and
+    every accepted merge applies in ONE fold over the vocabulary.  The
+    oracle unrolls the identical two rounds with the same fold
+    (list_reduce with the vocab list_prepend-ed as the initial
+    accumulator).
+
+    Scale: one pair-count shuffle yields up to batch_size merges (vs
+    exactly one in bpe_train_steps); the conflict filter is an anti-join
+    of the <=4-row pool against itself (bounded m^2, never data-sized);
+    the accepted batch attaches to the vocabulary as a ONE-ROW broadcast
+    array applied by one F.aggregate fold, so plan depth per round is
+    O(1) in the batch size."""
+    docs = load(spark, sf_dir, "documents")
+    return C.bpe_train_batched(docs, n_rounds=2, batch_size=4)
+
+
+def q_bpe_apply_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_apply's PRODUCTION twin (operators/corpus.bpe_encode_lengths):
+    the classic rank-dict BPE encoder in an Arrow-batched pandas UDF with
+    a distinct-word cache — per-word cost independent of the merge count,
+    the only feasible apply at production ~30k merges (the replace-chain
+    form is linear in the merge list; measured in SCALE.md).  Same oracle
+    as q_bpe_apply: for self-consistent merge lists on a corpus without
+    long same-symbol runs (this corpus's max run is 2) the encoder is
+    exactly the replace-chain semantics, so the DuckDB hash matches.
+
+    Scale: merge list -> bounded driver readback (n_merges rows) ->
+    broadcast dict; one Arrow-batched pass over documents, no joins."""
+    from pimdb_spark.operators.corpus import bpe_encode_lengths
+
+    docs = load(spark, sf_dir, "documents")
+    merges = C.bpe_train_steps(docs, n_merges=3)
+    return bpe_encode_lengths(docs, merges, n_merges=3)
+
+
+from pimdb_spark.catalog import _REGISTRY as _R  # noqa: E402
+
+register("q_bpe_apply_fast", oracle=_R["q_bpe_apply"].oracle, bench=True)(
+    q_bpe_apply_fast
+)

@@ -687,6 +687,60 @@ def q_sparse_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sparse_doc_sim_sum",
+    bench=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks WHERE len(t) >= 2
+    ), tf AS (
+      SELECT doc_id AS doc, gram, count(*) AS tf FROM grams GROUP BY 1, 2
+    ), dfs AS (
+      SELECT gram, count(*) AS df FROM tf GROUP BY gram
+      HAVING count(*) <= 40
+    ), nn AS (
+      SELECT count(*) AS n FROM documents
+    ), w AS (
+      SELECT doc, tf.gram,
+             tf.tf * ((CAST(nn.n AS DOUBLE) - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+      FROM tf JOIN dfs USING (gram), nn
+    ), n2 AS (
+      SELECT doc, sum(w * w) AS n2 FROM w GROUP BY doc
+    ), dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.gram = b.gram AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+    FROM dots JOIN n2 na ON dots.doc_a = na.doc
+              JOIN n2 nb ON dots.doc_b = nb.doc
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+    """,
+)
+def q_sparse_doc_sim_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sparse_doc_sim's PRODUCTION scorer twin (scorer="sum"): norms
+    and pair dots via plain F.sum with partial map-side aggregation
+    instead of the per-pair array_sort(collect_list) ordered folds the
+    oracle entry pays for bit-parity.  Engine-chosen accumulation order
+    makes the sum differ from the fold by last-ulp only; the
+    round-to-4-digits contract (the dense _np twins' convention)
+    absorbs it, so the DuckDB hash still matches.
+
+    Scale: same candidate discipline as q_sparse_doc_sim (capped-gram
+    equi-join, Σdf² bounded) minus the fold overhead — no per-pair
+    buffered list, no sort; this is the shape to run at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return R.sparse_doc_similarity(
+        docs, max_df=40, threshold=0.5, n=2, scorer="sum", round_digits=4
+    )
+
+
+@register(
     "q_group_auc",
     oracle="""
     WITH base AS (

@@ -346,7 +346,15 @@ def bpe_pair_counts(
     freq), so the per-word symbol explode runs once per DISTINCT word,
     not once per corpus occurrence — on a natural-language corpus that
     is orders of magnitude less work (Zipf); the only other shuffle is
-    the final pair groupBy with map-side combine."""
+    the final pair groupBy with map-side combine.
+
+    Character semantics: initial symbols come from ``F.split(word, '')``,
+    which in Spark splits on UTF-16 CODE UNITS — astral-plane characters
+    (emoji, rare CJK) become two unpaired-surrogate symbols, whereas a
+    code-point tokenizer (or the DuckDB oracle's ``word[i]``) would keep
+    them whole.  The BPE family therefore assumes BMP-only (in practice
+    ASCII) text; run byte-level or NFC-normalized pre-tokenization
+    upstream for full-Unicode corpora."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -408,8 +416,9 @@ def bpe_train_steps(
     rounds; vocabulary state is one row per distinct word.  Production
     BPE runs thousands of merges — each round here is one pair-count
     shuffle + a TakeOrdered top-1, so rounds are cheap but sequential;
-    batch several merges per count round (the standard approximation)
-    when merge count dominates."""
+    use ``bpe_train_batched`` (several non-conflicting merges per count
+    round, the standard approximation) when merge count dominates.
+    Character semantics: BMP-only, same caveat as bpe_pair_counts."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -459,6 +468,61 @@ def bpe_train_steps(
     return out
 
 
+def _merge_rewrite(acc, lhs, rhs):
+    """One whole-token BPE merge on a sentinel-spaced symbol string:
+    " lhs rhs " -> " lhsrhs ", replaced twice because left-to-right
+    non-overlapping replace consumes the shared boundary space of
+    back-to-back occurrences ("a b a b").
+
+    Known deviation from symbol-list BPE, only for SAME-symbol pairs on
+    runs >= 5: on "c c c c c" the first replace pass consumes the
+    boundary space after occurrence 1 and therefore merges positions
+    (1,2) and (4,5), leaving symbol 3 isolated between merged tokens
+    where the second pass cannot reach it — strict leftmost-greedy would
+    merge (1,2),(3,4) and leave symbol 5.  Adjacency differs from run
+    length 5; from run length 9 even the merged-pair COUNT drops below
+    leftmost-greedy's floor(k/2) (k=9: replace merges 3 pairs, greedy
+    4).  Both the Spark plan and the DuckDB oracle use the same replace
+    semantics, so parity holds; distinct-symbol pairs are exact (the
+    skipped middle occurrence is caught by the second pass)."""
+    pat = F.concat(F.lit(" "), lhs, F.lit(" "), rhs, F.lit(" "))
+    rep = F.concat(F.lit(" "), lhs, rhs, F.lit(" "))
+    return F.replace(F.replace(acc, pat, rep), pat, rep)
+
+
+def _merge_array(merges: DataFrame, rank_col: str = "merge_rank") -> DataFrame:
+    """Collapse a (rank, lhs, rhs) merge frame into ONE row holding the
+    rank-ordered array of merge structs — the broadcast payload that
+    lets apply/train rewrite a vocabulary with a single fold expression
+    instead of one join per merge.  ``agg`` without groupBy always
+    returns exactly one row (empty input -> empty array), so the
+    crossJoin can never silently empty the stream."""
+    return merges.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(rank_col).alias("r"),
+                    F.col("lhs").alias("lhs"),
+                    F.col("rhs").alias("rhs"),
+                )
+            )
+        ).alias("ms")
+    )
+
+
+def _fold_merges(sym_col, ms_col="ms"):
+    """Apply every merge in the ``ms`` array to ``sym_col`` in rank
+    order via ONE F.aggregate fold — plan depth O(1) in the merge
+    count; the per-row cost (merges x |sym|) is unchanged from the
+    join-per-merge form but a 30k-merge list no longer builds a
+    30k-stage plan."""
+    return F.aggregate(
+        ms_col,
+        sym_col,
+        lambda acc, m: _merge_rewrite(acc, m["lhs"], m["rhs"]),
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: DataFrame,
@@ -468,16 +532,30 @@ def bpe_apply(
 ) -> DataFrame:
     """Apply a learned BPE merge list to the corpus and count the
     resulting tokens per document — the train→apply loop closed:
-    ``merges`` is a (merge_rank, lhs, rhs) frame (bpe_train_steps
-    output), applied in rank order with the same whole-token
-    double-replace rewrite the trainer uses.  Returns
+    ``merges`` is a (merge_rank, lhs, rhs) frame (bpe_train_steps /
+    bpe_train_batched output), applied in rank order with the same
+    whole-token double-replace rewrite the trainers use.  Returns
     (doc_id, n_tokens): the post-BPE sequence length, the number that
     token-budget curation (budget_take / pack_sequences) actually needs.
 
+    The merge list must cover EVERY rank in [1, n_merges]: a short list
+    (n_merges beyond what training produced) raises ValueError up front
+    instead of silently under-applying — the ≤n_merges-row count here is
+    the same bounded-readback class as functions/ids.py.
+
     Scale: the rewrite runs over the exploded per-doc word stream (no
-    distinct here — counts are per document); each merge attaches as a
-    ONE-ROW broadcast filtered by rank, so the plan stays collect-free;
-    one final doc-keyed groupBy sums symbol counts."""
+    distinct here — counts are per document); the WHOLE merge list
+    attaches as ONE one-row broadcast array and applies as ONE
+    F.aggregate fold, so plan depth stays O(1) in the merge count (at a
+    production ~30k merges the old join-per-merge chain was itself the
+    bottleneck); one final doc-keyed groupBy sums symbol counts."""
+    ranked = merges.filter(F.col("merge_rank").between(1, n_merges))
+    got = ranked.select("merge_rank").distinct().count()
+    if got != n_merges:
+        raise ValueError(
+            f"bpe_apply: merge list covers {got} of the {n_merges} "
+            "requested ranks — train more merges or lower n_merges"
+        )
     words = (
         docs.select(
             F.col(id_col).alias("doc"),
@@ -496,14 +574,204 @@ def bpe_apply(
             ).alias("sym"),
         )
     )
-    for rank in range(1, n_merges + 1):
-        m = merges.filter(F.col("merge_rank") == rank).select("lhs", "rhs")
-        pat = F.concat(F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
-        words = words.crossJoin(F.broadcast(m)).select(
-            "doc",
-            F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias("sym"),
-        )
-    return words.groupBy(F.col("doc").alias(id_col)).agg(
+    folded = words.crossJoin(F.broadcast(_merge_array(ranked))).select(
+        "doc", _fold_merges(F.col("sym")).alias("sym")
+    )
+    return folded.groupBy(F.col("doc").alias(id_col)).agg(
         F.sum(F.size(F.split(F.trim(F.col("sym")), " "))).cast("bigint").alias("n_tokens")
+    )
+
+
+def bpe_encode_lengths(
+    docs: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """bpe_apply's PRODUCTION twin: post-BPE token count per document via
+    the classic rank-dict encoder in an Arrow-batched pandas UDF — per
+    word, repeatedly merge the lowest-rank pair present (all occurrences,
+    left-to-right non-overlapping), with a per-batch distinct-word cache
+    (Zipf leverage).  Work per word is O(|word|^2) with dict lookups and
+    INDEPENDENT of the merge count — the property the replace-chain form
+    cannot have (its cost is O(n_merges x |word|) per word, linear in the
+    merge list; measured in SCALE.md).  At a production ~30k merges this
+    is the only feasible apply.
+
+    Semantics: identical to bpe_apply for self-consistent merge lists
+    (a trainer-produced pair's constituents always carry lower ranks, so
+    ascending-rank replay never misses a merge) EXCEPT the same-symbol
+    run caveat on _merge_rewrite — from run length 9 the replace-chain
+    merges fewer pairs than the classic greedy used here.  The synthetic
+    corpus's longest same-char run is 2, so the twin hash-matches the
+    q_bpe_apply oracle on every testdata scale.
+
+    Scale: the merge list is collected ONCE to the driver — bounded by
+    n_merges (vocabulary-size scale, ~30k rows in production: the same
+    bounded-readback class as functions/ids.py) — and ships to workers
+    as a broadcast dict; the UDF is Arrow-batched (ArrowEvalPython, the
+    sanctioned slow path), one pass over documents, zero joins, zero
+    shuffles before the final projection."""
+    import pandas as pd
+
+    rows = (
+        merges.filter(F.col("merge_rank").between(1, n_merges))
+        .select("merge_rank", "lhs", "rhs")
+        .collect()
+    )
+    if len({r.merge_rank for r in rows}) != n_merges:
+        raise ValueError(
+            f"bpe_encode_lengths: merge list covers {len({r.merge_rank for r in rows})} "
+            f"of the {n_merges} requested ranks"
+        )
+    ranks = {(r.lhs, r.rhs): r.merge_rank for r in rows}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    def _n_tokens_fn(texts):
+        rk = bc.value
+        cache: dict = {}
+
+        def word_len(w: str) -> int:
+            n = cache.get(w)
+            if n is not None:
+                return n
+            syms = list(w) + ["</w>"]
+            while len(syms) >= 2:
+                best = None
+                for a, b in zip(syms, syms[1:]):
+                    r = rk.get((a, b))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, (a, b))
+                if best is None:
+                    break
+                pair = best[1]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = n = len(syms)
+            return n
+
+        return texts.map(
+            lambda t: sum(word_len(w) for w in t.split(" ") if w)
+        )
+
+    # explicit annotations: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's type inference cannot resolve here
+    _n_tokens_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _n_tokens = F.pandas_udf(_n_tokens_fn, "bigint")
+
+    return docs.select(
+        F.col(id_col).alias(id_col), _n_tokens(F.col(text_col)).alias("n_tokens")
+    )
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_rounds: int,
+    batch_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batched BPE tokenizer training — the standard approximation for
+    production merge counts: per count round, take the top
+    ``batch_size`` pairs by (count desc, lhs, rhs) and accept every pair
+    that shares NO symbol-or-output with ANY higher-ranked pool pair
+    (symbols(p) = {lhs, rhs, lhs||rhs}; the conflict test is against
+    the pool position, not acceptance, so it needs no sequential state
+    and both engines can evaluate it as a plain anti-join).  Accepted
+    pairs are mutually disjoint in symbols AND outputs, so their
+    whole-token rewrites cannot interact and one fold applies the batch.
+    Returns (merge_rank, batch_no, lhs, rhs, cnt) with merge_rank dense
+    over all accepted merges in (round, pool-position) order — feed it
+    straight to bpe_apply.
+
+    vs bpe_train_steps: one pair-count shuffle yields up to
+    ``batch_size`` merges instead of exactly one, cutting the
+    driver-sequenced round count ~batch_size-fold at production merge
+    counts; the cost is the approximation (counts within a batch are
+    stale for all but the first accepted pair — the standard trade).
+
+    Scale: per round one pair-count shuffle + a TakeOrdered top-m pool;
+    the conflict filter is an anti-join of the ≤m-row pool against
+    itself (bounded m², never data-sized); the accepted batch attaches
+    to the vocabulary as a ONE-ROW broadcast array and applies as one
+    fold; vocabulary state is one row per distinct word, checkpointed
+    per round.  Character semantics: BMP-only, same caveat as
+    bpe_pair_counts."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))),
+                    " ",
+                ),
+                F.lit(" "),
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    accepted_all = None
+    for rnd in range(1, n_rounds + 1):
+        counts = _pair_counts_from_words(
+            words.select(F.trim(F.col("sym")).alias("word"), "freq"), "word"
+        )
+        pool = (
+            counts.orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(batch_size)
+            .withColumn(
+                "pool_rank",
+                F.row_number().over(Window.orderBy(F.col("cnt").desc(), "lhs", "rhs")),
+            )
+            .withColumn("syms", F.array("lhs", "rhs", F.concat("lhs", "rhs")))
+            .localCheckpoint(eager=False)
+        )
+        accepted = (
+            pool.alias("a")
+            .join(
+                pool.alias("b"),
+                (F.col("b.pool_rank") < F.col("a.pool_rank"))
+                & F.arrays_overlap(F.col("a.syms"), F.col("b.syms")),
+                "left_anti",
+            )
+            .select(
+                F.lit(rnd).cast("int").alias("batch_no"),
+                "pool_rank",
+                "lhs",
+                "rhs",
+                "cnt",
+            )
+            .localCheckpoint(eager=False)
+        )
+        accepted_all = (
+            accepted if accepted_all is None else accepted_all.unionByName(accepted)
+        )
+        words = (
+            words.crossJoin(
+                F.broadcast(_merge_array(accepted, rank_col="pool_rank"))
+            )
+            .select(_fold_merges(F.col("sym")).alias("sym"), "freq")
+            .localCheckpoint(eager=False)
+        )
+    return accepted_all.select(
+        F.row_number()
+        .over(Window.orderBy("batch_no", "pool_rank"))
+        .cast("int")
+        .alias("merge_rank"),
+        "batch_no",
+        "lhs",
+        "rhs",
+        "cnt",
     )

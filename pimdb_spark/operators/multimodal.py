@@ -722,6 +722,8 @@ def jpeg_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:
             raise ValueError("jpeg_decode_pixels: restart intervals unsupported")
         elif marker == 0xDA:
+            if not body:
+                raise ValueError("jpeg_decode_pixels: truncated SOS")
             ns = body[0]
             if len(body) < 1 + 2 * ns:
                 raise ValueError("jpeg_decode_pixels: truncated SOS")

@@ -252,6 +252,8 @@ def sparse_doc_similarity(
     sep: str = " ",
     n: int = 2,
     max_df_frac: float | None = None,
+    scorer: str = "fold",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """All-pairs sparse cosine similarity over n-gram TF-IDF vectors — the
     lexical counterpart to the dense embedding near-dup operators
@@ -262,32 +264,45 @@ def sparse_doc_similarity(
     never all-pairs.  Returns (doc_a, doc_b, cos) with doc_a < doc_b and
     cos >= threshold.
 
-    Bit-determinism: per-doc norms and per-pair dot products are ORDERED
+    Scoring twins (the cosine/IVF ``scorer`` convention):
+    scorer="fold" — per-doc norms and per-pair dot products are ORDERED
     folds over grams sorted lexicographically (gram keys are unique per
     doc after the tf aggregation), so a DuckDB oracle reproduces every
     cosine exactly; the idf is the repo's rational convention (no log).
+    scorer="sum" — plain ``F.sum`` of products: partial (map-side)
+    aggregation instead of collect_list+array_sort per pair, the shape
+    you run in production; accumulation order is engine-chosen, so pair
+    it with ``round_digits`` (the last-ulp order difference is absorbed
+    by rounding, the contract the dense ``_np`` twins established).
 
     Scale: one gram shuffle for tf; the pair join ships (doc, gram, w)
     for capped grams only; the pair groupBy keys on (doc_a, doc_b);
     norms attach via two doc-keyed joins.  max_df is the cost dial —
     exactly the knob inverted_index documents."""
+    if scorer not in ("fold", "sum"):
+        raise ValueError(f"unknown scorer {scorer!r}: use 'fold' or 'sum'")
     w = ngram_weights(
         docs, max_df, id_col, text_col, sep, n, max_df_frac=max_df_frac
     ).localCheckpoint(eager=False)
-    n2 = w.groupBy("doc").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("gram"), (F.col("w") * F.col("w")).alias("w2")))),
-            F.lit(0.0),
-            lambda acc, v: acc + v["w2"],
-        ).alias("n2")
-    )
+    if scorer == "sum":
+        n2 = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    else:
+        n2 = w.groupBy("doc").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("gram"), (F.col("w") * F.col("w")).alias("w2")))),
+                F.lit(0.0),
+                lambda acc, v: acc + v["w2"],
+            ).alias("n2")
+        )
     a = w.select(F.col("doc").alias("doc_a"), "gram", F.col("w").alias("w_a"))
     b = w.select(F.col("doc").alias("doc_b"), "gram", F.col("w").alias("w_b"))
-    dots = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
+    pairs = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    if scorer == "sum":
+        dots = pairs.groupBy("doc_a", "doc_b").agg(
+            F.sum(F.col("w_a") * F.col("w_b")).alias("dot")
+        )
+    else:
+        dots = pairs.groupBy("doc_a", "doc_b").agg(
             F.aggregate(
                 F.array_sort(
                     F.collect_list(
@@ -298,13 +313,15 @@ def sparse_doc_similarity(
                 lambda acc, v: acc + v["p"],
             ).alias("dot")
         )
-    )
     na = n2.select(F.col("doc").alias("doc_a"), F.sqrt("n2").alias("na"))
     nb = n2.select(F.col("doc").alias("doc_b"), F.sqrt("n2").alias("nb"))
-    return (
+    out = (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
+    if round_digits is not None:
+        out = out.withColumn("cos", F.round("cos", round_digits))
+    return out

@@ -148,3 +148,120 @@ def test_bpe_apply_counts_post_merge_tokens(spark):
     # [low, e, r, </w>] = 4  => 1+1+4 = 6
     # doc 2: "low" -> 1; "newest" -> n e w e s t </w> = 7 => 8
     assert got == {1: 6, 2: 8}
+
+
+def test_bpe_apply_short_merge_list_raises(spark):
+    """A merge list that doesn't cover every rank in [1, n_merges] must
+    fail LOUDLY (ValueError) instead of silently under-applying or — the
+    pre-r10 failure mode — emptying the whole output via a crossJoin with
+    a zero-row rank filter."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "low low lower")], ["doc_id", "text"])
+    from pimdb_spark.operators.corpus import bpe_apply, bpe_train_steps
+
+    merges = bpe_train_steps(docs, 2)
+    with pytest.raises(ValueError, match="covers 2 of the 5"):
+        bpe_apply(docs, merges, 5)
+
+
+def test_bpe_apply_plan_depth_constant_in_merge_count(spark):
+    """bpe_apply attaches the WHOLE merge list as one broadcast array and
+    applies it with a single fold: the physical plan must contain exactly
+    ONE join regardless of n_merges (the pre-r10 shape chained one
+    broadcast join per merge — infeasible at production ~30k merges)."""
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest")], ["doc_id", "text"]
+    )
+    from pimdb_spark.operators.corpus import bpe_apply, bpe_train_steps
+
+    merges = bpe_train_steps(docs, 3).localCheckpoint()
+    plan = plan_of(bpe_apply(docs, merges, 3))
+    joins = sum(
+        1
+        for n in tree_nodes(plan)
+        if "Join" in n or "CartesianProduct" in n
+    )
+    assert joins == 1, plan
+
+
+def test_bpe_encode_lengths_matches_bpe_apply(spark):
+    """The Arrow-batched rank-dict encoder (production twin) returns the
+    same per-doc token counts as the replace-chain bpe_apply on a normal
+    corpus (no same-symbol runs — the documented divergence case), and
+    raises on a short merge list."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest"), (3, "widest new low")],
+        ["doc_id", "text"],
+    )
+    from pimdb_spark.operators.corpus import (
+        bpe_apply,
+        bpe_encode_lengths,
+        bpe_train_steps,
+    )
+
+    merges = bpe_train_steps(docs, 4).localCheckpoint()
+    want = {r.doc_id: r.n_tokens for r in bpe_apply(docs, merges, 4).collect()}
+    got = {r.doc_id: r.n_tokens for r in bpe_encode_lengths(docs, merges, 4).collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="covers 4 of the 9"):
+        bpe_encode_lengths(docs, merges, 9)
+
+
+def test_bpe_train_batched_accepts_non_conflicting_top_pairs(spark):
+    # corpus engineered so round 1's pool has a conflict: pairs (l,o) 4x,
+    # (o,w) 4x, (w,</w>) 3x ... — (o,w) conflicts with (l,o) (shares o),
+    # (w,</w>) conflicts with (o,w) via w even though (o,w) was dropped
+    # (the conflict test is pool-position-based, not acceptance-based)
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest")], ["doc_id", "text"]
+    )
+    from pimdb_spark.operators.corpus import bpe_train_batched
+
+    out = sorted(
+        bpe_train_batched(docs, n_rounds=1, batch_size=4).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    # pool order: (e,r)? counts: l-o 4, o-w 4, w-</w> 3, e-w 2 (lower,newest?)
+    # accepted must start with (l,o); (o,w) dropped (shares o with pool[0])
+    assert (out[0].lhs, out[0].rhs, out[0].cnt) == ("l", "o", 4)
+    assert out[0].merge_rank == 1 and out[0].batch_no == 1
+    accepted = {(r.lhs, r.rhs) for r in out}
+    assert ("o", "w") not in accepted
+    # every accepted pair is disjoint in symbols+outputs from every other
+    seen: set = set()
+    for r in out:
+        syms = {r.lhs, r.rhs, r.lhs + r.rhs}
+        assert not (syms & seen), (r, seen)
+        seen |= syms
+
+
+def test_bpe_train_batched_feeds_bpe_apply(spark):
+    """Batched trainer output plugs straight into bpe_apply (dense
+    merge_rank), and with batch_size=1 the batched trainer degenerates to
+    EXACTLY bpe_train_steps."""
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest")], ["doc_id", "text"]
+    )
+    from pimdb_spark.operators.corpus import (
+        bpe_apply,
+        bpe_train_batched,
+        bpe_train_steps,
+    )
+
+    batched = sorted(
+        bpe_train_batched(docs, n_rounds=3, batch_size=1).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    classic = sorted(bpe_train_steps(docs, 3).collect(), key=lambda r: r.merge_rank)
+    assert [(r.merge_rank, r.lhs, r.rhs, r.cnt) for r in batched] == [
+        (r.merge_rank, r.lhs, r.rhs, r.cnt) for r in classic
+    ]
+
+    merges = bpe_train_batched(docs, n_rounds=2, batch_size=4).localCheckpoint()
+    n = merges.count()
+    assert n >= 2
+    got = {r.doc_id: r.n_tokens for r in bpe_apply(docs, merges, n).collect()}
+    assert set(got) == {1, 2} and all(v > 0 for v in got.values())

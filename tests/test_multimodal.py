@@ -534,6 +534,16 @@ def test_jpeg_decoder_rejects_unsupported_and_corrupt():
     data = encode_jpeg(16, 16, 1)
     with pytest.raises(ValueError):
         jpeg_decode_pixels(data[: len(data) // 2])
+    # crafted SOS with length field 2 (empty body): passes the outer
+    # segment-length check but has no component count byte — must raise
+    # ValueError, not IndexError (the byte-flip fuzz can't reach this:
+    # 0x08 XOR 0x01/0xFF never yields 0x02)
+    data = bytearray(encode_jpeg(16, 16, 1))
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    crafted = bytes(data[:sos]) + b"\xff\xda\x00\x02" + bytes(data[sos:])
+    with pytest.raises(ValueError, match="truncated SOS"):
+        jpeg_decode_pixels(crafted)
 
 
 def test_jpeg_decoder_corruption_fuzz_valueerror_only():

@@ -161,11 +161,16 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_mixture_plan: the ONE-ROW binding-source frame (ORDER BY + LIMIT 1
       off the |sources|-row inventory) broadcast-attaches to that same
       bounded inventory — planning arithmetic, corpus-size-independent.
-    - q_bpe_apply: each learned merge is a ONE-ROW broadcast (rank-filtered
-      off the LIMIT-1-per-round trainer output) attached to the word
-      stream for the rewrite — constant attach per merge, no pairing
+    - q_bpe_apply: the ENTIRE merge list collapses to a ONE-ROW broadcast
+      array (agg-without-groupBy) attached to the word stream and applied
+      by a single fold — one constant attach total, no pairing
       (q_bpe_train itself returns checkpointed one-row frames, so its
-      plan has no join at all)."""
+      plan has no join at all).
+    - q_bpe_train_batched: two bounded non-data joins per round — the
+      conflict anti-join of the <=batch_size-row pool against itself
+      (non-equi on pool position + arrays_overlap; <=m^2 pairs, never
+      data-sized) and the same one-row merge-array attach as
+      q_bpe_apply."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -180,6 +185,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_heavy_hitters",
         "q_mixture_plan",
         "q_bpe_apply",
+        "q_bpe_train_batched",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

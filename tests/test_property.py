@@ -585,3 +585,61 @@ def test_bpe_train_matches_bruteforce(spark, seed):
         )
     ]
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_bpe_train_batched_matches_bruteforce(spark, seed):
+    """The batched DataFrame BPE trainer vs a pure-python model of the
+    SAME rule: per round, top-m pool by (count desc, lhs, rhs), accept
+    pairs with no symbol-or-output overlap against ANY higher-ranked pool
+    pair, apply accepted merges in pool order with the engine's
+    documented whole-token double-replace rewrite (python str.replace has
+    the same left-to-right non-overlapping semantics, so this is an
+    independent implementation of the same rule — see _merge_rewrite's
+    same-symbol-run caveat for where it deviates from symbol-list BPE)."""
+    import random
+
+    rng = random.Random(1000 + seed)
+    alphabet = "abc"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(1, 10))
+    ]
+    text = " ".join(words)
+    n_rounds, m = 2, 3
+
+    freqs: dict = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    entries = [
+        (" " + " ".join(tuple(w) + ("</w>",)) + " ", f) for w, f in freqs.items()
+    ]
+
+    def rewrite(s, lhs, rhs):
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        return s.replace(pat, rep).replace(pat, rep)
+
+    expected = []
+    for rnd in range(1, n_rounds + 1):
+        counts: dict = {}
+        for s, f in entries:
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        pool = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        for i, (p, c) in enumerate(pool):
+            sy = {p[0], p[1], p[0] + p[1]}
+            if any(sy & {q[0], q[1], q[0] + q[1]} for q, _ in pool[:i]):
+                continue
+            expected.append((rnd, p[0], p[1], c))
+            entries = [(rewrite(s, p[0], p[1]), f) for s, f in entries]
+
+    from pimdb_spark.operators.corpus import bpe_train_batched
+
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        bpe_train_batched(docs, n_rounds, m).collect(), key=lambda r: r.merge_rank
+    )
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    got = [(r.batch_no, r.lhs, r.rhs, r.cnt) for r in rows]
+    assert got == expected
