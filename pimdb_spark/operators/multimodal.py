@@ -544,53 +544,102 @@ def encode_jpeg(
                 [px_at(mx * 8 + x, my * 8 + y) for x in range(8)]
                 for y in range(8)
             ]
-            coef = [[0.0] * 8 for _ in range(8)]
-            for v in range(8):
-                for u in range(8):
-                    s = 0.0
-                    for y in range(8):
-                        for x in range(8):
-                            s += block[y][x] * _JPEG_COS[x][u] * _JPEG_COS[y][v]
-                    coef[v][u] = _JPEG_C[u] * _JPEG_C[v] * s / 4.0
-            q = [
-                int(round(coef[zz // 8][zz % 8] / _JPEG_QUANT[zz]))
-                for zz in _ZIGZAG
-            ]
-            diff = q[0] - pred
-            pred = q[0]
-            size = diff.bit_length() if diff else 0
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            if size:
-                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            for k in range(1, 64):
-                if q[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]
-                    bw.write(zc, zl)
-                    run -= 16
-                asize = abs(q[k]).bit_length()
-                code, length = ac_codes[(run << 4) | asize]
-                bw.write(code, length)
-                bw.write(q[k] if q[k] > 0 else q[k] + (1 << asize) - 1, asize)
-                run = 0
-            ec, el = ac_codes[0x00]
-            bw.write(ec, el)  # EOB
+            pred = _encode_block(bw, block, pred, dc_codes, ac_codes)
     scan = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    # DQT body stores the table in zigzag order
-    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[pos] for pos in _ZIGZAG))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)) + seg(
-        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    dqt = _jpeg_seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[pos] for pos in _ZIGZAG))
+    sof = _jpeg_seg(
+        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+    ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS))
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    # DQT body stores the table in zigzag order (callers pass it so)
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _encode_block(bw, block, pred: int, dc_codes, ac_codes) -> int:
+    """Forward-DCT, quantize, and entropy-code one 8x8 level-shifted
+    sample block; returns the new DC predictor."""
+    coef = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += block[y][x] * _JPEG_COS[x][u] * _JPEG_COS[y][v]
+            coef[v][u] = _JPEG_C[u] * _JPEG_C[v] * s / 4.0
+    q = [int(round(coef[zz // 8][zz % 8] / _JPEG_QUANT[zz])) for zz in _ZIGZAG]
+    diff = q[0] - pred
+    size = diff.bit_length() if diff else 0
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        if q[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        asize = abs(q[k]).bit_length()
+        code, length = ac_codes[(run << 4) | asize]
+        bw.write(code, length)
+        bw.write(q[k] if q[k] > 0 else q[k] + (1 << asize) - 1, asize)
+        run = 0
+    ec, el = ac_codes[0x00]
+    bw.write(ec, el)  # EOB
+    return q[0]
+
+
+# Block-constant YCbCr generative formulas for the color fixture (values
+# per 8x8 block index bx, by) — the SQL oracle reproduces them verbatim.
+def _color_planes(seed: int, bx: int, by: int) -> tuple[int, int, int]:
+    y = (seed + 16 * bx + 29 * by) % 256
+    cb = (5 * seed + 11 * bx + 3 * by) % 256
+    cr = (7 * seed + 5 * bx + 17 * by) % 256
+    return y, cb, cr
+
+
+def encode_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
+    """Fully valid baseline (SOF0) 3-component 4:4:4 YCbCr JPEG (no
+    chroma subsampling): interleaved Y/Cb/Cr blocks per MCU, one shared
+    quantization table and DC/AC Huffman table pair for all three
+    components (legal baseline), independent DC predictors.  Planes are
+    constant per 8x8 block via _color_planes(seed, bx, by), so — as with
+    encode_jpeg — every quantized AC is exactly 0, the DC survives the
+    quant step exactly (DC step 8 is the DCT gain), and the file decodes
+    bit-exact; the SQL oracle predicts every decoded sample."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            vals = _color_planes(seed, mx, my)
+            for ci in range(3):
+                v = vals[ci] - 128
+                block = [[v] * 8 for _ in range(8)]
+                preds[ci] = _encode_block(bw, block, preds[ci], dc_codes, ac_codes)
+    scan = bw.flush()
+    dqt = _jpeg_seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[pos] for pos in _ZIGZAG))
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+    ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS))
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
@@ -650,11 +699,12 @@ def jpeg_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
     DHT (canonical Huffman rebuilt from the file's own tables) / SOF0 /
     SOS parse, byte-unstuffed bit reading, DC prediction, zigzag
     placement, dequantization, full 2-D IDCT, level shift + clamp.
-    Supports 8-bit baseline streams with 1x1 sampling (no chroma
-    subsampling) and no restart markers; grayscale output is replicated
-    to RGB triples (row-major), 3-component YCbCr raises (the fixtures
-    are grayscale — conversion adds nothing the oracle could check).
-    Returns (width, height, RGB bytes)."""
+    Supports 8-bit baseline streams with 1x1 sampling (grayscale or
+    4:4:4 YCbCr — chroma SUBSAMPLING still raises) and no restart
+    markers; grayscale replicates to RGB triples, 3-component scans
+    convert YCbCr->RGB with dyadic-rational constants and floor rounding
+    (see the conversion comment below) so the SQL oracle reproduces
+    every channel exactly.  Returns (width, height, RGB bytes)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg_decode_pixels: not a JPEG (no SOI)")
     quant: dict[int, list[int]] = {}
@@ -708,9 +758,9 @@ def jpeg_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
             ncomp = body[5]
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("jpeg_decode_pixels: truncated SOF")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "jpeg_decode_pixels: only grayscale baseline supported"
+                    "jpeg_decode_pixels: only 1- or 3-component baseline supported"
                 )
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -740,58 +790,93 @@ def jpeg_decode_pixels(data: bytes) -> tuple[int, int, bytes]:
         i += 2 + ln
     if not scan_comps or not w or not h:
         raise ValueError("jpeg_decode_pixels: missing SOF/SOS")
+    if len(scan_comps) != len(comps) or len(scan_comps) not in (1, 3):
+        raise ValueError("jpeg_decode_pixels: scan must cover all components")
     br = _BitReader(data, i)
-    cidx, dc_t, ac_t = scan_comps[0]
-    qt = quant.get(comps[cidx][1])
-    dc_table, ac_table = huff.get((0, dc_t)), huff.get((1, ac_t))
-    if qt is None or dc_table is None or ac_table is None:
-        raise ValueError("jpeg_decode_pixels: scan references missing DQT/DHT")
+    tables = []
+    for cidx, dc_t, ac_t in scan_comps:
+        qt = quant.get(comps[cidx][1])
+        dc_table, ac_table = huff.get((0, dc_t)), huff.get((1, ac_t))
+        if qt is None or dc_table is None or ac_table is None:
+            raise ValueError(
+                "jpeg_decode_pixels: scan references missing DQT/DHT"
+            )
+        tables.append((qt, dc_table, ac_table))
     mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
-    gray = bytearray(w * h)
-    pred = 0
+    nc = len(scan_comps)
+    planes = [bytearray(w * h) for _ in range(nc)]
+    preds = [0] * nc
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            coef = [0] * 64
-            size = _huff_decode(br, dc_table)
-            pred += _extend(br.bits(size), size) if size else 0
-            coef[0] = pred * qt[0]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_table)
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("jpeg_decode_pixels: AC index overflow")
-                asize = rs & 15
-                coef[_ZIGZAG[k]] = _extend(br.bits(asize), asize) * qt[_ZIGZAG[k]]
-                k += 1
-            for y in range(8):
-                py = my * 8 + y
-                if py >= h:
-                    break
-                row = py * w
-                for x in range(8):
-                    px = mx * 8 + x
-                    if px >= w:
+            for ci in range(nc):
+                qt, dc_table, ac_table = tables[ci]
+                coef = [0] * 64
+                size = _huff_decode(br, dc_table)
+                preds[ci] += _extend(br.bits(size), size) if size else 0
+                coef[0] = preds[ci] * qt[0]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, ac_table)
+                    if rs == 0x00:
                         break
-                    s = 0.0
-                    for v in range(8):
-                        cyv = _JPEG_COS[y][v] * _JPEG_C[v]
-                        base = v * 8
-                        for u in range(8):
-                            c = coef[base + u]
-                            if c:
-                                s += _JPEG_C[u] * c * _JPEG_COS[x][u] * cyv
-                    val = int(round(s / 4.0)) + 128
-                    gray[row + px] = 0 if val < 0 else 255 if val > 255 else val
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("jpeg_decode_pixels: AC index overflow")
+                    asize = rs & 15
+                    coef[_ZIGZAG[k]] = (
+                        _extend(br.bits(asize), asize) * qt[_ZIGZAG[k]]
+                    )
+                    k += 1
+                plane = planes[ci]
+                for y in range(8):
+                    py = my * 8 + y
+                    if py >= h:
+                        break
+                    row = py * w
+                    for x in range(8):
+                        px = mx * 8 + x
+                        if px >= w:
+                            break
+                        s = 0.0
+                        for v in range(8):
+                            cyv = _JPEG_COS[y][v] * _JPEG_C[v]
+                            base = v * 8
+                            for u in range(8):
+                                c = coef[base + u]
+                                if c:
+                                    s += _JPEG_C[u] * c * _JPEG_COS[x][u] * cyv
+                        val = int(round(s / 4.0)) + 128
+                        plane[row + px] = (
+                            0 if val < 0 else 255 if val > 255 else val
+                        )
     rgb = bytearray(w * h * 3)
-    rgb[0::3] = gray
-    rgb[1::3] = gray
-    rgb[2::3] = gray
+    if nc == 1:
+        gray = planes[0]
+        rgb[0::3] = gray
+        rgb[1::3] = gray
+        rgb[2::3] = gray
+    else:
+        # YCbCr (4:4:4) -> RGB with DYADIC-RATIONAL constants and floor
+        # rounding, chosen for cross-engine exactness (the SQL oracle
+        # reproduces every channel with integer/floor arithmetic):
+        #   R = Y + 45/32*(Cr-128)        (1.40625  ~ JFIF 1.402)
+        #   G = Y - (11*(Cb-128) + 23*(Cr-128))/32
+        #                                 (0.34375 / 0.71875 ~ 0.344/0.714)
+        #   B = Y + 113/64*(Cb-128)       (1.765625 ~ JFIF 1.772)
+        # Python // floors; all intermediates are exact integers.
+        yp, cbp, crp = planes
+        for idx in range(w * h):
+            yv, dcb, dcr = yp[idx], cbp[idx] - 128, crp[idx] - 128
+            r = yv + (45 * dcr) // 32
+            g = yv + (-(11 * dcb + 23 * dcr)) // 32
+            b = yv + (113 * dcb) // 64
+            o = idx * 3
+            rgb[o] = 0 if r < 0 else 255 if r > 255 else r
+            rgb[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            rgb[o + 2] = 0 if b < 0 else 255 if b > 255 else b
     return w, h, bytes(rgb)
 
 
@@ -1053,6 +1138,27 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w = 16 + (i * 7) % 48
                 h = 16 + (i * 13) % 48
                 rows.append((i, encode_jpeg(w, h, seed=i), "jpeg"))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "fmt"])
+
+    return df.select(id_col).mapInPandas(synth, SYNTH_SCHEMA)
+
+
+def synth_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 3-component 4:4:4 YCbCr baseline-JPEG payload
+    synthesis: same dimension formulas as synth_jpeg_payload, planes
+    constant per 8x8 block via _color_planes(doc_id, bx, by), so the SQL
+    oracle predicts every decoded RGB channel through the documented
+    dyadic-rational YCbCr conversion.  Fully valid interleaved SOF0
+    files.  Arrow-batched mapInPandas; zero shuffle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = 16 + (i * 7) % 48
+                h = 16 + (i * 13) % 48
+                rows.append((i, encode_jpeg_color(w, h, seed=i), "jpeg"))
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "fmt"])
 
     return df.select(id_col).mapInPandas(synth, SYNTH_SCHEMA)

@@ -120,15 +120,16 @@ def main() -> None:
     blow_up_embeddings(spark, work)
     blow_up_events(spark, work)
 
-    from pimdb_spark.operators.analytics import funnel_steps
+    from pimdb_spark.operators.analytics import funnel_steps, linear_attribution
     from pimdb_spark.operators.clustering import kmeans_assignments, semdedup
     from pimdb_spark.operators.corpus import (
+        bpe_train_batched,
         bpe_train_steps,
         ngram_decontaminate,
         paragraph_dedup,
     )
     from pimdb_spark.operators.curation import weighted_sample
-    from pimdb_spark.operators.graph import co_occurrence_edges, pagerank
+    from pimdb_spark.operators.graph import co_occurrence_edges, pagerank, triangle_count
     from pimdb_spark.operators.retrieval import (
         bm25_topk,
         inverted_index,
@@ -185,6 +186,22 @@ def main() -> None:
             docs(d), max_df=40, threshold=0.5, n=2
         ),
         "bpe_train_steps": lambda d: bpe_train_steps(docs(d), n_merges=3),
+        "bpe_train_batched": lambda d: bpe_train_batched(
+            docs(d), n_rounds=2, batch_size=4
+        ),
+        "triangle_count": lambda d: triangle_count(
+            co_occurrence_edges(
+                events(d).filter(F.col("event_type") == "purchase").withColumn(
+                    "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+                ),
+                ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8,
+            ),
+            max_degree=30,
+        ),
+        "linear_attribution": lambda d: linear_attribution(
+            events(d), "purchase", ["click", "view"],
+            horizon_us=3 * 24 * 3_600_000_000,
+        ),
         "semdedup": lambda d: semdedup(
             emb(d).select("vec_id", "embedding"),
             k=4 if d == SF else 13, n_iter=2, dim=64, scorer="numpy",

@@ -498,6 +498,65 @@ def test_jpeg_roundtrip_block_constant_exact():
                 assert rgb[p] == rgb[p + 1] == rgb[p + 2] == expect
 
 
+def test_jpeg_color_roundtrip_exact():
+    """3-component 4:4:4 YCbCr encode -> decode is bit-exact for
+    block-constant planes, and the YCbCr->RGB conversion matches the
+    documented dyadic-rational/floor formula channel by channel."""
+    from pimdb_spark.operators.multimodal import (
+        _color_planes,
+        encode_jpeg_color,
+        jpeg_decode_pixels,
+        parse_image_header,
+    )
+
+    for w, h, seed in [(16, 16, 0), (23, 37, 5), (8, 24, 42)]:
+        data = encode_jpeg_color(w, h, seed)
+        assert parse_image_header(data)[:2] == (w, h)
+        dw, dh, rgb = jpeg_decode_pixels(data)
+        assert (dw, dh) == (w, h)
+        for py in range(h):
+            for px in range(w):
+                y, cb, cr = _color_planes(seed, px // 8, py // 8)
+                dcb, dcr = cb - 128, cr - 128
+                want = (
+                    max(0, min(255, y + (45 * dcr) // 32)),
+                    max(0, min(255, y + (-(11 * dcb + 23 * dcr)) // 32)),
+                    max(0, min(255, y + (113 * dcb) // 64)),
+                )
+                o = (py * w + px) * 3
+                assert (rgb[o], rgb[o + 1], rgb[o + 2]) == want, (px, py)
+
+
+def test_jpeg_color_rejects_subsampling_and_fuzzes_clean():
+    """Chroma-subsampled SOF raises ValueError; single-byte corruption of
+    a color stream never escapes as IndexError/KeyError (the repo's
+    binary-parser bounds discipline, now over the 3-component path)."""
+    import pytest
+
+    from pimdb_spark.operators.multimodal import (
+        encode_jpeg_color,
+        jpeg_decode_pixels,
+    )
+
+    data = bytearray(encode_jpeg_color(16, 16, 9))
+    sof = bytes(data).find(b"\xff\xc0")
+    # component 1's h/v sampling byte: SOF body = [prec, h16, w16, nc, id,hv,tq...]
+    hv_idx = sof + 2 + 2 + 6 + 1
+    assert data[hv_idx] == 0x11
+    d = bytearray(data)
+    d[hv_idx] = 0x22  # 2x2-subsampled luma
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_decode_pixels(bytes(d))
+    for pos in range(2, len(data), 5):
+        for flip in (0x01, 0xFF):
+            d = bytearray(data)
+            d[pos] ^= flip
+            try:
+                jpeg_decode_pixels(bytes(d))
+            except ValueError:
+                pass
+
+
 def test_jpeg_general_pixels_exercise_ac_path():
     """A non-constant image drives the general AC run-length / extend /
     IDCT path and round-trips within normal quantization error — the
