@@ -252,75 +252,25 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # registration order (attestation already on recent record).
 _CHECK_FIRST: list[str] = [
     # Rotation invariant (COVERAGE.md "Attestation rotation"): re-derived
-    # every round — now mechanically, by scripts/derive_rotation.py — as
-    # (new entries) + (changed entries) + (entries that failed last
-    # round) + (entries outside last round's window, stalest attestation
-    # first, ties in registration order).  Round 9 final derivation over
-    # the 137-entry registry: 18 new + 3 changed + 0 failed + the 20
-    # r6-green names bumped from round 8's window + r7-green names in
-    # registration order.  The first 50 emitted form round 9's driver
-    # window; derive_rotation.py verified registry \ (r7 ∪ r8 ∪ r9
-    # windows) = ∅ and that every entry outside the r8/r9 windows is
-    # r7-green — the three-round invariant (valid to 150 entries) holds.
-    #
-    # -- new in round 9 --
-    "q_cohort_retention",
-    "q_last_touch",
-    "q_session_paths",
-    "q_co_occurrence_edges",
-    "q_bfs_hops",
-    "q_snm_multipass",
-    "q_inverted_index_capped",
-    "q_jpeg_pixel_stats",
-    "q_funnel_steps",
-    "q_pagerank",
-    "q_triangle_count",
-    "q_sparse_doc_sim",
-    "q_group_auc",
-    "q_bpe_pairs",
-    "q_bpe_train",
-    "q_linear_attribution",
+    # every round by scripts/derive_rotation.py as (new entries) +
+    # (changed entries) + (entries that failed last round) + (entries
+    # outside last round's window, stalest attestation first, ties in
+    # registration order).  Round 10 derivation over the 141-entry
+    # registry: 4 new + 2 changed + 0 failed + 44 stale-first names; the
+    # first 50 emitted form round 10's driver window; derive_rotation.py
+    # verified registry \ (r8 ∪ r9 ∪ r10 windows) = ∅ and that every
+    # entry outside the r9/r10 windows is r8-green — the three-round
+    # invariant (valid to 150 entries; deliberate K=3 decision for r10,
+    # see COVERAGE.md) holds.
+    # -- new this round --
+    "q_bpe_train_batched",
+    "q_bpe_apply_fast",
+    "q_sparse_doc_sim_sum",
+    "q_jpeg_color_stats",
+    # -- changed this round --
     "q_bpe_apply",
-    "q_calibration_bins",
-    # -- changed in round 9 --
-    "q_sorted_neighborhood",   # higher-cardinality two-initial block
-    "q_inverted_index",        # operator gained max_df (default None)
-    "q_semdedup",              # k=4 -> k=16 (bounded sum(size^2)) + pre-join norms
-    # (q_simhash — single-pass vote fold — and the similarity fold
-    # entries q_cosine_topk / q_lsh_ann_topk / q_ivf_ann_topk /
-    # q_embedding_dup_pairs — pre-join norm hoist — also changed, but
-    # they already sit in the r6-stale group below, inside the window)
-    # -- stalest first: last green r6 (bumped from round 8's window) --
-    "q_lsh_ann_topk",
-    "q_ivf_ann_topk",
-    "q_embedding_dup_pairs",
-    "q_time_window_agg",
-    "q_sessionize",
-    "q_multimodal_meta",
-    "q_asof_join",
-    "q_range_join",
-    "q_interval_join",
-    "q_grouping_analytics",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_pivot",
-    "q_percentile",
-    "q_salted_join",
-    "q_partial_salted_join",
-    "q_full_outer",
-    "q_window_suite",
-    "q_scalar_functions",
-    "q_list_membership_join",
-    # -- last green r7, registration order (window cuts off after 50) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q_filter_project_rename",
-    "q_conjunctive_isin",
-    "q_self_join_pairs",
-    "q_composite_key_join",
-    "q_multiway_distinct",
-    "q_topk_orders",
+    "q_sparse_doc_sim",
+    # -- stalest attestation first --
     "q_bm25_topk",
     "q_cosine_topk_np",
     "q_ivf_ann_topk_np",
@@ -361,6 +311,53 @@ _CHECK_FIRST: list[str] = [
     "q_repetition_ratio",
     "q_redact",
     "q_corpus_divergence",
+    "q_dedup_keep_first",  # last green r8
+    "q_distinct_multi",  # last green r8
+    "q_key_table_tokens",  # last green r8
+    "q_left_join_coalesce",  # last green r8
+    "q_window_rank",  # last green r8
+    "q_count_star",  # last green r8
+    "q_set_ops",  # last green r8
+    "q_json_extract",  # last green r8
+    "q_sql_passthrough",  # last green r8
+    "q_posexplode_ordering",  # last green r8
+    "q_explode_resolve_renumber",  # last green r8
+    "q_token_decompose",  # last green r8
+    "q_text_stats",  # last green r8
+    "q_lang_id",  # last green r8
+    "q_token_counts",  # last green r8
+    "q_doc_fingerprint_dedup",  # last green r8
+    "q_ngram_jaccard_pairs",  # last green r8
+    "q_minhash_signatures",  # last green r8
+    "q_minhash_lsh_pairs",  # last green r8
+    "q_simhash",  # last green r8
+    "q_cosine_topk",  # last green r8
+    "q_negative_sample",  # last green r8
+    "q_audio_stats",  # last green r8
+    "q_video_frame_stats",  # last green r8
+    "q_image_ahash",  # last green r8
+    "q_image_dup_pairs",  # last green r8
+    "q_audio_fingerprint",  # last green r8
+    "q_audio_dup_pairs",  # last green r8
+    "q7_nation_volume",  # last green r8
+    "q_approx_distinct",  # last green r8
+    "q_approx_percentile",  # last green r8
+    "q_table_profile",  # last green r8
+    "q2_min_cost_supplier",  # last green r8
+    "q11_important_stock",  # last green r8
+    "q12_late_shipments",  # last green r8
+    "q20_part_promotion",  # last green r8
+    "q_paragraph_dedup",  # last green r8
+    "q_ngram_decontaminate",  # last green r8
+    "q_chunk_documents",  # last green r8
+    "q_budget_take",  # last green r8
+    "q_heavy_hitters",  # last green r8
+    "q_histogram",  # last green r8
+    "q_robust_outliers",  # last green r8
+    "q_fuzzy_link",  # last green r8
+    "q_zorder_key",  # last green r8
+    "q_mixture_plan",  # last green r8
+    "q_validate_constraints",  # last green r8
 ]
 
 
