@@ -425,3 +425,68 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sample(
         emb, anchors, id_col="vec_id", label_col="label", k=5, buckets=8
     )
+
+
+_INT8_QZ = """
+      SELECT vec_id,
+             mx / 127.0 AS scale, nrm,
+             list_transform(range(1, 65), i ->
+               CASE WHEN mx = 0 THEN 0
+                    ELSE CAST(least(127.0, greatest(-127.0,
+                         floor(embedding[i]::DOUBLE * 127.0 / mx + 0.5)))
+                         AS BIGINT) END) AS codes
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(range(1, 65),
+                        i -> abs(embedding[i]::DOUBLE))) AS mx,
+               sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+                    (x, y) -> x + y)) AS nrm
+        FROM embeddings
+      )
+"""
+
+
+@register(
+    "q_int8_ann_topk",
+    oracle=f"""
+    WITH qz AS ({_INT8_QZ}),
+    q AS (SELECT * FROM qz WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+                   ELSE (CAST(list_reduce(list_transform(range(1, 65),
+                              i -> q.codes[i] * c.codes[i]), (x, y) -> x + y)
+                         AS DOUBLE) * q.scale * c.scale)
+                        / (q.nrm * c.nrm) END, 4) AS qcos
+      FROM qz c, q WHERE q.vec_id <> c.vec_id
+    )
+    SELECT q_id, rank, c_id, qcos FROM (
+      SELECT q_id, c_id, qcos,
+             row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-int8 quantized cosine top-5 for 8 query vectors
+    (operators/similarity.int8_quantize + int8_ann_topk): codes are
+    round-half-up x*127/absmax clamped to [-127,127], the dot product is
+    EXACT integer arithmetic (engine-independent with no fold-order
+    concern at all), and the rescale (idot * scale_q * scale_c over the
+    true norms) is one fixed-shape double expression both engines
+    compute identically; the abs-max rides as fold state into the
+    quantizer's finish lambda so CollapseProject cannot re-inline it.
+
+    Scale: the point of int8 at 100 TB is BYTES — an 8x cut in the
+    candidate-scan/shuffle width before any join strategy applies;
+    compose with the LSH/IVF candidate generators exactly like the
+    float scorers (quantization changes bytes per candidate, not the
+    plan).  Queries broadcast; one candidate pass; WindowGroupLimit
+    top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return S.int8_ann_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)

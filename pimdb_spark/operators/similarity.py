@@ -374,3 +374,122 @@ def embedding_dup_pairs(
     if round_digits is not None:
         pairs = pairs.withColumn("cos", F.round("cos", round_digits))
     return pairs
+
+
+def int8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory-bound-regime
+    ANN representation: scale = max|x| / 127, code_i = round-half-up of
+    x_i / scale, clamped to [-127, 127].  Returns (id, scale, codes,
+    nrm) with nrm the TRUE (pre-quantization) L2 norm for rescaling.
+
+    At 100 TB this is the dial that matters before any join strategy: a
+    64-dim float64 embedding column is 512 B/row on the wire; int8 codes
+    are 64 B plus one scale — an 8x cut in candidate-scan shuffle bytes,
+    and the dot product becomes exact INTEGER arithmetic (no FP ulp
+    concerns at all; only the final rescale touches doubles).
+
+    Determinism: abs-max is order-independent; code arithmetic is
+    floor(x * 127 / mx + 0.5) in doubles with a fixed expression shape,
+    identical in the DuckDB oracle.  The abs-max rides as FOLD STATE
+    into the finish lambda (never a sibling projection), so
+    CollapseProject cannot re-inline a 64x recompute — the SimHash r9
+    lesson applied at design time."""
+    v = F.col(vec_col)
+    qs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        lambda mx: F.struct(
+            (mx / F.lit(127.0)).alias("scale"),
+            F.transform(
+                v,
+                lambda x: F.when(mx == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+                    F.least(
+                        F.lit(127.0),
+                        F.greatest(
+                            F.lit(-127.0),
+                            F.floor(
+                                x.cast("double") * F.lit(127.0) / mx + F.lit(0.5)
+                            ),
+                        ),
+                    ).cast("long")
+                ),
+            ).alias("codes"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), qs.alias("_q"), norm(v).alias("nrm")
+    ).select(
+        id_col,
+        F.col("_q.scale").alias("scale"),
+        F.col("_q.codes").alias("codes"),
+        "nrm",
+    )
+
+
+def int8_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Quantized brute-force top-k: both sides int8-quantized, the dot
+    product runs over integer codes (EXACT — engine-independent by
+    construction), and the approximate cosine rescales by the two
+    quantization scales over the TRUE norms:
+    qcos = (idot * scale_q * scale_c) / (nrm_q * nrm_c).
+
+    Same plan shape as cosine_topk (queries broadcast, one candidate
+    pass, WindowGroupLimit top-k) — at scale, compose with the LSH/IVF
+    candidate generators exactly as the float scorers do; quantization
+    changes the BYTES per candidate, not the join strategy.  Zero
+    vectors (scale 0) score 0 against everything."""
+    q = int8_quantize(
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col)),
+        "q_id",
+        vec_col,
+    ).select(
+        "q_id",
+        F.col("scale").alias("q_scale"),
+        F.col("codes").alias("q_codes"),
+        F.col("nrm").alias("q_nrm"),
+    ).localCheckpoint(eager=False)
+    c = int8_quantize(
+        candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col)),
+        "c_id",
+        vec_col,
+    ).select(
+        "c_id",
+        F.col("scale").alias("c_scale"),
+        F.col("codes").alias("c_codes"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qcos = F.when((F.col("q_nrm") * F.col("c_nrm")) == F.lit(0.0), F.lit(0.0)).otherwise(
+        idot.cast("double")
+        * F.col("q_scale")
+        * F.col("c_scale")
+        / (F.col("q_nrm") * F.col("c_nrm"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", qcos.alias("qcos"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("qcos", F.round("qcos", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.desc("qcos"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "qcos")
+    )

@@ -139,6 +139,10 @@ def test_no_plan_red_flags(spark, name, entry):
       design — a small bounded query set broadcast against the candidate
       scan is one shuffle-free pass; the LSH variant (q_lsh_ann_topk) is
       the scale path and must stay an equi-join.
+    - q_int8_ann_topk: same brute-force broadcast shape as q_cosine_topk
+      over int8-quantized codes (the 8x-narrower candidate pass); the
+      scale path composes the quantizer with the LSH/IVF equi-join
+      candidate generators.
     - q_ivf_ann_topk: the cross join attaches the ONE-ROW broadcast
       centroid array to every row (O(n) work, no pairing); the actual
       probe join is a hash equi-join on cell id.
@@ -175,6 +179,7 @@ def test_no_plan_red_flags(spark, name, entry):
     if name not in (
         "q_cosine_topk",
         "q_cosine_topk_np",
+        "q_int8_ann_topk",
         "q_ivf_ann_topk",
         "q_ivf_ann_topk_np",
         "q_token_df_idf",

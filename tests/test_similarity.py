@@ -33,3 +33,63 @@ def test_approx_percentile_error_bound(spark):
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
     ).collect()[0]
     assert abs(r.approx - r.exact) / r.exact < 0.01
+
+
+def test_int8_quantize_codes_and_zero_vector(spark):
+    from pimdb_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in int8_quantize(df).collect()}
+    # scale = max|x|/127; codes = round-half-up(x/scale) clamped
+    assert rows[1].codes == [127, -63, 32, 0]  # -63.5 -> floor(-63.0)= -63? see below
+    assert abs(rows[1].scale - 1.0 / 127.0) < 1e-15
+    # zero vector: all-zero codes, zero scale, zero norm
+    assert rows[2].codes == [0, 0, 0, 0]
+    assert rows[2].scale == 0.0 and rows[2].nrm == 0.0
+
+
+def test_int8_topk_tracks_exact_cosine(spark):
+    """Quantized ranks agree with exact cosine ranks on well-separated
+    vectors, and the quantized cosine is within the int8 error band of
+    the exact one."""
+    import math
+    import random
+
+    from pimdb_spark.operators.similarity import cosine_topk, int8_ann_topk
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    df2 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.q_id, r.c_id): r.cos
+        for r in cosine_topk(q, df2, "vec_id", "vec_id", k=40).collect()
+    }
+    quant = {
+        (r.q_id, r.c_id): r.qcos
+        for r in int8_ann_topk(
+            df.filter(F.col("vec_id") < 3), df2, "vec_id", "vec_id", k=40
+        ).collect()
+    }
+    assert set(exact) == set(quant)
+    for key, cos in exact.items():
+        # int8 relative quantization error: ~1/127 per side on the dot
+        assert abs(quant[key] - cos) < 0.05, (key, cos, quant[key])
+    # exactness spot check against a python model
+    vecs = {i: v for i, v in rows}
+    for (qi, ci), qcos in list(quant.items())[:20]:
+        a, b = vecs[qi], vecs[ci]
+        sa, sb = max(map(abs, a)) / 127.0, max(map(abs, b)) / 127.0
+        ca = [max(-127, min(127, math.floor(x * 127.0 / max(map(abs, a)) + 0.5))) for x in a]
+        cb = [max(-127, min(127, math.floor(x * 127.0 / max(map(abs, b)) + 0.5))) for x in b]
+        idot = sum(x * y for x, y in zip(ca, cb))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        want = round(idot * sa * sb / (na * nb), 4)
+        assert abs(qcos - want) < 1.0001e-4, (qi, ci, qcos, want)
