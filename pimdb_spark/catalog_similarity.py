@@ -490,3 +490,71 @@ def q_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/similarity.embedding_dup_pairs docstring)
     queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return S.int8_ann_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
+
+
+@register(
+    "q_ivf_int8_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), dc AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform((SELECT cvecs FROM cent),
+               c -> {_SQD.format(v='e.embedding')}) AS dists
+      FROM embeddings e
+    ), qz AS ({_INT8_QZ}),
+    assigned AS (
+      SELECT dc.vec_id AS c_id,
+             list_position(dists, list_min(dists))::BIGINT AS cell
+      FROM dc
+    ), probes AS (
+      SELECT q_id, cell FROM (
+        SELECT vec_id AS q_id,
+               unnest(range(1, len(dists) + 1)) AS cell,
+               unnest(dists) AS dist
+        FROM dc WHERE vec_id < 16
+      ) x QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) <= 2
+    ), scored AS (
+      SELECT p.q_id, a.c_id,
+             round(CASE WHEN zq.nrm * zc.nrm = 0 THEN 0.0
+                   ELSE (CAST(list_reduce(list_transform(range(1, 65),
+                              i -> zq.codes[i] * zc.codes[i]), (x, y) -> x + y)
+                         AS DOUBLE) * zq.scale * zc.scale)
+                        / (zq.nrm * zc.nrm) END, 4) AS cos
+      FROM assigned a
+      JOIN probes p ON a.cell = p.cell
+      JOIN qz zq ON zq.vec_id = p.q_id
+      JOIN qz zc ON zc.vec_id = a.c_id
+      WHERE p.q_id <> a.c_id
+    )
+    SELECT q_id, rank, c_id, cos FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF x int8 COMPOSITION (operators/similarity.ivf_topk with
+    scorer="int8") — the claim behind both building blocks demonstrated
+    under the hash gate: candidate pruning comes from the IVF cell
+    equi-join (q_ivf_ann_topk's plan shape, scored pairs shrink
+    ~n_centroids/nprobe), and the probe pairs ship int8 CODES instead of
+    float vectors (q_int8_ann_topk's 8x-narrower payload) and score with
+    the exact integer dot + rescale.  This is the 100 TB ANN recipe in
+    one plan: prune with a bucketed equi-join, pay quantized bytes for
+    what survives.
+
+    Scale: one broadcast centroid row, assignment as a projection, cell
+    equi-join, WindowGroupLimit top-k — no stage is all-pairs and no
+    pair ships a float vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    return S.ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_centroids=8, nprobe=2, k=3, scorer="int8",
+    )

@@ -104,6 +104,12 @@ def ivf_topk(
     ~n_centroids/nprobe versus brute force.  For large K x dim, swap the
     per-row fold for an Arrow-batched numpy matmul (mapInPandas) with the
     same output contract.
+
+    scorer: "fold" (oracle bit-parity) / "numpy" (Arrow einsum fast
+    path) / "int8" — the quantized composition: probe pairs carry int8
+    codes (8x narrower payload through the cell equi-join) and score
+    with the exact integer dot + rescale, engine-exact by construction
+    (see int8_ann_topk).
     """
     cents = (
         candidates.orderBy(cand_id)
@@ -121,11 +127,14 @@ def ivf_topk(
     )
 
     def with_dists(df: DataFrame, id_alias: str) -> DataFrame:
-        side = df.select(
+        cols = [
             F.col(query_id if id_alias == "q_id" else cand_id).alias(id_alias),
             F.col(vec_col).alias(id_alias[0] + "_vec"),
             norm(F.col(vec_col)).alias(id_alias[0] + "_nrm"),
-        )
+        ]
+        if scorer == "int8":
+            cols.append(int8_struct(F.col(vec_col)).alias(id_alias[0] + "_q"))
+        side = df.select(*cols)
         if id_alias == "q_id":
             # query side lazily checkpointed — small by contract, and it
             # prevents the optimizer re-merging query/candidate scans of
@@ -141,29 +150,37 @@ def ivf_topk(
     # Catalyst constraint-propagation / self-join HOF rebind bug (see
     # lsh_ann_topk docstring) — cells are non-null, semantics identical,
     # still a hash equi-join
+    c_extra = ["c_q"] if scorer == "int8" else []
+    q_extra = ["q_q"] if scorer == "int8" else []
     assigned = with_dists(candidates, "c_id").select(
-        "c_id", "c_vec", "c_nrm",
+        "c_id", "c_vec", "c_nrm", *c_extra,
         F.array_position("dists", F.array_min("dists")).alias("c_cell"),
     )
     probe_w = Window.partitionBy("q_id").orderBy("dist", "q_cell")
     probes = (
         with_dists(queries, "q_id")
-        .select("q_id", "q_vec", "q_nrm", F.posexplode("dists").alias("pos", "dist"))
+        .select(
+            "q_id", "q_vec", "q_nrm", *q_extra,
+            F.posexplode("dists").alias("pos", "dist"),
+        )
         .withColumn("q_cell", (F.col("pos") + 1).cast("bigint"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
-        .select("q_id", "q_vec", "q_nrm", "q_cell")
+        .select("q_id", "q_vec", "q_nrm", *q_extra, "q_cell")
     )
-    scored = scored_cosine(
-        assigned.join(probes, F.col("c_cell").eqNullSafe(F.col("q_cell"))).filter(
-            F.col("q_id") != F.col("c_id")
-        ),
-        "q_vec",
-        "c_vec",
-        scorer,
-        a_norm="q_nrm",
-        b_norm="c_nrm",
-    ).withColumn("cos", F.round("cos", round_digits))
+    pairs = assigned.join(
+        probes, F.col("c_cell").eqNullSafe(F.col("q_cell"))
+    ).filter(F.col("q_id") != F.col("c_id"))
+    if scorer == "int8":
+        # quantized probe scoring: exact integer dot + rescale — the
+        # IVF x int8 composition (candidate pruning from the cell
+        # equi-join, 8x-narrower pair payload from the codes)
+        scored = pairs.select("q_id", "c_id", int8_score().alias("cos"))
+    else:
+        scored = scored_cosine(
+            pairs, "q_vec", "c_vec", scorer, a_norm="q_nrm", b_norm="c_nrm"
+        )
+    scored = scored.withColumn("cos", F.round("cos", round_digits))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -376,28 +393,12 @@ def embedding_dup_pairs(
     return pairs
 
 
-def int8_quantize(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Per-vector symmetric int8 quantization — the memory-bound-regime
-    ANN representation: scale = max|x| / 127, code_i = round-half-up of
-    x_i / scale, clamped to [-127, 127].  Returns (id, scale, codes,
-    nrm) with nrm the TRUE (pre-quantization) L2 norm for rescaling.
-
-    At 100 TB this is the dial that matters before any join strategy: a
-    64-dim float64 embedding column is 512 B/row on the wire; int8 codes
-    are 64 B plus one scale — an 8x cut in candidate-scan shuffle bytes,
-    and the dot product becomes exact INTEGER arithmetic (no FP ulp
-    concerns at all; only the final rescale touches doubles).
-
-    Determinism: abs-max is order-independent; code arithmetic is
-    floor(x * 127 / mx + 0.5) in doubles with a fixed expression shape,
-    identical in the DuckDB oracle.  The abs-max rides as FOLD STATE
-    into the finish lambda (never a sibling projection), so
-    CollapseProject cannot re-inline a 64x recompute — the SimHash r9
-    lesson applied at design time."""
-    v = F.col(vec_col)
-    qs = F.aggregate(
+def int8_struct(v: Column) -> Column:
+    """(scale, codes) struct for symmetric int8 quantization of vector
+    column ``v`` — the abs-max rides as FOLD STATE into the finish
+    lambda (never a sibling projection), so CollapseProject cannot
+    re-inline a per-element recompute."""
+    return F.aggregate(
         v,
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
@@ -419,6 +420,50 @@ def int8_quantize(
             ).alias("codes"),
         ),
     )
+
+
+def int8_score(q_pfx: str = "q", c_pfx: str = "c") -> Column:
+    """Quantized approximate cosine over (pfx_q struct, pfx_nrm) pairs:
+    exact integer dot of the codes, rescaled by the two quantization
+    scales over the true norms; zero vectors score 0."""
+    idot = F.aggregate(
+        F.zip_with(
+            F.col(f"{q_pfx}_q.codes"), F.col(f"{c_pfx}_q.codes"), lambda a, b: a * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qn, cn = F.col(f"{q_pfx}_nrm"), F.col(f"{c_pfx}_nrm")
+    return F.when((qn * cn) == F.lit(0.0), F.lit(0.0)).otherwise(
+        idot.cast("double")
+        * F.col(f"{q_pfx}_q.scale")
+        * F.col(f"{c_pfx}_q.scale")
+        / (qn * cn)
+    )
+
+
+def int8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory-bound-regime
+    ANN representation: scale = max|x| / 127, code_i = round-half-up of
+    x_i / scale, clamped to [-127, 127].  Returns (id, scale, codes,
+    nrm) with nrm the TRUE (pre-quantization) L2 norm for rescaling.
+
+    At 100 TB this is the dial that matters before any join strategy: a
+    64-dim float64 embedding column is 512 B/row on the wire; int8 codes
+    are 64 B plus one scale — an 8x cut in candidate-scan shuffle bytes,
+    and the dot product becomes exact INTEGER arithmetic (no FP ulp
+    concerns at all; only the final rescale touches doubles).
+
+    Determinism: abs-max is order-independent; code arithmetic is
+    floor(x * 127 / mx + 0.5) in doubles with a fixed expression shape,
+    identical in the DuckDB oracle.  The abs-max rides as FOLD STATE
+    into the finish lambda (never a sibling projection), so
+    CollapseProject cannot re-inline a 64x recompute — the SimHash r9
+    lesson applied at design time."""
+    v = F.col(vec_col)
+    qs = int8_struct(v)
     return df.select(
         F.col(id_col).alias(id_col), qs.alias("_q"), norm(v).alias("nrm")
     ).select(
@@ -449,41 +494,20 @@ def int8_ann_topk(
     candidate generators exactly as the float scorers do; quantization
     changes the BYTES per candidate, not the join strategy.  Zero
     vectors (scale 0) score 0 against everything."""
-    q = int8_quantize(
-        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col)),
-        "q_id",
-        vec_col,
-    ).select(
-        "q_id",
-        F.col("scale").alias("q_scale"),
-        F.col("codes").alias("q_codes"),
-        F.col("nrm").alias("q_nrm"),
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        int8_struct(F.col(vec_col)).alias("q_q"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     ).localCheckpoint(eager=False)
-    c = int8_quantize(
-        candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col)),
-        "c_id",
-        vec_col,
-    ).select(
-        "c_id",
-        F.col("scale").alias("c_scale"),
-        F.col("codes").alias("c_codes"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    qcos = F.when((F.col("q_nrm") * F.col("c_nrm")) == F.lit(0.0), F.lit(0.0)).otherwise(
-        idot.cast("double")
-        * F.col("q_scale")
-        * F.col("c_scale")
-        / (F.col("q_nrm") * F.col("c_nrm"))
+    c = candidates.select(
+        F.col(cand_id).alias("c_id"),
+        int8_struct(F.col(vec_col)).alias("c_q"),
+        norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", qcos.alias("qcos"))
+        .select("q_id", "c_id", int8_score().alias("qcos"))
     )
     if round_digits is not None:
         scored = scored.withColumn("qcos", F.round("qcos", round_digits))

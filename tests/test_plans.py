@@ -146,6 +146,9 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_ivf_ann_topk: the cross join attaches the ONE-ROW broadcast
       centroid array to every row (O(n) work, no pairing); the actual
       probe join is a hash equi-join on cell id.
+    - q_ivf_int8_topk: same one-row centroid attach as q_ivf_ann_topk;
+      the probe join stays a cell equi-join — int8 changes the pair
+      payload (codes instead of float vectors), not the join shape.
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
       (a 1-row aggregate) attaches to every (token, df) row.
     - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
@@ -182,6 +185,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_int8_ann_topk",
         "q_ivf_ann_topk",
         "q_ivf_ann_topk_np",
+        "q_ivf_int8_topk",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",
