@@ -93,3 +93,40 @@ def test_int8_topk_tracks_exact_cosine(spark):
         nb = math.sqrt(sum(x * x for x in b))
         want = round(idot * sa * sb / (na * nb), 4)
         assert abs(qcos - want) < 1.0001e-4, (qi, ci, qcos, want)
+
+
+def test_int8_quantize_on_write_roundtrip(spark, tmp_path):
+    """The quantize-on-write path: int8_quantize materialized to parquet,
+    top-k served from the codes table alone — identical results to
+    quantizing inline from the float vectors, and the query's scan never
+    reads an embedding column (it doesn't exist in the codes table)."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.similarity import (
+        int8_ann_topk,
+        int8_quantize,
+        int8_topk_from_codes,
+    )
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "emb_int8")
+    int8_quantize(emb).write.mode("overwrite").parquet(path)
+    codes = spark.read.parquet(path)
+    assert "embedding" not in codes.columns  # floats never ship at query time
+
+    from_codes = {
+        (r.q_id, r.rank): (r.c_id, r.qcos)
+        for r in int8_topk_from_codes(
+            codes.filter(F.col("vec_id") < 8), codes, k=5
+        ).collect()
+    }
+    inline = {
+        (r.q_id, r.rank): (r.c_id, r.qcos)
+        for r in int8_ann_topk(
+            load(spark, SF, "embeddings").filter(F.col("vec_id") < 8),
+            load(spark, SF, "embeddings"),
+            "vec_id",
+            "vec_id",
+            k=5,
+        ).collect()
+    }
+    assert from_codes == inline and len(from_codes) == 40
