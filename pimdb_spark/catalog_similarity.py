@@ -558,3 +558,70 @@ def q_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "vec_id", "embedding",
         n_centroids=8, nprobe=2, k=3, scorer="int8",
     )
+
+
+def _pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> str:
+    def subsqd(s: int) -> str:
+        lo, hi = (s - 1) * sub + 1, s * sub + 1
+        return (
+            f"list_reduce(list_transform(range({lo}, {hi}), "
+            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
+            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    dls = ", ".join(
+        f"list_transform((SELECT cvecs FROM cent), cv -> {subsqd(s)})"
+        for s in range(1, m + 1)
+    )
+    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
+    return f"""
+    WITH cent AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_centroids})
+    ), dt AS (
+      SELECT e.vec_id, [{dls}] AS dtab FROM embeddings e
+    ), coded AS (
+      SELECT vec_id, dtab,
+             list_transform(dtab, d -> list_position(d, list_min(d))) AS codes
+      FROM dt
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round({adc}, 4) AS adc
+      FROM coded c, (SELECT * FROM coded WHERE vec_id < 8) q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT q_id, rank, c_id, adc FROM (
+      SELECT q_id, c_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("q_pq_adc_topk", oracle=_pq_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 (operators/similarity.pq_topk):
+    dim 64 split into 8 subspaces x 16-entry codebooks (training-free
+    deterministic codebooks — the 16 lowest-id vectors' sub-vectors,
+    the ivf_topk convention), candidates carry 8 CODES (~8 B vs 512 B
+    of float64 — the 64x payload cut PQ exists for), queries precompute
+    the 8x16 exact sub-distance table once, and every pair scores as 8
+    table lookups summed left-to-right — no per-pair fold over dim, no
+    float vector in the scoring join.  Completes the ANN family:
+    sign-LSH (bucket prune), IVF (cell prune), int8 (narrow exact dot),
+    PQ (table-lookup scoring); compose PQ with IVF cells for IVF-PQ
+    exactly as q_ivf_int8_topk composes int8.
+
+    Determinism: sub-distances are the house sequential double fold,
+    code assignment is first-minimum list_position on both engines, and
+    the ADC sum unrolls as left-associated adds — hash-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return S.pq_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        m=8, dim=64, n_centroids=16, k=3,
+    )

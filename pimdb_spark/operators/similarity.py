@@ -558,3 +558,129 @@ def int8_topk_from_codes(
         F.col("nrm").alias("c_nrm"),
     )
     return _int8_brute(q, c, k, round_digits)
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    k: int = 3,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the technique that stores a vector in m BYTES: the dim-wide
+    space splits into ``m`` subspaces of dim/m; each subspace gets an
+    ``n_centroids``-entry codebook; a candidate is represented by its m
+    per-subspace nearest-centroid codes; a query precomputes the
+    m x n_centroids table of exact sub-distances ONCE and scores every
+    candidate as the sum of m table lookups — no float vector ever
+    touches the scoring join.
+
+    Codebooks here are training-free and deterministic — subspace s's
+    codebook is the ``n_centroids`` lowest-id candidate vectors' s-th
+    sub-vectors, the same engine-reproducible convention as ivf_topk's
+    coarse quantizer (a production build plugs per-subspace k-means into
+    the same plan shape).  Distances: approximate L2^2 (larger = farther;
+    top-k is the SMALLEST ADC).  Ties break by candidate id after the
+    round-digits contract.
+
+    Scale: candidates carry m small ints (m=8: 8 codes ~ 8 B vs 512 B of
+    float64 at dim 64 — the 64x payload cut PQ exists for); the query's
+    distance table is one broadcast row per query; scoring is m array
+    lookups per pair, no per-pair fold over dim.  Compose with IVF
+    coarse cells exactly as int8 does (IVF-PQ): the cell equi-join
+    prunes, PQ pays bytes only for survivors.
+
+    Determinism: every sub-distance is the house sequential double fold;
+    code assignment is first-minimum (list_position semantics, both
+    engines); the ADC sum unrolls m left-associated adds — the DuckDB
+    oracle reproduces each value exactly."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
+    cents = (
+        candidates.orderBy(cand_id)
+        .limit(n_centroids)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(cand_id).alias("cid"),
+                            F.col(vec_col).alias("cvec"),
+                        )
+                    )
+                ),
+                lambda s: s.cvec,
+            ).alias("cvecs")
+        )
+    )
+
+    def sub_sqd(a, b, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, s * sub + 1, sub),
+                F.slice(b, s * sub + 1, sub),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sub_dists(vec_name: str, s: int):
+        # factory closure: a bare `lambda cv, s=s` would present a TWO-arg
+        # lambda to F.transform, which then binds s to the ELEMENT INDEX
+        # column instead of the python subspace int
+        return F.transform(
+            F.col("cvecs"), lambda cv: sub_sqd(F.col(vec_name), cv, s)
+        )
+
+    c = (
+        candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "c_id",
+            F.array(*[sub_dists("c_vec", s) for s in range(m)]).alias("_dtabs"),
+        )
+        .select(
+            "c_id",
+            F.transform(
+                F.col("_dtabs"),
+                lambda d: F.array_position(d, F.array_min(d)).cast("int"),
+            ).alias("codes"),
+        )
+    )
+    q = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .localCheckpoint(eager=False)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            F.array(*[sub_dists("q_vec", s) for s in range(m)]).alias("dtab"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(F.col("dtab"), s), F.element_at(F.col("codes"), s)),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", adc.alias("adc"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("adc", F.round("adc", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "adc")
+    )

@@ -149,6 +149,10 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_ivf_int8_topk: same one-row centroid attach as q_ivf_ann_topk;
       the probe join stays a cell equi-join — int8 changes the pair
       payload (codes instead of float vectors), not the join shape.
+    - q_pq_adc_topk: the one-row codebook attach (both sides) plus the
+      q_cosine_topk brute shape over 8-byte PQ codes — table-lookup
+      scoring is the cheap-scan design; IVF-PQ composes the cell
+      equi-join in front exactly like q_ivf_int8_topk.
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
       (a 1-row aggregate) attaches to every (token, df) row.
     - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
@@ -186,6 +190,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_ann_topk",
         "q_ivf_ann_topk_np",
         "q_ivf_int8_topk",
+        "q_pq_adc_topk",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

@@ -130,3 +130,51 @@ def test_int8_quantize_on_write_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert from_codes == inline and len(from_codes) == 40
+
+
+def test_pq_topk_matches_python_model(spark):
+    """pq_topk vs a from-scratch python PQ/ADC model: same codebooks
+    (lowest-id sub-vectors), same first-minimum code assignment, same
+    ADC sums — full ranking equality on the sf0.001 embeddings."""
+    import math
+
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.similarity import pq_topk
+
+    emb = load(spark, SF, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    m, sub, nc, k = 8, 8, 16, 3
+    cb = [vecs[i] for i in sorted(vecs)[:nc]]
+
+    def ssq(a, b, s):
+        t = 0.0
+        for i in range(s * sub, (s + 1) * sub):
+            d = a[i] - b[i]
+            t += d * d
+        return t
+
+    codes = {
+        cid: [
+            min(range(nc), key=lambda j: (ssq(v, cb[j], s), j))
+            for s in range(m)
+        ]
+        for cid, v in vecs.items()
+    }
+    expected = {}
+    for qid in range(8):
+        scored = sorted(
+            (
+                (round(sum(ssq(vecs[qid], cb[codes[cid][s]], s) for s in range(m)), 4), cid)
+                for cid in vecs
+                if cid != qid
+            )
+        )[:k]
+        for rank, (adc, cid) in enumerate(scored, 1):
+            expected[(qid, rank)] = (cid, adc)
+
+    q = load(spark, SF, "embeddings").filter(F.col("vec_id") < 8)
+    got = {
+        (r.q_id, r.rank): (r.c_id, r.adc)
+        for r in pq_topk(q, emb, "vec_id", "vec_id", k=k).collect()
+    }
+    assert got == expected
