@@ -126,3 +126,83 @@ def test_streaming_linear_attribution_state_crosses_batches(spark, tmp_path):
     )
     drain()
     assert rows == {4: {(2, 2, 0.5), (3, 2, 0.5)}}
+
+
+def test_streaming_linear_attribution_randomized_splits(spark, tmp_path):
+    """Property-style check: a random in-order event stream split into
+    three time-ordered micro-batches (maxFilesPerTrigger=1) produces
+    exactly the batch operator's credit rows — the carried touch list
+    survives arbitrary batch boundaries, not just the crafted ones."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pimdb_spark.operators.analytics import linear_attribution
+
+    rng = random.Random(31)
+    h = 50 * 1_000_000
+    base = 1_700_000_000 * 1_000_000
+    rows = []
+    for eid in range(240):
+        rows.append(
+            (
+                eid,
+                base + eid * rng.randint(1, 30) * 1_000_000,
+                rng.randint(0, 9),
+                rng.choice(["touch", "conv", "other"]),
+                1.0,
+                "{}",
+            )
+        )
+    rows.sort(key=lambda r: (r[1], r[0]))  # in-order arrival contract
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    thirds = [rows[:80], rows[80:160], rows[160:]]
+    for i, chunk in enumerate(thirds):
+        pdf = pd.DataFrame(
+            chunk, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), src / f"b{i}.parquet")
+
+    from pimdb_spark.streaming.events import EVENTS_SCHEMA
+    from pimdb_spark.streaming.linear_attribution import linear_attribute_stream
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", F.col("ts").alias("ts_us"), "event_id", "event_type")
+    )
+    got: dict = {}
+
+    def sink(batch_df, _epoch):
+        for r in batch_df.collect():
+            got.setdefault(r.conversion_id, set()).add(
+                (r.touch_event_id, r.n_touches, r.weight)
+            )
+
+    q = (
+        linear_attribute_stream(stream, "conv", ["touch"], h)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "event_id bigint, ts_us bigint, user_id bigint, event_type string",
+    )
+    expected: dict = {}
+    for r in linear_attribution(batch_df, "conv", ["touch"], horizon_us=h).collect():
+        expected.setdefault(r.conversion_id, set()).add(
+            (r.touch_event_id, r.n_touches, r.weight)
+        )
+    assert got == expected
+    assert len(got) > 10
+    assert any(len(v) > 1 for v in got.values())  # real multi-touch splits
