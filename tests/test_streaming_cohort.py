@@ -117,3 +117,92 @@ def test_streaming_cohort_state_crosses_batches(spark, tmp_path):
     )
     drain()
     assert sorted(rows) == [(7, p0, 0), (7, p0, 2)]
+
+
+def test_streaming_cohort_randomized_splits(spark, tmp_path):
+    """Random in-order event stream forced through per-file micro-batches
+    (maxFilesPerTrigger=1): the aggregated increments equal the batch
+    matrix regardless of where the batch boundaries fall."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pimdb_spark.operators.analytics import cohort_retention
+    from pimdb_spark.streaming.cohort import cohort_increments_stream
+
+    rng = random.Random(53)
+    period = 10 * 1_000_000
+    base = 1_700_000_000 * 1_000_000
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                base + rng.randint(0, 80) * 1_000_000,
+                rng.randint(0, 11),
+                "view",
+                1.0,
+                "{}",
+            )
+        )
+    rows.sort(key=lambda r: (r[1], r[0]))  # in-order arrival contract
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    for i in range(3):
+        pdf = pd.DataFrame(
+            rows[i * 100 : (i + 1) * 100],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), src / f"b{i}.parquet")
+
+    from pimdb_spark.streaming.events import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", F.col("ts").alias("ts_us"))
+    )
+    inc_rows: list = []
+
+    def sink(batch_df, _epoch):
+        inc_rows.extend(
+            (r.user_id, r.cohort_period, r.period_offset)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        cohort_increments_stream(stream, period_us=period)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(inc_rows) == len(set(inc_rows))  # each fires exactly once
+    cells: dict = {}
+    sizes: dict = {}
+    for _u, cp, off in inc_rows:
+        cells[(cp, off)] = cells.get((cp, off), 0) + 1
+        if off == 0:
+            sizes[cp] = sizes.get(cp, 0) + 1
+    got = {
+        key: (n, sizes[key[0]], n / sizes[key[0]])
+        for key, n in cells.items()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "event_id bigint, ts_us bigint, user_id bigint",
+    )
+    expected = {
+        (r.cohort_period, r.period_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(batch_df, period_us=period).collect()
+    }
+    assert got == expected
+    assert len(got) > 4
