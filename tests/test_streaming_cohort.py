@@ -182,7 +182,9 @@ def test_streaming_cohort_randomized_splits(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # assert the drain COMPLETED — a silent timeout under machine load
+    # would otherwise surface as a confusing partial-results mismatch
+    assert q.awaitTermination(300), "stream drain timed out"
 
     assert len(inc_rows) == len(set(inc_rows))  # each fires exactly once
     cells: dict = {}

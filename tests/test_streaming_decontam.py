@@ -36,7 +36,7 @@ def test_streaming_decontam_matches_batch_across_splits(spark, tmp_path):
     q = decontaminate_stream(
         stream, eval_docs, out_path, str(tmp_path / "chk"), n=5, threshold=3
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream drain timed out"
 
     got = {
         r.doc_id: (r.n_shared_ngrams, r.keep)

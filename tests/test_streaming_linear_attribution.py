@@ -192,7 +192,9 @@ def test_streaming_linear_attribution_randomized_splits(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # assert the drain COMPLETED — a silent timeout under machine load
+    # would otherwise surface as a confusing partial-results mismatch
+    assert q.awaitTermination(300), "stream drain timed out"
 
     batch_df = spark.createDataFrame(
         [(r[0], r[1], r[2], r[3]) for r in rows],
