@@ -88,7 +88,7 @@ def test_streaming_attribution_state_crosses_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream drain timed out"
 
     drain()
     assert rows == {}  # no conversions yet, just the carried touch

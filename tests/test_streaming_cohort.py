@@ -102,7 +102,7 @@ def test_streaming_cohort_state_crosses_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream drain timed out"
 
     drain()
     p0 = base // WEEK_US

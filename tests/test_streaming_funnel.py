@@ -80,7 +80,7 @@ def test_streaming_funnel_state_advances_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream drain timed out"
 
     drain()
     assert latest == {3: (base, None, None, 1)}

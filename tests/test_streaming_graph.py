@@ -102,7 +102,7 @@ def test_streaming_edges_incremental_and_tombstone(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream drain timed out"
 
     write_batch("b1.parquet", [1, 2])
     drain()

@@ -110,7 +110,7 @@ def test_streaming_linear_attribution_state_crosses_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream drain timed out"
 
     drain()
     assert rows == {}  # only carried touches so far

@@ -44,7 +44,7 @@ def test_incremental_refresh_merges_snapshots(spark, tmp_path):
     q = incremental_refresh(
         spark, snaps, table, SCHEMA, ["k"], "version", ckpt
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream drain timed out"
 
     got = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert got == {1: "a", 2: "b1", 3: "c", 4: "d"}
@@ -54,7 +54,7 @@ def test_incremental_refresh_merges_snapshots(spark, tmp_path):
     q2 = incremental_refresh(
         spark, snaps, table, SCHEMA, ["k"], "version", ckpt
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "stream drain timed out"
 
     got = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert got == {1: "a2", 2: "b1", 3: "c", 4: "d"}
