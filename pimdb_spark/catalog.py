@@ -255,8 +255,8 @@ _CHECK_FIRST: list[str] = [
     # every round by scripts/derive_rotation.py as (new entries) +
     # (changed entries) + (entries that failed last round) + (entries
     # outside last round's window, stalest attestation first, ties in
-    # registration order).  Round 10 derivation over the 144-entry
-    # registry: 7 new + 2 changed + 0 failed + 41 stale-first names; the
+    # registration order).  Round 10 derivation over the 145-entry
+    # registry: 8 new + 2 changed + 0 failed + 40 stale-first names; the
     # first 50 emitted form round 10's driver window; derive_rotation.py
     # verified registry \ (r8 ∪ r9 ∪ r10 windows) = ∅ and that every
     # entry outside the r9/r10 windows is r8-green — the three-round
@@ -270,6 +270,7 @@ _CHECK_FIRST: list[str] = [
     "q_int8_ann_topk",
     "q_ivf_int8_topk",
     "q_pq_adc_topk",
+    "q_ivf_pq_topk",
     # -- changed this round --
     "q_bpe_apply",
     "q_sparse_doc_sim",

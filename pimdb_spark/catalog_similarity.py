@@ -625,3 +625,84 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "vec_id", "embedding",
         m=8, dim=64, n_centroids=16, k=3,
     )
+
+
+def _ivf_pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> str:
+    def subsqd(s: int) -> str:
+        lo, hi = (s - 1) * sub + 1, s * sub + 1
+        return (
+            f"list_reduce(list_transform(range({lo}, {hi}), "
+            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
+            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    dls = ", ".join(
+        f"list_transform((SELECT cvecs FROM fine), cv -> {subsqd(s)})"
+        for s in range(1, m + 1)
+    )
+    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
+    return f"""
+    WITH coarse AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), fine AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_centroids})
+    ), dc AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform((SELECT cvecs FROM coarse),
+               c -> {_SQD.format(v='e.embedding')}) AS cdists,
+             [{dls}] AS dtab
+      FROM embeddings e
+    ), coded AS (
+      SELECT vec_id,
+             list_position(cdists, list_min(cdists))::BIGINT AS cell,
+             dtab,
+             list_transform(dtab, d -> list_position(d, list_min(d))) AS codes
+      FROM dc
+    ), probes AS (
+      SELECT q_id, cell, dtab FROM (
+        SELECT dc.vec_id AS q_id, dc.dtab,
+               unnest(range(1, len(cdists) + 1)) AS cell,
+               unnest(cdists) AS dist
+        FROM dc WHERE dc.vec_id < 16
+      ) x QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) <= 2
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS c_id, round({adc}, 4) AS adc
+      FROM coded c JOIN probes q ON c.cell = q.cell
+      WHERE q.q_id <> c.vec_id
+    )
+    SELECT q_id, rank, c_id, adc FROM (
+      SELECT q_id, c_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("q_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/similarity.ivf_pq_topk) — the production
+    large-scale ANN layout with BOTH compositions under one hash gate:
+    8 coarse cells prune candidates to each query's 2 nearest cells (the
+    q_ivf_ann_topk equi-join), and surviving pairs score by PQ
+    asymmetric distance over 8-subspace x 16-entry codebooks (the
+    q_pq_adc_topk table lookups) — the scoring join ships 8 codes per
+    candidate, never a float vector, AFTER the cell join already shrank
+    the pair count ~4x.  Codebooks quantize raw vectors (residual PQ
+    swaps the codebook attach, same plan shape; documented on the
+    operator).
+
+    Scale: two one-row broadcasts (coarse centroids, PQ codebooks), both
+    assignments as projections over the candidate scan, one hash
+    equi-join on cell id, m lookups per surviving pair."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    return S.ivf_pq_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=3,
+    )

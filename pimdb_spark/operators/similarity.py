@@ -684,3 +684,161 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "adc")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    k: int = 3,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF-PQ — the production large-scale ANN layout, both halves
+    composed: an ``n_cells`` coarse quantizer prunes candidates to the
+    query's ``nprobe`` nearest cells (the ivf_topk equi-join), and the
+    surviving pairs score by PQ asymmetric distance (the pq_topk
+    m-lookup sum) — so the scoring join ships m CODES per candidate and
+    touches no float vector, while the pair count shrinks
+    ~n_cells/nprobe before any scoring happens.
+
+    Simplification vs. the literature: PQ codebooks quantize the RAW
+    vectors, not the per-cell residuals (residual PQ needs per-cell
+    codebooks; the plan shape is identical — swap the codebook attach).
+    Both quantizers use the training-free lowest-id convention, so every
+    value is engine-reproducible and the DuckDB oracle is hash-exact.
+
+    Scale: one broadcast row carries the coarse centroids, one the PQ
+    codebooks; both assignments are projections over the candidate scan;
+    the probe join is a hash equi-join on cell id; scoring is m array
+    lookups per surviving pair."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"ivf_pq_topk: dim {dim} not divisible by m {m}")
+    coarse = (
+        candidates.orderBy(cand_id)
+        .limit(n_cells)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(cand_id).alias("cid"),
+                            F.col(vec_col).alias("cvec"),
+                        )
+                    )
+                ),
+                lambda s: s.cvec,
+            ).alias("coarse_vecs")
+        )
+    )
+    fine = (
+        candidates.orderBy(cand_id)
+        .limit(n_centroids)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(cand_id).alias("cid"),
+                            F.col(vec_col).alias("cvec"),
+                        )
+                    )
+                ),
+                lambda s: s.cvec,
+            ).alias("cvecs")
+        )
+    )
+
+    def sub_sqd(a, b, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, s * sub + 1, sub),
+                F.slice(b, s * sub + 1, sub),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sub_dists(vec_name: str, s: int):
+        # factory closure — see pq_topk: a 2-arg lambda would bind s to
+        # the element index
+        return F.transform(
+            F.col("cvecs"), lambda cv: sub_sqd(F.col(vec_name), cv, s)
+        )
+
+    c = (
+        candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "cdists",
+            F.transform(F.col("coarse_vecs"), lambda cv: sqdist(F.col("c_vec"), cv)),
+        )
+        .select(
+            "c_id",
+            "c_vec",
+            F.array_position("cdists", F.array_min("cdists")).alias("c_cell"),
+        )
+        .crossJoin(F.broadcast(fine))
+        .select(
+            "c_id",
+            "c_cell",
+            F.array(*[sub_dists("c_vec", s) for s in range(m)]).alias("_dtabs"),
+        )
+        .select(
+            "c_id",
+            "c_cell",
+            F.transform(
+                F.col("_dtabs"),
+                lambda d: F.array_position(d, F.array_min(d)).cast("int"),
+            ).alias("codes"),
+        )
+    )
+    probe_w = Window.partitionBy("q_id").orderBy("dist", "q_cell")
+    q = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .localCheckpoint(eager=False)
+        .crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "cdists",
+            F.transform(F.col("coarse_vecs"), lambda cv: sqdist(F.col("q_vec"), cv)),
+        )
+        .select("q_id", "q_vec", F.posexplode("cdists").alias("pos", "dist"))
+        .withColumn("q_cell", (F.col("pos") + 1).cast("bigint"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("q_id", "q_vec", "q_cell")
+        .crossJoin(F.broadcast(fine))
+        .select(
+            "q_id",
+            "q_cell",
+            F.array(*[sub_dists("q_vec", s) for s in range(m)]).alias("dtab"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(F.col("dtab"), s), F.element_at(F.col("codes"), s)),
+    )
+    scored = (
+        c.join(q, F.col("c_cell").eqNullSafe(F.col("q_cell")))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", adc.alias("adc"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("adc", F.round("adc", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "adc")
+    )

@@ -153,6 +153,9 @@ def test_no_plan_red_flags(spark, name, entry):
       q_cosine_topk brute shape over 8-byte PQ codes — table-lookup
       scoring is the cheap-scan design; IVF-PQ composes the cell
       equi-join in front exactly like q_ivf_int8_topk.
+    - q_ivf_pq_topk: two one-row broadcast attaches (coarse centroids +
+      PQ codebooks); the scoring join itself is the hash equi-join on
+      cell id — the production IVF-PQ layout, no pairing outside cells.
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
       (a 1-row aggregate) attaches to every (token, df) row.
     - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
@@ -191,6 +194,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_ann_topk_np",
         "q_ivf_int8_topk",
         "q_pq_adc_topk",
+        "q_ivf_pq_topk",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

@@ -178,3 +178,47 @@ def test_pq_topk_matches_python_model(spark):
         for r in pq_topk(q, emb, "vec_id", "vec_id", k=k).collect()
     }
     assert got == expected
+
+
+def test_ivf_pq_is_cell_restricted_pq(spark):
+    """IVF-PQ = brute PQ restricted to the query's probed coarse cells:
+    every returned pair's ADC equals the brute-PQ ADC for that pair, and
+    every returned candidate lives in one of the query's 2 probed
+    cells (python coarse model)."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = load(spark, SF, "embeddings")
+    n = emb.count()
+    q = load(spark, SF, "embeddings").filter(F.col("vec_id") < 16)
+    got = {
+        (r.q_id, r.c_id): r.adc
+        for r in ivf_pq_topk(q, emb, "vec_id", "vec_id", k=3).collect()
+    }
+    full = {
+        (r.q_id, r.c_id): r.adc
+        for r in pq_topk(
+            load(spark, SF, "embeddings").filter(F.col("vec_id") < 16),
+            emb, "vec_id", "vec_id", k=n,
+        ).collect()
+    }
+    assert got and all(full[key] == adc for key, adc in got.items())
+
+    # coarse cells via a python model (first-minimum over the 8 lowest-id
+    # vectors), checking the candidate really was in a probed cell
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    cb = [vecs[i] for i in sorted(vecs)[:8]]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def cell(v):
+        d = [sq(v, c) for c in cb]
+        return d.index(min(d))
+
+    def probes(v):
+        d = sorted((sq(v, c), i) for i, c in enumerate(cb))
+        return {i for _, i in d[:2]}
+
+    for (qid, cid) in got:
+        assert cell(vecs[cid]) in probes(vecs[qid]), (qid, cid)
