@@ -202,6 +202,13 @@ def main() -> None:
             events(d), "purchase", ["click", "view"],
             horizon_us=3 * 24 * 3_600_000_000,
         ),
+        "ivf_pq_topk": lambda d: __import__(
+            "pimdb_spark.operators.similarity", fromlist=["ivf_pq_topk"]
+        ).ivf_pq_topk(
+            emb(d).filter(F.col("vec_id") < 16).select("vec_id", "embedding"),
+            emb(d).select("vec_id", "embedding"),
+            "vec_id", "vec_id", k=3,
+        ),
         "semdedup": lambda d: semdedup(
             emb(d).select("vec_id", "embedding"),
             k=4 if d == SF else 13, n_iter=2, dim=64, scorer="numpy",
