@@ -830,3 +830,85 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("s"),
     )
     return P.calibration_bins(base, "is_pos", "s", lo=-0.25, hi=0.25, n_bins=10)
+
+
+_BLOOM_GRAMS = f"""
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len({_TOKS}) - 5 + 2),
+                            i -> array_to_string(list_slice({_TOKS}, i, i + 4),
+                                                 ' '))) AS grams
+      FROM documents
+    ), dg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), ev AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 13 = 0
+    )
+"""
+
+_BLOOM_POS = (
+    "('0x' || substring(md5({g} || ':' || {j}), 1, 8))::BIGINT % 65536"
+)
+
+
+@register(
+    "q_bloom_decontaminate",
+    oracle=f"""
+    WITH {_BLOOM_GRAMS},
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS.format(g='gram', j='j.j')} AS pos
+      FROM ev, (SELECT unnest([0, 1, 2]) AS j) j
+    ), bloom AS (
+      SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+      FROM bits GROUP BY 1
+    ), probe AS (
+      SELECT doc_id, gram, {_BLOOM_POS.format(g='gram', j='j.j')} AS pos
+      FROM dg, (SELECT unnest([0, 1, 2]) AS j) j
+    ), tested AS (
+      SELECT doc_id, gram,
+             bool_and((coalesce(b.word, 0) & (1::BIGINT << CAST(pos % 32 AS INTEGER)))
+                      = (1::BIGINT << CAST(pos % 32 AS INTEGER))) AS bloom_hit
+      FROM probe LEFT JOIN bloom b ON CAST(pos // 32 AS BIGINT) = b.word_idx
+      GROUP BY doc_id, gram
+    ), perdoc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             count(*) FILTER (bloom_hit) AS bloom_hits
+      FROM tested GROUP BY doc_id
+    ), exact AS (
+      SELECT t.doc_id, count(*) AS exact_hits
+      FROM tested t JOIN ev USING (gram)
+      WHERE t.bloom_hit GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+           CAST(coalesce(e.exact_hits, 0) AS BIGINT) AS exact_hits,
+           coalesce(e.exact_hits, 0) < 3 AS keep
+    FROM documents d
+    LEFT JOIN perdoc p USING (doc_id)
+    LEFT JOIN exact e USING (doc_id)
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination (operators/membership.
+    bloom_decontaminate): the held-out slice's (doc_id %% 13) distinct
+    5-grams fold into a 65,536-bit bloom (k=3 md5-derived positions,
+    32-bit words in BIGINTs, bit_or-aggregated — every step
+    engine-portable, so DuckDB rebuilds the IDENTICAL bitmap), training
+    docs probe it, and only bloom-positive grams reach the exact
+    verification join.  bloom_hits - exact_hits is the audited
+    false-positive volume the prefilter admitted; keep matches
+    q_ngram_decontaminate's < 3-exact-hits rule.
+
+    Scale: the bloom is ≤ m/32 = 2,048 rows whatever the eval-set size —
+    it broadcasts where the raw gram table could not; the exact join (the
+    only gram-text shuffle) carries true hits + FP-rate x corpus grams.
+    Tune m ~ 10 x distinct eval grams for ~0.1%% FP at k=3."""
+    from pimdb_spark.operators.membership import bloom_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 13 == 0)
+    return bloom_decontaminate(
+        docs, eval_docs, n=5, m_bits=65536, k_hashes=3, threshold=3
+    )

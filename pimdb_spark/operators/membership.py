@@ -1,0 +1,180 @@
+"""Bloom-filter membership sketch, engine-portable and exactly
+deterministic.
+
+A Bloom filter answers "possibly in the set" / "definitely not in the
+set" with a fixed memory budget — the standard prefilter in front of an
+exact contamination join when the eval set's n-gram table is too large to
+broadcast raw but its *bitmap* is not: m bits cover millions of grams in
+m/8 bytes, so the exact (expensive, shuffling) verification join only
+ever sees the bloom-positive survivors.
+
+Portability design (the reason this looks different from
+``spark.util.sketch.BloomFilter``): Spark's built-in bloom uses
+Murmur3-128 over an opaque serialized long-array, which DuckDB cannot
+reproduce, so nothing it produces can sit under the repo's hash-parity
+gate.  This implementation derives every bit position from the house
+md5-prefix integer (``conv(substring(md5(x || ':' || j), 1, 8), 16, 10)``
+— identical text in DuckDB), packs bits into 32-BIT words stored in
+BIGINTs (bit index < 32 keeps every mask positive, so signed-shift /
+sign-extension semantics can never diverge between engines), and
+aggregates words with ``bit_or`` — associative, order-free, exact.
+The result is a *relational* bloom: a (word_idx, word) table of at most
+m/32 rows that broadcasts like any small dimension.
+
+Reference behavior target: pimdb has no sketch structures; this extends
+the decontamination family (operators/corpus.ngram_decontaminate) with
+the constant-memory prefilter a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_BITS = 32  # bits packed per BIGINT word; < 63 keeps masks positive
+
+# shiftleft with a COLUMN shift amount (pyspark's F.shiftleft only takes a
+# literal int); applied to a materialized `_pos` column
+_MASK_EXPR = "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))"
+
+
+def _md5_int(c: Column) -> Column:
+    """First 8 md5 hex chars as a non-negative BIGINT < 2^32 — the house
+    engine-portable hash (see operators/curation.py)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def _positions(item: Column, j: Column, m_bits: int) -> Column:
+    """Bit position of hash function ``j`` for ``item``: md5 of the
+    salted string, mod m."""
+    return _md5_int(F.concat(item, F.lit(":"), j.cast("string"))) % F.lit(m_bits)
+
+
+def bloom_build(
+    items: DataFrame, item_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Build the bloom bitmap over the distinct values of ``item_col``.
+
+    Returns a (word_idx BIGINT, word BIGINT) frame with at most
+    ``m_bits / 32`` rows — only words with at least one set bit appear
+    (absent word == 0).  One shuffle: the ``bit_or`` groupBy, whose
+    map-side partial combine caps every task's output at m/32 rows, so
+    the exchange volume is #tasks x m/32 regardless of item count."""
+    if m_bits % _WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {_WORD_BITS}: {m_bits}")
+    pos = _positions(F.col(item_col), F.col("_j"), m_bits)
+    return (
+        items.select(F.col(item_col)).distinct()
+        .select(
+            item_col,
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_j"),
+        )
+        .select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / _WORD_BITS).cast("bigint").alias("word_idx"),
+            F.expr(_MASK_EXPR).alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    item_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k_hashes: int,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``out_col``: true iff every one of the item's k bit
+    positions is set in the bloom (possibly-member); false means
+    definitely-not-member.  The bloom broadcasts (≤ m/32 rows); the probe
+    side fans out k rows per item, tests each bit JVM-side, and folds
+    back with bool_and — no Python, no shuffle beyond the k-row groupBy
+    keyed on the probe frame's own columns."""
+    cols = probes.columns
+    j = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_j")
+    pos = _positions(F.col(item_col), F.col("_j"), m_bits)
+    fanned = (
+        probes.select(*cols, j)
+        .select(*cols, pos.alias("_pos"))
+        .select(
+            *cols,
+            (F.col("_pos") / _WORD_BITS).cast("bigint").alias("word_idx"),
+            F.expr(_MASK_EXPR).alias("_mask"),
+        )
+    )
+    tested = fanned.join(F.broadcast(bloom), "word_idx", "left").withColumn(
+        "_bit_set",
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_mask"))
+        == F.col("_mask"),
+    )
+    return tested.groupBy(*cols).agg(F.bool_and("_bit_set").alias(out_col))
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+    threshold: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-prefiltered n-gram eval-set decontamination: the
+    constant-memory form of operators/corpus.ngram_decontaminate.
+
+    The eval set's distinct n-grams are folded into an m-bit bloom
+    (m/8 bytes — fixed, however many grams), every training document's
+    distinct n-grams probe it, and ONLY the bloom-positive grams reach
+    the exact verification join against the real eval gram set.  Output
+    per document: distinct-gram count, bloom-positive count, exact hit
+    count, and the keep verdict (< threshold exact hits) — bloom_hits -
+    exact_hits is the measured false-positive volume the prefilter
+    admitted.
+
+    Scale: at 100 TB the eval gram table is far too big to broadcast,
+    but the bloom is m/32 rows no matter what; the exact join — the only
+    stage that shuffles gram text — runs over bloom survivors alone,
+    whose volume is true hits + FP-rate x corpus grams (tune m for the
+    target FP rate: ~0.1%% at m = 10 x distinct grams, k=3)."""
+    from pimdb_spark.operators.corpus import ngrams
+
+    grams = docs.select(
+        F.col(id_col), F.explode(ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    eval_grams = eval_docs.select(
+        F.explode(ngrams(text_col, n)).alias("gram")
+    ).distinct()
+
+    bloom = bloom_build(eval_grams, "gram", m_bits, k_hashes)
+    probed = bloom_probe(grams, "gram", bloom, m_bits, k_hashes)
+
+    positives = probed.filter(F.col("bloom_hit"))
+    exact = (
+        positives.join(eval_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("exact_hits"))
+    )
+    per_doc = (
+        probed.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("bloom_hit")).alias("bloom_hits"),
+        )
+        .join(exact, id_col, "left")
+        .withColumn("exact_hits", F.coalesce(F.col("exact_hits"), F.lit(0)))
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("bloom_hits"), F.lit(0)).alias("bloom_hits"),
+            F.coalesce(F.col("exact_hits"), F.lit(0)).alias("exact_hits"),
+            (F.coalesce(F.col("exact_hits"), F.lit(0)) < threshold).alias("keep"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Bloom-filter membership sketch (operators/membership.py): no false
+negatives ever, false positives bounded and audited, and the
+decontamination verdict identical to the exact-join form."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+
+def _py_positions(item: str, k: int, m: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"{item}:{j}".encode()).hexdigest()[:8], 16) % m
+        for j in range(k)
+    ]
+
+
+def test_bloom_no_false_negatives_and_python_model_parity(spark):
+    from pimdb_spark.operators.membership import bloom_build, bloom_probe
+
+    rng = random.Random(11)
+    members = [f"m{rng.randint(0, 10_000)}" for _ in range(300)]
+    others = [f"x{rng.randint(0, 10_000)}" for _ in range(300)]
+    m_bits, k = 4096, 3
+
+    items = spark.createDataFrame([(s,) for s in members], ["item"])
+    bloom = bloom_build(items, "item", m_bits, k)
+
+    # python bitmap model built from the same md5 positions
+    bits = set()
+    for s in set(members):
+        bits.update(_py_positions(s, k, m_bits))
+    words = {}
+    for p in bits:
+        words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    got_words = {r.word_idx: r.word for r in bloom.collect()}
+    assert got_words == words
+
+    probes = spark.createDataFrame(
+        [(s,) for s in set(members) | set(others)], ["item"]
+    )
+    got = {
+        r.item: r.bloom_hit
+        for r in bloom_probe(probes, "item", bloom, m_bits, k).collect()
+    }
+    member_set = set(members)
+    for s in member_set:
+        assert got[s], "bloom false negative"
+    for s in set(others) - member_set:
+        want = all(p in bits for p in _py_positions(s, k, m_bits))
+        assert got[s] == want  # FP iff all k positions collide
+
+
+def test_bloom_decontaminate_matches_exact_join_verdict(spark):
+    from pimdb_spark.operators.corpus import ngram_decontaminate
+    from pimdb_spark.operators.membership import bloom_decontaminate
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+            for i in range(120)
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 13 == 0)
+
+    blm = bloom_decontaminate(
+        docs, eval_docs, n=5, m_bits=65536, k_hashes=3, threshold=3
+    )
+    exact = ngram_decontaminate(docs, eval_docs, n=5, threshold=3)
+
+    b = {r.doc_id: r for r in blm.collect()}
+    e = {r.doc_id: (r.n_shared_ngrams, r.keep) for r in exact.collect()}
+    assert set(b) == set(e)
+    for doc_id, row in b.items():
+        n_shared, keep = e[doc_id]
+        assert row.exact_hits == n_shared  # bloom FPs never reach exact_hits
+        assert row.keep == keep
+        assert row.bloom_hits >= row.exact_hits  # FPs only ever add
+        assert row.n_grams >= row.bloom_hits
