@@ -492,3 +492,59 @@ from pimdb_spark.catalog import _REGISTRY as _R  # noqa: E402
 register("q_bpe_apply_fast", oracle=_R["q_bpe_apply"].oracle, bench=True)(
     q_bpe_apply_fast
 )
+
+
+_BIGRAMS = f"""
+      SELECT doc_id, unnest(list_transform(range(1, len({_TOKS})),
+                     i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS gram
+      FROM documents
+"""
+
+
+@register(
+    "q_ngram_lm_score",
+    oracle=f"""
+    WITH bi AS (
+      SELECT gram, count(*) AS c2 FROM ({_BIGRAMS} WHERE lang = 'en')
+      GROUP BY gram
+    ), ctx AS (
+      SELECT string_split(gram, ' ')[1] AS w1, sum(c2) AS c1
+      FROM bi GROUP BY 1
+    ), voc AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE lang = 'en')
+    ), dg AS (
+      SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
+      FROM ({_BIGRAMS})
+    ), terms AS (
+      SELECT doc_id,
+             (coalesce(bi.c2, 0) + 1) * 1000000000 // (coalesce(ctx.c1, 0) + voc.v) AS t
+      FROM dg LEFT JOIN bi USING (gram) LEFT JOIN ctx USING (w1), voc
+    ), pd AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(t) AS s FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(pd.s AS DOUBLE) / CAST(pd.n_bigrams * 1000000000 AS DOUBLE) AS lm_score
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-LM quality scoring (operators/lm.ngram_lm_score — the
+    CCNet signal, Wenzek et al. 2020): an add-one-smoothed bigram LM
+    trained on the English slice scores EVERY document by mean
+    conditional bigram probability; out-of-language and low-quality text
+    scores near the smoothing floor.  Terms are integer-exact
+    floor((c2+1)*1e9 / (c1+V)) BIGINTs — the rational surrogate for
+    perplexity (log/exp are not cross-engine bit-identical), so the
+    per-doc sum is order-free exact and the single final double division
+    is engine-identical with no fold or rounding contract.
+
+    Scale: both model tables are proportional to the curated REFERENCE
+    corpus and broadcast; the scoring pass is shuffle-free until the
+    per-doc groupBy, whose BIGINT partial sums combine freely."""
+    from pimdb_spark.operators.lm import ngram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return ngram_lm_score(docs, ref)

@@ -1,0 +1,117 @@
+"""N-gram language-model quality scoring — the CCNet-style corpus
+quality filter (Wenzek et al. 2020 train a KenLM on a reference corpus
+and rank documents by per-token perplexity; low-quality and
+out-of-domain/out-of-language text scores poorly).
+
+Numeric-parity design: perplexity is exp(-mean log P) and ``log``/``exp``
+are not bit-identical across engines (see catalog.py's numeric-parity
+policy), so the score is the RATIONAL SURROGATE — the mean add-one-
+smoothed conditional bigram probability, with each term computed in
+EXACT integer arithmetic:
+
+    term(w1 w2) = floor((c2 + 1) * SCALE / (c1 + V))
+
+where c2 = reference count of the bigram, c1 = reference count of w1 as
+a bigram context (sum of c2 over its continuations), V = reference
+vocabulary size, SCALE = 10^9.  Scaled terms are BIGINTs, so the per-doc
+sum is exact and order-free (no ordered-fold discipline needed), and the
+final ``sum / (n * SCALE)`` is a single IEEE double division — correctly
+rounded, engine-identical.  The surrogate ranks documents the same way
+mean probability does (monotone in each term); it is not comparable to a
+log-domain perplexity number and is documented as such.
+
+Range bound: (c2 + 1) * SCALE must fit a signed 64-bit integer, i.e.
+c2 < ~9.2e9 occurrences of one bigram in the reference corpus — a
+documented precondition, not a runtime check (the session runs non-ANSI,
+where overflow would wrap).  A reference corpus is curated and orders of
+magnitude smaller than the corpus being scored, so the bound holds by
+construction; lower SCALE if a reference corpus ever approaches it.
+
+Reference behavior target: pimdb has no LM scoring; this extends the
+quality family (operators/text.text_stats, operators/curation
+.quality_funnel) with the published reference-LM signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def bigram_counts(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reference bigram table: (gram, w1, c2) with c2 the bigram count.
+    One explode + one groupBy (map-side combined)."""
+    from pimdb_spark.operators.corpus import ngrams
+
+    return (
+        ref_docs.select(F.explode(ngrams(text_col, 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document by the mean add-one-smoothed conditional
+    bigram probability under a reference-corpus bigram LM (see module
+    docstring for the integer-exact formulation).
+
+    Output: (id, n_bigrams, lm_score DOUBLE) for every input document;
+    documents with fewer than 2 tokens keep n_bigrams = 0 and a NULL
+    score.
+
+    Scale: the model is two count tables — bigram counts (shuffled once
+    on gram) and context counts (derived from them, shuffled on w1) —
+    both proportional to the REFERENCE corpus, not the scored one; V is
+    a one-row aggregate.  Scoring joins gram -> c2 and w1 -> c1; for a
+    curated reference (<< corpus) both model tables broadcast, making
+    the scoring pass shuffle-free until the final per-doc groupBy on the
+    id column.  Terms sum as exact BIGINTs, so partial aggregation
+    combines freely with no float-order concern."""
+    from pimdb_spark.operators.corpus import ngrams
+
+    bi = bigram_counts(ref_docs, text_col)
+    ctx = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        ref_docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngrams(text_col, 2)).alias("gram")
+    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+
+    scored = (
+        doc_grams.join(F.broadcast(bi.select("gram", "c2")), "gram", "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.expr(
+                f"(coalesce(c2, 0L) + 1L) * {SCALE}L div (coalesce(c1, 0L) + v)"
+            ).alias("term_scaled"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("term_scaled").alias("_sum_scaled"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            (
+                F.col("_sum_scaled").cast("double")
+                / (F.col("n_bigrams") * F.lit(SCALE)).cast("double")
+            ).alias("lm_score"),
+        )
+    )

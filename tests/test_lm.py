@@ -1,0 +1,70 @@
+"""N-gram LM quality scoring (operators/lm.py) against an independent
+pure-Python bigram-LM model."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def _py_scores(docs: dict[int, str], ref_ids: set[int]):
+    bi: Counter = Counter()
+    vocab: set[str] = set()
+    for i in ref_ids:
+        toks = docs[i].split(" ")
+        vocab.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    ctx: Counter = Counter()
+    for (w1, _), c in bi.items():
+        ctx[w1] += c
+    v = len(vocab)
+    out = {}
+    for i, text in docs.items():
+        toks = text.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        s = sum((bi[p] + 1) * SCALE // (ctx[p[0]] + v) for p in pairs)
+        out[i] = (len(pairs), s / (len(pairs) * SCALE))
+    return out
+
+
+def test_ngram_lm_score_matches_python_model(spark):
+    from pimdb_spark.operators.lm import ngram_lm_score
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        for i in range(150)
+    }
+    ref_ids = {i for i in docs if i % 3 == 0}
+
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    ref = df.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in ngram_lm_score(df, ref).collect()
+    }
+    want = _py_scores(docs, ref_ids)
+    assert set(got) == set(want)
+    for i in docs:
+        assert got[i][0] == want[i][0]
+        if want[i][1] is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == want[i][1]  # integer-exact: bit equality
+
+    # the reference slice itself must outscore out-of-domain text: a doc
+    # of never-seen tokens scores at the smoothing floor
+    alien = spark.createDataFrame([(999, "z1 z2 z3 z4")], ["doc_id", "text"])
+    alien_score = ngram_lm_score(alien, ref).collect()[0].lm_score
+    ref_mean = sum(
+        want[i][1] for i in ref_ids if want[i][1] is not None
+    ) / len(ref_ids)
+    assert alien_score < ref_mean

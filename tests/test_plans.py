@@ -180,6 +180,9 @@ def test_no_plan_red_flags(spark, name, entry):
       by a single fold — one constant attach total, no pairing
       (q_bpe_train itself returns checkpointed one-row frames, so its
       plan has no join at all).
+    - q_ngram_lm_score: the ONE-ROW vocabulary-size aggregate broadcast-
+      attaches to every (doc, gram) row for the smoothing denominator —
+      constant attach, no pairing (same shape as q_token_df_idf).
     - q_bpe_train_batched: two bounded non-data joins per round — the
       conflict anti-join of the <=batch_size-row pool against itself
       (non-equi on pool position + arrays_overlap; <=m^2 pairs, never
@@ -202,6 +205,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q11_important_stock",
         "q_heavy_hitters",
         "q_mixture_plan",
+        "q_ngram_lm_score",
         "q_bpe_apply",
         "q_bpe_train_batched",
     ):
