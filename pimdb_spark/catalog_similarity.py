@@ -706,3 +706,36 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "vec_id", "embedding",
         n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=3,
     )
+
+
+@register(
+    "q_embedding_gram_int8",
+    oracle=f"""
+    WITH qz AS ({_INT8_QZ}),
+    idx AS (SELECT unnest(range(1, 65)) AS i)
+    SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+           CAST(sum(q.codes[a.i] * q.codes[b.i]) AS BIGINT) AS gram
+    FROM qz q, idx a, idx b
+    WHERE b.i >= a.i
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scatter/Gram matrix over the int8-quantized embedding table
+    (operators/linalg.gram_matrix_int8): the dim x dim aggregate PCA /
+    whitening / linear probes need, computed as upper-triangle (i, j,
+    gram) cells where every product is INTEGER (order-free exact BIGINT
+    sums — no fold, no rounding contract; the quantizer's absmax rides
+    as fold state per the q_int8_ann_topk discipline).  Code space =
+    per-vector absmax-normalized vectors, the right space for
+    cosine-similarity embeddings; documented on the operator.
+
+    Scale: each row fans out to 2,080 cells JVM-side, then ONE groupBy
+    whose map-side combine caps every task's shuffle output at 2,080
+    rows regardless of table size — the exchange is #tasks x dim^2/2,
+    never O(n); the result fits on the driver for the eigen step
+    (operators/linalg.pca_project) like a kmeans centroid collect."""
+    from pimdb_spark.operators.linalg import gram_matrix_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return gram_matrix_int8(emb, "vec_id", "embedding", dim=64)
