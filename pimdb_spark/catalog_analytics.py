@@ -27,6 +27,7 @@ from pimdb_spark.operators.analytics import (
 from pimdb_spark.operators.graph import (
     bfs_hops,
     co_occurrence_edges,
+    label_propagation,
     pagerank,
     triangle_count,
 )
@@ -467,3 +468,58 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         type_col="event_type",
     )
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+    WITH {_edges_cte("WHERE event_type = 'purchase'", 8)},
+    sym AS (
+      SELECT src AS s, dst AS d FROM edges
+      UNION ALL
+      SELECT dst, src FROM edges
+    ), l0 AS (
+      SELECT DISTINCT s AS node, s AS label FROM sym
+    ), c1 AS (
+      SELECT sym.d AS node, l0.label, count(*) AS cnt
+      FROM sym JOIN l0 ON sym.s = l0.node GROUP BY 1, 2
+    ), l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ), c2 AS (
+      SELECT sym.d AS node, l1.label, count(*) AS cnt
+      FROM sym JOIN l1 ON sym.s = l1.node GROUP BY 1, 2
+    ), l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    )
+    SELECT node, label FROM l2
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous rounds of label-propagation community detection
+    (operators/graph.label_propagation — Raghavan et al. 2007) over the
+    purchase co-occurrence graph: each node adopts its neighbors' most
+    frequent label, ties to the smallest — fully integer, so the DuckDB
+    oracle unrolls the identical rounds with no float contract at all.
+    Completes the graph family: components (connectivity), BFS
+    (distance), PageRank (centrality), triangles (clustering), LPA
+    (community).
+
+    Scale: per round one labels ⋈ edges equi-join, one (node, label)
+    count, one per-node window argmax — all keyed on node ids; state is
+    (node, label)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+    )
+    edges = co_occurrence_edges(
+        purchases, ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8
+    )
+    return label_propagation(edges, n_iter=2)

@@ -229,3 +229,56 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over the undirected edge list: every node starts in its own
+    community (label = node id) and each round adopts the MOST FREQUENT
+    label among its neighbors, ties broken by the smallest label — a
+    deterministic total order, so the result is exactly reproducible and
+    a DuckDB oracle can unroll the identical rounds (the pagerank
+    discipline, with no float state at all: labels and counts are
+    integers).  Distinct from connected components (dedup.dup_clusters):
+    LPA converges to DENSE regions — bridges between communities do not
+    merge them the way any path does for components.
+
+    Returns (node, label) after ``n_iter`` rounds for every node with at
+    least one edge.
+
+    Scale: per round, ONE hash equi-join (labels ⋈ edges on the source
+    node), one (dst, label) groupBy count, and one per-node window argmax
+    — all partitioned on node ids, so AQE reuses the exchange; state is
+    (node, label) only.  Lineage is cut per round with localCheckpoint —
+    the iterative-plan-depth rule."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
