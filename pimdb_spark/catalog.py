@@ -237,6 +237,22 @@ class CatalogEntry:
 
 _REGISTRY: dict[str, CatalogEntry] = {}
 
+# Bench-only callables: production fast-path twins whose ORACLE is the
+# literal oracle of a registry base entry (same semantics, different
+# physical scorer).  They are timed by bench.py and plan-audited by
+# tests/test_plans.py exactly like registry entries, but do not consume
+# driver-window capacity — the round-10 consolidation that keeps the
+# rotation invariant at K=3 (COVERAGE.md "Attestation rotation").
+_EXTRA_BENCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def register_bench_only(name: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _EXTRA_BENCH[name] = fn
+        return fn
+
+    return deco
+
 
 def register(name: str, oracle: str | None, bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -384,7 +400,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: e.fn for name, e in _REGISTRY.items() if e.bench}
+    out = {name: e.fn for name, e in _REGISTRY.items() if e.bench}
+    out.update(_EXTRA_BENCH)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -487,11 +487,14 @@ def q_bpe_apply_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_lengths(docs, merges, n_merges=3)
 
 
-from pimdb_spark.catalog import _REGISTRY as _R  # noqa: E402
+from pimdb_spark.catalog import register_bench_only  # noqa: E402
 
-register("q_bpe_apply_fast", oracle=_R["q_bpe_apply"].oracle, bench=True)(
-    q_bpe_apply_fast
-)
+# Bench-only since the round-10 consolidation: the encoder twin's
+# semantics are attested through q_bpe_apply's oracle (identical SQL —
+# hash-green while it held a registry slot in the r10 window); the
+# Arrow-batched encoder path stays covered by tests/test_corpus.py and
+# timed by bench.py.
+register_bench_only("q_bpe_apply_fast")(q_bpe_apply_fast)
 
 
 _BIGRAMS = f"""

@@ -239,14 +239,14 @@ def q_ivf_ann_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pimdb_spark.catalog import _REGISTRY as _R  # noqa: E402
+from pimdb_spark.catalog import register_bench_only  # noqa: E402
 
-register("q_cosine_topk_np", oracle=_R["q_cosine_topk"].oracle, bench=True)(
-    q_cosine_topk_np
-)
-register("q_ivf_ann_topk_np", oracle=_R["q_ivf_ann_topk"].oracle, bench=True)(
-    q_ivf_ann_topk_np
-)
+# Bench-only since the round-10 consolidation: each twin's semantics are
+# attested through its fold base entry's oracle (identical SQL — verified
+# hash-green through r7 while these held registry slots); the numpy scorer
+# path stays covered by tests/test_similarity.py and timed by bench.py.
+register_bench_only("q_cosine_topk_np")(q_cosine_topk_np)
+register_bench_only("q_ivf_ann_topk_np")(q_ivf_ann_topk_np)
 
 
 _SQDIST = """

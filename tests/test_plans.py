@@ -116,9 +116,16 @@ def test_approx_distinct_error_bound(spark):
 
 def _all_entries():
     from pimdb_spark import entrypoints  # noqa: F401 — loads every catalog module
-    from pimdb_spark.catalog import _REGISTRY
+    from pimdb_spark.catalog import _EXTRA_BENCH, _REGISTRY, CatalogEntry
 
-    return sorted(_REGISTRY.items())
+    # bench-only twins (register_bench_only) get the identical plan audit:
+    # consolidation out of the oracle registry must not drop them from the
+    # 100 TB red-flag sweep
+    extras = {
+        name: CatalogEntry(name=name, fn=fn, oracle=None)
+        for name, fn in _EXTRA_BENCH.items()
+    }
+    return sorted({**_REGISTRY, **extras}.items())
 
 
 import pytest  # noqa: E402
