@@ -271,29 +271,32 @@ _CHECK_FIRST: list[str] = [
     # every round by scripts/derive_rotation.py as (new entries) +
     # (changed entries) + (entries that failed last round) + (entries
     # outside last round's window, stalest attestation first, ties in
-    # registration order).  Round 10 derivation over the 145-entry
-    # registry: 8 new + 2 changed + 0 failed + 40 stale-first names; the
-    # first 50 emitted form round 10's driver window; derive_rotation.py
-    # verified registry \ (r8 ∪ r9 ∪ r10 windows) = ∅ and that every
-    # entry outside the r9/r10 windows is r8-green — the three-round
-    # invariant (valid to 150 entries; deliberate K=3 decision for r10,
-    # see COVERAGE.md) holds.
+    # registration order).  Final round-10 derivation over the 145-entry
+    # registry (after the late-r10 adds q_bloom_decontaminate /
+    # q_ngram_lm_score / q_embedding_gram_int8 / q_label_propagation and
+    # the consolidation of the four oracle-duplicate twins to bench-only):
+    # 11 new + 2 changed + 0 failed + stalest-first; the first 50 emitted
+    # form round 10's driver window; derive_rotation.py verified
+    # registry \ (r8 ∪ r9 ∪ r10 windows) = ∅ and that every entry
+    # outside the r9/r10 windows is r8-green — the three-round invariant
+    # (valid to 150 entries; K=3 held via consolidation, see COVERAGE.md).
     # -- new this round --
     "q_bpe_train_batched",
-    "q_bpe_apply_fast",
     "q_sparse_doc_sim_sum",
     "q_jpeg_color_stats",
     "q_int8_ann_topk",
     "q_ivf_int8_topk",
     "q_pq_adc_topk",
     "q_ivf_pq_topk",
+    "q_bloom_decontaminate",
+    "q_ngram_lm_score",
+    "q_embedding_gram_int8",
+    "q_label_propagation",
     # -- changed this round --
     "q_bpe_apply",
     "q_sparse_doc_sim",
     # -- stalest attestation first --
     "q_bm25_topk",
-    "q_cosine_topk_np",
-    "q_ivf_ann_topk_np",
     "q_kmeans_assignments",
     "q_multimodal_decode",
     "q_multimodal_decode_pinned",
@@ -319,7 +322,6 @@ _CHECK_FIRST: list[str] = [
     "q_quality_funnel",
     "q_dup_clusters",
     "q_stratified_sample",
-    "q_dup_clusters_star",
     "q_weighted_sample",
     "q_snapshot_diff",
     "q_snapshot_merge",
@@ -379,6 +381,7 @@ _CHECK_FIRST: list[str] = [
     "q_mixture_plan",  # last green r8
     "q_validate_constraints",  # last green r8
 ]
+
 
 
 def _ordered_names() -> list[str]:

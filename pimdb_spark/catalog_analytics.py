@@ -472,6 +472,7 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_label_propagation",
+    bench=True,
     oracle=f"""
     WITH {_edges_cte("WHERE event_type = 'purchase'", 8)},
     sym AS (

@@ -506,6 +506,7 @@ _BIGRAMS = f"""
 
 @register(
     "q_ngram_lm_score",
+    bench=True,
     oracle=f"""
     WITH bi AS (
       SELECT gram, count(*) AS c2 FROM ({_BIGRAMS} WHERE lang = 'en')

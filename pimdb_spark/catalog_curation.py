@@ -272,11 +272,14 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pimdb_spark.catalog import _REGISTRY as _R2  # noqa: E402
+from pimdb_spark.catalog import register_bench_only  # noqa: E402
 
-register("q_dup_clusters_star", oracle=_R2["q_dup_clusters"].oracle)(
-    q_dup_clusters_star
-)
+# Bench-only since the round-10 consolidation: the star-contraction twin's
+# labeling contract is attested through q_dup_clusters' oracle (identical
+# SQL — hash-green while it held a registry slot through r7); the
+# large-star/small-star path stays covered by tests/test_curation.py's
+# star-vs-iterative equality tests, plan-audited, and timed by bench.py.
+register_bench_only("q_dup_clusters_star")(q_dup_clusters_star)
 
 
 @register(

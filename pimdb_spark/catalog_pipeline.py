@@ -853,6 +853,7 @@ _BLOOM_POS = (
 
 @register(
     "q_bloom_decontaminate",
+    bench=True,
     oracle=f"""
     WITH {_BLOOM_GRAMS},
     bits AS (

@@ -710,6 +710,7 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embedding_gram_int8",
+    bench=True,
     oracle=f"""
     WITH qz AS ({_INT8_QZ}),
     idx AS (SELECT unnest(range(1, 65)) AS i)

@@ -214,6 +214,33 @@ def main() -> None:
             k=4 if d == SF else 13, n_iter=2, dim=64, scorer="numpy",
         ),
     }
+    from pimdb_spark.operators.graph import label_propagation
+    from pimdb_spark.operators.linalg import gram_matrix_int8
+    from pimdb_spark.operators.lm import ngram_lm_score
+    from pimdb_spark.operators.membership import bloom_decontaminate
+
+    ops.update({
+        "bloom_decontaminate": lambda d: bloom_decontaminate(
+            docs(d), docs(d).filter(F.col("doc_id") % 13 == 0),
+            n=5, m_bits=65536, k_hashes=3, threshold=3,
+        ),
+        "ngram_lm_score": lambda d: ngram_lm_score(
+            docs(d), docs(d).filter(F.col("lang") == "en")
+        ),
+        "gram_matrix_int8": lambda d: gram_matrix_int8(
+            emb(d), "vec_id", "embedding", dim=64
+        ),
+        "label_propagation": lambda d: label_propagation(
+            co_occurrence_edges(
+                events(d).filter(F.col("event_type") == "purchase").withColumn(
+                    "hour_us", F.col("ts_us") - F.col("ts_us") % HOUR_US
+                ),
+                ["event_type", "hour_us"], node_col="user_id", max_bucket_size=8,
+            ),
+            n_iter=2,
+        ),
+    })
+
     only = set(sys.argv[1:])
     for name, fn in ops.items():
         if only and name not in only:
