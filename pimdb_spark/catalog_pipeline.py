@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pimdb_spark.catalog import load, register
+from pimdb_spark.catalog import load, register, register_bench_only
 from pimdb_spark.operators import corpus as C
 from pimdb_spark.operators import curation as CU
 from pimdb_spark.operators import profile as P
@@ -686,9 +686,12 @@ def q_sparse_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.sparse_doc_similarity(docs, max_df=40, threshold=0.5, n=2)
 
 
-@register(
+# Bench-only since the round-10 consolidation (driver-window capacity —
+# see COVERAGE.md "Attestation rotation"); the round-4 associative-sum
+# contract stays hash-gated by tests/test_catalog_oracle.py's bench-only
+# sweep on every pytest run.
+@register_bench_only(
     "q_sparse_doc_sim_sum",
-    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents

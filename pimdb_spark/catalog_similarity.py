@@ -740,3 +740,41 @@ def q_embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return gram_matrix_int8(emb, "vec_id", "embedding", dim=64)
+
+
+@register(
+    "q_random_projection_int8",
+    oracle=f"""
+    WITH qz AS ({_INT8_QZ}),
+    signs AS (
+      SELECT c.c AS c,
+             list_transform(range(1, 65), i ->
+               CASE WHEN ('0x' || substring(md5(c.c || ':' || i), 1, 8))::BIGINT
+                         % 2 = 1
+                    THEN 1 ELSE -1 END) AS svec
+      FROM (SELECT unnest(range(1, 17)) AS c) c
+    )
+    SELECT q.vec_id, CAST(s.c AS INTEGER) AS comp,
+           CAST(list_reduce(list_transform(range(1, 65),
+                i -> q.codes[i] * s.svec[i]), (x, y) -> x + y) AS BIGINT)
+             AS value
+    FROM qz q, signs s
+    """,
+)
+def q_random_projection_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss +/-1 random projection over int8 codes
+    (operators/linalg.random_project_int8 — Achlioptas 2003): 64 dims
+    fold to 16 exact BIGINT components against a DETERMINISTIC
+    md5-derived sign matrix, the data-independent companion to
+    pca_project (no training pass, no driver round-trip).  The matrix is
+    a plan literal on the Spark side and the identical md5 SQL on the
+    DuckDB side — both engines see the same signs, and every value is
+    integer-exact (no fold contract, no rounding).
+
+    Scale: a pure projection — zero joins, zero shuffles, no Python in
+    the row path; this is the width cut you apply BEFORE any downstream
+    join/sketch when even quantized vectors are too wide to ship."""
+    from pimdb_spark.operators.linalg import random_project_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return random_project_int8(emb, n_components=16, dim=64)

@@ -121,3 +121,73 @@ def pca_project(
     return df.select(
         F.col(id_col), int8_struct(F.col(vec_col)).alias("_q")
     ).select(id_col, proj.alias("components"))
+
+
+def _jl_signs(n_components: int, dim: int) -> list[list[int]]:
+    """The deterministic +/-1 JL projection matrix: sign(c, i) = +1 when
+    the house md5-prefix integer of "c:i" is odd.  Pure data-independent
+    constants — python hashlib here, the identical ``md5`` SQL text in
+    the DuckDB oracle — so both engines see the same matrix without any
+    cross-engine RNG contract."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        [1 if h(f"{c}:{i}") % 2 == 1 else -1 for i in range(1, dim + 1)]
+        for c in range(1, n_components + 1)
+    ]
+
+
+def random_project_int8(
+    df: DataFrame,
+    n_components: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection in int8 code space: the
+    DATA-INDEPENDENT companion to pca_project (Achlioptas 2003: +/-1
+    sign matrices preserve pairwise distances w.h.p.; no training pass,
+    no driver round-trip, no eigen step).  Each vector's int8 codes fold
+    against ``n_components`` deterministic +/-1 sign rows (md5-derived —
+    see _jl_signs), so every output value is an EXACT BIGINT
+    (|value| <= 127 * dim) with no float anywhere.
+
+    Returns (id, comp INT in 1..n_components, value BIGINT) — exploded
+    rows rather than an array column so the driver's value-hash covers
+    every component scalar directly.
+
+    Scale: a pure projection — zero joins, zero shuffles, no Python in
+    the row path; the sign matrix is a plan literal (n_components x dim
+    ints).  This is the embedding-table width-cut that needs NO model
+    state at all: 64 dims -> 16 exact ints per row before any downstream
+    join or sketch."""
+    from pimdb_spark.operators.similarity import int8_struct
+
+    signs = _jl_signs(n_components, dim)
+    basis = F.array(
+        *[
+            F.array(*[F.lit(v) for v in row])
+            for row in signs
+        ]
+    )
+    codes = F.col("_q.codes")
+    proj = F.transform(
+        basis,
+        lambda svec: F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc + F.element_at(codes, i) * F.element_at(svec, i),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), int8_struct(F.col(vec_col)).alias("_q"))
+        .select(id_col, F.posexplode(proj).alias("_pos", "value"))
+        .select(
+            id_col,
+            (F.col("_pos") + 1).cast("int").alias("comp"),
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )

@@ -12,9 +12,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 def _entries():
     from pimdb_spark import entrypoints  # noqa: F401
-    from pimdb_spark.catalog import _REGISTRY
+    from pimdb_spark.catalog import (
+        _EXTRA_BENCH,
+        _EXTRA_BENCH_ORACLE,
+        _REGISTRY,
+        CatalogEntry,
+    )
 
-    return list(_REGISTRY.items())
+    # bench-only entries that carry their own oracle (distinct contract,
+    # consolidated out of the driver window) keep the local hash gate here
+    extras = {
+        name: CatalogEntry(
+            name=name, fn=_EXTRA_BENCH[name], oracle=_EXTRA_BENCH_ORACLE[name]
+        )
+        for name in _EXTRA_BENCH_ORACLE
+    }
+    return list({**_REGISTRY, **extras}.items())
 
 
 @pytest.mark.parametrize("name,entry", _entries(), ids=[n for n, _ in _entries()])

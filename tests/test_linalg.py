@@ -73,3 +73,32 @@ def test_pca_project_matches_numpy_model(spark):
     # component 0 dominate component k-1 in total variance
     p = np.array([got[i] for i, _ in rows])
     assert (p[:, 0] ** 2).sum() >= (p[:, k - 1] ** 2).sum()
+
+
+def test_random_project_int8_matches_python_model(spark):
+    from pimdb_spark.operators.linalg import _jl_signs, random_project_int8
+
+    rows = _fixture()
+    dim, k = 16, 8
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r.vec_id, r.comp): r.value
+        for r in random_project_int8(df, n_components=k, dim=dim).collect()
+    }
+    signs = _jl_signs(k, dim)
+    codes = {i: _py_codes(v) for i, v in rows}
+    assert len(got) == len(rows) * k
+    for i, _ in rows:
+        for c in range(1, k + 1):
+            want = sum(codes[i][d] * signs[c - 1][d] for d in range(dim))
+            assert got[(i, c)] == want  # exact integers
+
+    # JL sanity: projected squared norms track original code norms in
+    # aggregate (E[|Px|^2] = k * |x|^2 for +/-1 signs) — check the
+    # corpus-level ratio is within a loose band
+    import numpy as np
+
+    orig = sum(float(np.dot(codes[i], codes[i])) for i, _ in rows)
+    proj = sum(float(v) ** 2 for v in got.values())
+    ratio = proj / (k * orig)
+    assert 0.5 < ratio < 2.0
