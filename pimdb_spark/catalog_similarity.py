@@ -744,6 +744,7 @@ def q_embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_random_projection_int8",
+    bench=True,
     oracle=f"""
     WITH qz AS ({_INT8_QZ}),
     signs AS (
