@@ -51,20 +51,29 @@ def _positions(item: Column, j: Column, m_bits: int) -> Column:
 
 
 def bloom_build(
-    items: DataFrame, item_col: str, m_bits: int, k_hashes: int
+    items: DataFrame, item_col: str, m_bits: int, k_hashes: int,
+    distinct_items: bool = True,
 ) -> DataFrame:
-    """Build the bloom bitmap over the distinct values of ``item_col``.
+    """Build the bloom bitmap over the values of ``item_col``.
 
     Returns a (word_idx BIGINT, word BIGINT) frame with at most
     ``m_bits / 32`` rows — only words with at least one set bit appear
     (absent word == 0).  One shuffle: the ``bit_or`` groupBy, whose
     map-side partial combine caps every task's output at m/32 rows, so
-    the exchange volume is #tasks x m/32 regardless of item count."""
+    the exchange volume is #tasks x m/32 regardless of item count.
+
+    ``distinct_items=False`` skips the pre-aggregation distinct — the
+    bitmap is IDENTICAL because bit_or is idempotent; the streaming twin
+    uses this (distinct over an unbounded stream needs state the OR does
+    not), and batch callers whose item column is already unique can too."""
     if m_bits % _WORD_BITS != 0:
         raise ValueError(f"m_bits must be a multiple of {_WORD_BITS}: {m_bits}")
     pos = _positions(F.col(item_col), F.col("_j"), m_bits)
+    base = items.select(F.col(item_col))
+    if distinct_items:
+        base = base.distinct()
     return (
-        items.select(F.col(item_col)).distinct()
+        base
         .select(
             item_col,
             F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_j"),
