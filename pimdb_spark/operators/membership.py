@@ -98,28 +98,50 @@ def bloom_probe(
 ) -> DataFrame:
     """Append ``out_col``: true iff every one of the item's k bit
     positions is set in the bloom (possibly-member); false means
-    definitely-not-member.  The bloom broadcasts (≤ m/32 rows); the probe
-    side fans out k rows per item, tests each bit JVM-side, and folds
-    back with bool_and — no Python, no shuffle beyond the k-row groupBy
-    keyed on the probe frame's own columns."""
-    cols = probes.columns
-    j = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_j")
-    pos = _positions(F.col(item_col), F.col("_j"), m_bits)
-    fanned = (
-        probes.select(*cols, j)
-        .select(*cols, pos.alias("_pos"))
-        .select(
-            *cols,
-            (F.col("_pos") / _WORD_BITS).cast("bigint").alias("word_idx"),
-            F.expr(_MASK_EXPR).alias("_mask"),
+    definitely-not-member.
+
+    Plan shape: the sparse (word_idx, word) bloom collapses to a ONE-ROW
+    broadcast map (map_from_entries over at most m/32 entries — the
+    bpe_apply one-row-attach pattern) and every probe row tests its k
+    positions as k UNROLLED whole-stage-codegen expressions (k is a
+    plan-time constant): PROBING IS SHUFFLE-FREE with no higher-order
+    function in the hot path.  Two rejected shapes, both measured at
+    sf0.1: the k-row fanout + bloom hash-join + fold-back groupBy
+    (3.3 s — an extra exchange of k x |probes| rows) and an
+    aggregate-lambda fold over a position array (5.5 s — HOF lambdas run
+    INTERPRETED, so the per-row md5s fell out of codegen; the SCALE.md
+    execution-model rule).  This unrolled form keeps every md5 and bit
+    test inside WholeStageCodegen and deletes the probe-side exchange.
+    The one-row attach is a constant BroadcastNestedLoopJoin — no
+    pairing, allowlisted with the other one-row attaches in
+    tests/test_plans.py."""
+    bloom_map = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("_bm")
+    )
+    pos_cols = [
+        _positions(F.col(item_col), F.lit(j), m_bits).alias(f"_pos{j}")
+        for j in range(k_hashes)
+    ]
+    # SQL shiftleft takes a COLUMN shift (the python F.shiftleft wrapper
+    # only takes a literal int); each test references its materialized
+    # position column — plain codegen expressions, no lambda
+    def bit_test(j: int):
+        shift = f"shiftleft(CAST(1 AS BIGINT), CAST(_pos{j} % 32 AS INT))"
+        return F.expr(
+            f"(coalesce(element_at(_bm, CAST(_pos{j} DIV 32 AS BIGINT)),"
+            f" CAST(0 AS BIGINT)) & {shift}) = {shift}"
         )
+
+    hit = bit_test(0)
+    for j in range(1, k_hashes):
+        hit = hit & bit_test(j)
+    return (
+        probes.crossJoin(F.broadcast(bloom_map))
+        .select(*probes.columns, "_bm", *pos_cols)
+        .select(*probes.columns, hit.alias(out_col))
     )
-    tested = fanned.join(F.broadcast(bloom), "word_idx", "left").withColumn(
-        "_bit_set",
-        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_mask"))
-        == F.col("_mask"),
-    )
-    return tested.groupBy(*cols).agg(F.bool_and("_bit_set").alias(out_col))
 
 
 def bloom_decontaminate(

@@ -190,6 +190,11 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_ngram_lm_score: the ONE-ROW vocabulary-size aggregate broadcast-
       attaches to every (doc, gram) row for the smoothing denominator —
       constant attach, no pairing (same shape as q_token_df_idf).
+    - q_bloom_decontaminate: the ONE-ROW bloom-bitmap map (<= m/32
+      entries collapsed via map_from_entries — the bpe_apply pattern)
+      broadcast-attaches to every (doc, gram) probe row; the unrolled
+      codegen bit tests replace a k-row fanout + hash join + fold-back
+      exchange (measured faster, see operators/membership.bloom_probe).
     - q_bpe_train_batched: two bounded non-data joins per round — the
       conflict anti-join of the <=batch_size-row pool against itself
       (non-equi on pool position + arrays_overlap; <=m^2 pairs, never
@@ -213,6 +218,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_heavy_hitters",
         "q_mixture_plan",
         "q_ngram_lm_score",
+        "q_bloom_decontaminate",
         "q_bpe_apply",
         "q_bpe_train_batched",
     ):
