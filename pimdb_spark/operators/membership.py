@@ -209,3 +209,59 @@ def bloom_decontaminate(
             (F.coalesce(F.col("exact_hits"), F.lit(0)) < threshold).alias("keep"),
         )
     )
+
+
+def bloom_build_sliced(
+    items: DataFrame,
+    item_col: str,
+    slice_col: str,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Per-slice bloom bitmaps: (slice, word_idx, word) with one
+    independent m-bit bloom per value of ``slice_col`` (typically a time
+    bucket).  This is the ROTATION design that gives the monotone bloom
+    an expiry story: maintain one bloom per slice, probe the OR-union of
+    the live slices, and retire membership by DROPPING whole slices —
+    no per-item deletion (impossible in a bloom) and no rebuild.
+
+    Scale: the same single bit_or groupBy as bloom_build with the slice
+    in the key — state and output are (live slices) x m/32 rows, still
+    corpus-size-independent; the streaming form is the identical
+    aggregate (bit_or is idempotent, so replays and batch boundaries
+    cannot change any slice's bitmap)."""
+    if m_bits % _WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {_WORD_BITS}: {m_bits}")
+    pos = _positions(F.col(item_col), F.col("_j"), m_bits)
+    return (
+        items.select(F.col(slice_col).alias("slice"), F.col(item_col))
+        .distinct()
+        .select(
+            "slice",
+            item_col,
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_j"),
+        )
+        .select("slice", pos.alias("_pos"))
+        .select(
+            "slice",
+            (F.col("_pos") / _WORD_BITS).cast("bigint").alias("word_idx"),
+            F.expr(_MASK_EXPR).alias("_mask"),
+        )
+        .groupBy("slice", "word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_union_live(
+    sliced: DataFrame, live_slices: list
+) -> DataFrame:
+    """OR-union the bitmaps of the given slices into one probeable
+    (word_idx, word) bloom — the "current membership window" view.
+    Dropping a slice from ``live_slices`` retires its members (modulo
+    bits shared with live slices — the documented bloom-rotation trade).
+    One groupBy over (live slices) x m/32 rows; output <= m/32 rows."""
+    return (
+        sliced.filter(F.col("slice").isin(list(live_slices)))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )

@@ -82,3 +82,67 @@ def test_bloom_decontaminate_matches_exact_join_verdict(spark):
         assert row.keep == keep
         assert row.bloom_hits >= row.exact_hits  # FPs only ever add
         assert row.n_grams >= row.bloom_hits
+
+
+def test_rotating_bloom_slices_and_expiry(spark):
+    from pimdb_spark.operators.membership import (
+        bloom_build,
+        bloom_build_sliced,
+        bloom_probe,
+        bloom_union_live,
+    )
+
+    m_bits, k = 4096, 3
+    rng = random.Random(3)
+    rows = [
+        (f"s{i % 3}", f"item{rng.randint(0, 500)}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["day", "item"])
+    sliced = bloom_build_sliced(df, "item", "day", m_bits, k)
+
+    # each slice's bitmap equals an independent bloom over its items
+    for day in ("s0", "s1", "s2"):
+        want = {
+            r.word_idx: r.word
+            for r in bloom_build(
+                df.filter(F.col("day") == day), "item", m_bits, k
+            ).collect()
+        }
+        got = {
+            r.word_idx: r.word
+            for r in sliced.filter(F.col("slice") == day)
+            .select("word_idx", "word")
+            .collect()
+        }
+        assert got == want
+
+    # the live union bloom == a bloom over the union of live items
+    live = bloom_union_live(sliced, ["s0", "s1"])
+    want_union = {
+        r.word_idx: r.word
+        for r in bloom_build(
+            df.filter(F.col("day").isin("s0", "s1")), "item", m_bits, k
+        ).collect()
+    }
+    assert {r.word_idx: r.word for r in live.collect()} == want_union
+
+    # expiry: an item ONLY in the dropped slice probes negative against
+    # the live union unless all its bits collide with live bits
+    s2_only = (
+        df.filter(F.col("day") == "s2")
+        .select("item")
+        .subtract(df.filter(F.col("day").isin("s0", "s1")).select("item"))
+    )
+    probed = bloom_probe(s2_only, "item", live, m_bits, k)
+    # the load factor is low enough that most retired items really expire
+    n = probed.count()
+    n_expired = probed.filter(~F.col("bloom_hit")).count()
+    assert n > 0 and n_expired > n * 0.5
+    # and nothing live ever expires (no false negatives through rotation)
+    live_items = df.filter(F.col("day").isin("s0", "s1")).select("item").distinct()
+    assert (
+        bloom_probe(live_items, "item", live, m_bits, k)
+        .filter(~F.col("bloom_hit"))
+        .count()
+        == 0
+    )
