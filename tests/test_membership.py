@@ -146,3 +146,48 @@ def test_rotating_bloom_slices_and_expiry(spark):
         .count()
         == 0
     )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_bloom_randomized_matches_python_model(spark, seed):
+    """Randomized layouts vs the python bitmap model: arbitrary m
+    (multiple of 32, including the minimal single-word bloom), k, member
+    multisets with duplicates, and an EMPTY member set (every probe must
+    be definitely-not-member against a zero-row bloom)."""
+    from pimdb_spark.operators.membership import bloom_build, bloom_probe
+
+    rng = random.Random(seed)
+    m_bits = 32 * rng.choice([1, 2, 8, 64, 128])
+    k = rng.randint(1, 4)
+    n_members = rng.choice([0, 1, rng.randint(2, 120)])
+    members = [f"v{rng.randint(0, 200)}" for _ in range(n_members)]
+    probes = list({f"v{rng.randint(0, 400)}" for _ in range(80)} | set(members))
+
+    items = spark.createDataFrame(
+        [(s,) for s in members] or [("_none_",)], ["item"]
+    )
+    if not members:
+        items = items.filter("item <> '_none_'")  # genuinely empty frame
+    bloom = bloom_build(items, "item", m_bits, k)
+
+    bits = set()
+    for s in set(members):
+        bits.update(_py_positions(s, k, m_bits))
+    got = {
+        r.item: r.bloom_hit
+        for r in bloom_probe(
+            spark.createDataFrame([(s,) for s in probes], ["item"]),
+            "item",
+            bloom,
+            m_bits,
+            k,
+        ).collect()
+    }
+    for s in probes:
+        want = all(p in bits for p in _py_positions(s, k, m_bits))
+        assert got[s] == want, (s, m_bits, k)
+    for s in set(members):
+        assert got[s]  # no false negative, ever
