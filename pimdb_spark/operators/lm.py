@@ -115,3 +115,91 @@ def ngram_lm_score(
             ).alias("lm_score"),
         )
     )
+
+
+def ngram_lm_score_interpolated(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambda_num: int = 3,
+    lambda_den: int = 4,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram/unigram scoring — the standard
+    fix for pure add-one smoothing (which over-penalizes unseen bigrams
+    of common words):
+
+        P(w2|w1) = λ * (c2+1)/(c1+V)  +  (1-λ) * (c1(w2)+1)/(T+V)
+
+    with λ = ``lambda_num/lambda_den`` (default 3/4 — keep it a small
+    exact rational).  Both terms stay integer-exact:
+
+        t = (λn*(c2+1)*SCALE) div (λd*(c1+V))
+          + ((λd-λn)*(cu+1)*SCALE) div (λd*(T+V))
+
+    where cu = unigram count of w2 and T = reference token count; each
+    floor division is exact BIGINT arithmetic, so the per-doc sum stays
+    order-free and engine-identical exactly like ngram_lm_score (the two
+    floors differ from the real-valued interpolation by < 2/SCALE per
+    term — a documented quantization, not float noise).
+
+    Range bound: lambda_num * (c2+1) * SCALE must fit int64 — c2 below
+    ~3e9 at the defaults; same curated-reference argument as the base
+    scorer.
+
+    Scale: identical plan shape to ngram_lm_score plus one more
+    broadcast (unigram counts) and a second one-row attach (T)."""
+    from pimdb_spark.operators.corpus import ngrams
+
+    lam_rest = lambda_den - lambda_num
+    bi = bigram_counts(ref_docs, text_col)
+    ctx = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    uni = (
+        ref_docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("cu"))
+    )
+    totals = (
+        ref_docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(
+            F.count("*").alias("t"),
+            F.count_distinct("w").alias("v"),
+        )
+    )
+
+    doc_grams = (
+        docs.select(F.col(id_col), F.explode(ngrams(text_col, 2)).alias("gram"))
+        .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("gram"), " ").getItem(1))
+    )
+    scored = (
+        doc_grams.join(F.broadcast(bi.select("gram", "c2")), "gram", "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.expr(
+                f"({lambda_num}L * (coalesce(c2, 0L) + 1L) * {SCALE}L)"
+                f" div ({lambda_den}L * (coalesce(c1, 0L) + v))"
+                f" + ({lam_rest}L * (coalesce(cu, 0L) + 1L) * {SCALE}L)"
+                f" div ({lambda_den}L * (t + v))"
+            ).alias("term_scaled"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("term_scaled").alias("_sum_scaled"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            (
+                F.col("_sum_scaled").cast("double")
+                / (F.col("n_bigrams") * F.lit(SCALE)).cast("double")
+            ).alias("lm_score"),
+        )
+    )

@@ -68,3 +68,68 @@ def test_ngram_lm_score_matches_python_model(spark):
         want[i][1] for i in ref_ids if want[i][1] is not None
     ) / len(ref_ids)
     assert alien_score < ref_mean
+
+
+def test_interpolated_lm_matches_python_model(spark):
+    from pimdb_spark.operators.lm import ngram_lm_score_interpolated
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for i in range(120)
+    }
+    ref_ids = {i for i in docs if i % 4 == 0}
+
+    bi: Counter = Counter()
+    uni: Counter = Counter()
+    vocab_set: set[str] = set()
+    for i in ref_ids:
+        toks = docs[i].split(" ")
+        vocab_set.update(toks)
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    ctx: Counter = Counter()
+    for (w1, _), c in bi.items():
+        ctx[w1] += c
+    v, t = len(vocab_set), sum(uni.values())
+
+    def score(text):
+        pairs = list(zip(text.split(" "), text.split(" ")[1:]))
+        if not pairs:
+            return (0, None)
+        s = sum(
+            (3 * (bi[p] + 1) * SCALE) // (4 * (ctx[p[0]] + v))
+            + (1 * (uni[p[1]] + 1) * SCALE) // (4 * (t + v))
+            for p in pairs
+        )
+        return (len(pairs), s / (len(pairs) * SCALE))
+
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    ref = df.filter(F.col("doc_id") % 4 == 0)
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in ngram_lm_score_interpolated(df, ref).collect()
+    }
+    for i, text in docs.items():
+        n, sc = score(text)
+        assert got[i][0] == n
+        if sc is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == sc  # integer-exact bit equality
+
+    # interpolation must soften the unseen-bigram penalty: a doc of seen
+    # words in an unseen ORDER outscores a doc of never-seen words
+    seen_words = " ".join(sorted(vocab_set)[:5])
+    got2 = {
+        r.doc_id: r.lm_score
+        for r in ngram_lm_score_interpolated(
+            spark.createDataFrame(
+                [(1, seen_words), (2, "zz1 zz2 zz3 zz4 zz5")],
+                ["doc_id", "text"],
+            ),
+            ref,
+        ).collect()
+    }
+    assert got2[1] > got2[2]
