@@ -916,3 +916,61 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(
         docs, eval_docs, n=5, m_bits=65536, k_hashes=3, threshold=3
     )
+
+
+# Bench-only (pytest-gated oracle) per the round-10 window-budget policy
+# (COVERAGE.md "Growth headroom"): promote to the driver registry when a
+# rotation slot frees in a future round.
+@register_bench_only(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS item FROM documents
+    ), js AS (
+      SELECT unnest(range(0, 3)) AS j
+    ), cms AS (
+      SELECT CAST(j AS INTEGER) AS row,
+             ('0x' || substring(md5(j || ':' || item), 1, 8))::BIGINT % 64 AS col,
+             count(*) AS cnt
+      FROM toks, js GROUP BY 1, 2
+    ), di AS (
+      SELECT DISTINCT item FROM toks
+    ), est AS (
+      -- every queried item incremented all 3 of its cells, so the join
+      -- always finds them (no missing-cell coalesce needed for members)
+      SELECT di.item, min(cms.cnt) AS est
+      FROM di, js
+      JOIN cms ON cms.row = js.j
+       AND cms.col = ('0x' || substring(md5(js.j || ':' || di.item), 1, 8))::BIGINT % 64
+      GROUP BY di.item
+    ), cand AS (
+      SELECT item, est FROM est WHERE est >= 100
+    ), exact AS (
+      SELECT item, count(*) AS exact FROM toks
+      WHERE item IN (SELECT item FROM cand) GROUP BY item
+    )
+    SELECT c.item, c.est, e.exact, e.exact >= 100 AS is_heavy
+    FROM cand c JOIN exact e USING (item)
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter candidates over the corpus token
+    stream (operators/sketch.cms_heavy_hitter_candidates): a 3 x 64
+    counter sketch (deliberately narrow so collisions really produce
+    false candidates at this scale) generates candidates with NO false
+    negatives, and the exact groupBy verifies only the candidate set —
+    the bloom_decontaminate economics applied to frequency.  Counters
+    are exact BIGINT sums; estimation is d unrolled codegen map lookups
+    against a one-row broadcast (the bloom_probe lesson); the DuckDB
+    oracle rebuilds the identical sketch.
+
+    Scale: the sketch shuffle is capped at d x w cells per task by the
+    map-side combine; the exact pass touches candidates only — the
+    full-cardinality per-key groupBy never runs."""
+    from pimdb_spark.operators.sketch import cms_heavy_hitter_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+    return cms_heavy_hitter_candidates(
+        toks, "item", width=64, depth=3, min_est=100
+    )

@@ -195,6 +195,9 @@ def test_no_plan_red_flags(spark, name, entry):
       broadcast-attaches to every (doc, gram) probe row; the unrolled
       codegen bit tests replace a k-row fanout + hash join + fold-back
       exchange (measured faster, see operators/membership.bloom_probe).
+    - q_cms_heavy_hitters: the same ONE-ROW sketch attach — the d x w
+      count-min counter map broadcast-attaches to every distinct item
+      for the unrolled d-lookup estimate (operators/sketch.cms_estimate).
     - q_bpe_train_batched: two bounded non-data joins per round — the
       conflict anti-join of the <=batch_size-row pool against itself
       (non-equi on pool position + arrays_overlap; <=m^2 pairs, never
@@ -219,6 +222,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_mixture_plan",
         "q_ngram_lm_score",
         "q_bloom_decontaminate",
+        "q_cms_heavy_hitters",
         "q_bpe_apply",
         "q_bpe_train_batched",
     ):

@@ -1,0 +1,103 @@
+"""Count-min sketch (operators/sketch.py) against an independent python
+model: exact counter parity, the never-undercount guarantee, and
+heavy-hitter candidate soundness/completeness."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pos(item: str, j: int, width: int) -> int:
+    return int(hashlib.md5(f"{j}:{item}".encode()).hexdigest()[:8], 16) % width
+
+
+def _py_cms(counts: Counter, width: int, depth: int):
+    cells: Counter = Counter()
+    for item, c in counts.items():
+        for j in range(depth):
+            cells[(j, _pos(item, j, width))] += c
+    return cells
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_cms_counters_and_estimates_match_python_model(spark, seed):
+    from pimdb_spark.operators.sketch import cms_build, cms_estimate
+
+    rng = random.Random(seed)
+    width, depth = rng.choice([16, 64, 256]), rng.randint(2, 4)
+    items = [f"k{int(rng.paretovariate(1.0)) % 40}" for _ in range(600)]
+    counts = Counter(items)
+
+    df = spark.createDataFrame([(s,) for s in items], ["item"])
+    sk = cms_build(df, "item", width, depth)
+    got_cells = {(r.row, r.col): r.cnt for r in sk.collect()}
+    assert got_cells == dict(_py_cms(counts, width, depth))
+
+    est = cms_estimate(
+        df.select("item").distinct(), sk, "item", width, depth
+    )
+    cells = _py_cms(counts, width, depth)
+    for r in est.collect():
+        want = min(cells[(j, _pos(r.item, j, width))] for j in range(depth))
+        assert r.est == want
+        assert r.est >= counts[r.item]  # never undercounts
+
+
+def test_cms_weighted_and_absent_items(spark):
+    from pimdb_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 7), ("a", 2)], ["item", "w"]
+    )
+    sk = cms_build(df, "item", 1024, 3, weight_col="w")
+    est = {
+        r.item: r.est
+        for r in cms_estimate(
+            spark.createDataFrame(
+                [("a",), ("b",), ("never",)], ["item"]
+            ),
+            sk,
+            "item",
+            1024,
+            3,
+        ).collect()
+    }
+    assert est["a"] >= 7 and est["b"] >= 7
+    # wide sketch, 3 items: no collisions — exact
+    assert est["a"] == 7 and est["b"] == 7
+    # an item that never occurred can only be a collision artifact; with
+    # this width all its cells are empty -> estimate 0
+    assert est["never"] == 0
+
+
+def test_cms_heavy_hitter_candidates_sound_and_complete(spark):
+    from pimdb_spark.operators.sketch import cms_heavy_hitter_candidates
+
+    rng = random.Random(9)
+    items = ["hot1"] * 80 + ["hot2"] * 60 + [
+        f"cold{rng.randint(0, 200)}" for _ in range(400)
+    ]
+    df = spark.createDataFrame([(s,) for s in items], ["item"])
+    counts = Counter(items)
+
+    # narrow sketch => collisions => some false candidates; the exact
+    # verify pass must keep verdicts truthful
+    out = {
+        r.item: (r.est, r.exact, r.is_heavy)
+        for r in cms_heavy_hitter_candidates(
+            df, "item", width=32, depth=3, min_est=50
+        ).collect()
+    }
+    for item, (est, exact, is_heavy) in out.items():
+        assert exact == counts[item]
+        assert est >= exact
+        assert is_heavy == (exact >= 50)
+    # completeness: every true heavy hitter is in the candidate set
+    for item, c in counts.items():
+        if c >= 50:
+            assert item in out and out[item][2]
