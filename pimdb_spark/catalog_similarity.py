@@ -779,3 +779,111 @@ def q_random_projection_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return random_project_int8(emb, n_components=16, dim=64)
+
+
+# Bench-only (pytest-gated oracle) per the round-10 window-budget policy;
+# promotable to the driver registry when a rotation slot frees.
+@register_bench_only(
+    "q_ann_recall_lsh",
+    oracle=f"""
+    WITH side AS (
+      SELECT vec_id, embedding, {_BUCKET.format(v='embeddings')} AS bucket
+      FROM embeddings
+    ), q AS (SELECT * FROM side WHERE vec_id < 16),
+    approx AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS.format(a='q', b='c')} DESC,
+                                           c.vec_id) AS rank
+        FROM side c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id
+      ) WHERE rank <= 3
+    ), exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS.format(a='q', b='c')} DESC,
+                                           c.vec_id) AS rank
+        FROM embeddings c, q
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rank <= 3
+    ), hits AS (
+      SELECT a.q_id, count(*) AS n_hits
+      FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+      GROUP BY a.q_id
+    )
+    SELECT q.q_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall
+    FROM (SELECT DISTINCT q_id FROM exact) q
+    LEFT JOIN hits h USING (q_id)
+    """,
+)
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of sign-LSH ANN against the exact brute-force
+    top-3 (operators/similarity.ann_recall over lsh_ann_topk +
+    cosine_topk, identical round-4 scoring and id tie-breaks on both
+    sides and in the DuckDB oracle) — the ANN ladder's quality gate as a
+    QUERY, not a test assertion: per-query hit counts and recall land
+    under the hash gate, so a silent recall regression (bucket skew, a
+    changed hash, an empty-bucket dropout) flips the verdict
+    mechanically.
+
+    Scale: both inputs are k rows per query; the evaluation is one
+    (query, candidate) semi-join + per-query count — O(queries x k)."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scans per side: the self-join HOF rebind caution
+    q1 = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    q2 = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    approx = S.lsh_ann_topk(q1, emb, "vec_id", "vec_id", "embedding", k=3, n_bits=8)
+    exact = S.cosine_topk(
+        q2, load(spark, sf_dir, "embeddings"), "vec_id", "vec_id", "embedding", k=3
+    )
+    return S.ann_recall(approx, exact, "q_id", "c_id", k=3)
+
+
+@register_bench_only(
+    "q_lsh_multitable_topk",
+    oracle=f"""
+    WITH tabbed AS (
+      SELECT vec_id, embedding, t.t AS tab,
+             list_reduce(list_transform(range(1 + t.t * 4, 5 + t.t * 4),
+               i -> CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END),
+               (a, b) -> a * 2 + b) AS bucket
+      FROM embeddings, (SELECT unnest(range(0, 4)) AS t) t
+    ), pairs AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM tabbed q JOIN tabbed c USING (tab, bucket)
+      WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT p.q_id, p.c_id, {_COS.format(a='a', b='b')} AS cos
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.q_id
+      JOIN embeddings b ON b.vec_id = p.c_id
+    )
+    SELECT q_id, rank, c_id, cos FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH top-3 (operators/similarity.
+    lsh_multitable_topk): 4 tables x 4 bits over disjoint dim slices —
+    the recall repair the measured ladder demanded (q_ann_recall_lsh
+    shows single-table b=8 at recall 0.02; this configuration measures
+    0.46, see the operator docstring for the full (b, L) table).
+    Bench-only with the oracle pytest-gated (window-budget policy);
+    promotable when a rotation slot frees.
+
+    Scale: candidates fan out L-fold into a (table, bucket) equi-join,
+    pair-distinct bounds re-scoring — never all-pairs; (b, L) are the
+    published recall/cost dials."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    return S.lsh_multitable_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        k=3, n_bits=4, n_tables=4,
+    )

