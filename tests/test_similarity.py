@@ -250,9 +250,25 @@ def test_ann_recall_semantics_and_measured_ladder(spark):
     lsh = S.lsh_ann_topk(queries(), emb, "vec_id", "vec_id", "embedding", k=3, n_bits=8)
     ivf = S.ivf_topk(queries(), emb, "vec_id", "vec_id", "embedding",
                      n_centroids=8, nprobe=2, k=3)
+    pq = S.pq_topk(queries(), emb, "vec_id", "vec_id", "embedding",
+                   m=8, dim=64, n_centroids=16, k=3)
+    ivfpq = S.ivf_pq_topk(queries(), emb, "vec_id", "vec_id", "embedding",
+                          n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=3)
     m_lsh = S.ann_recall(lsh, exact, k=3).agg(F.avg("recall")).first()[0]
     m_ivf = S.ann_recall(ivf, exact, k=3).agg(F.avg("recall")).first()[0]
-    assert 0.0 < m_lsh <= 1.0 and 0.0 < m_ivf <= 1.0
+    m_pq = S.ann_recall(pq, exact, k=3).agg(F.avg("recall")).first()[0]
+    m_ivfpq = S.ann_recall(ivfpq, exact, k=3).agg(F.avg("recall")).first()[0]
+    for m in (m_lsh, m_ivf, m_pq, m_ivfpq):
+        assert 0.0 <= m <= 1.0
+    # NOTE a tempting invariant that is FALSE: "IVF pruning in front of
+    # PQ can only remove candidates, so IVF-PQ recall <= PQ recall".
+    # Candidate-set monotonicity implies recall monotonicity only when
+    # the scorer ranks consistently with the ground-truth metric (the
+    # multitable-LSH case, which scores by the exact rounded cosine).
+    # PQ scores by quantized ADC distance: a spurious candidate with an
+    # artificially low ADC can crowd a true neighbor out of the top-k,
+    # and pruning that candidate RAISES recall — observed on this very
+    # fixture (IVF-PQ 0.1875 > PQ 0.1667 at sf0.001).
 
 
 def test_lsh_multitable_recall_monotone_and_single_table_parity(spark):
