@@ -241,6 +241,38 @@ def main() -> None:
         ),
     })
 
+    from pimdb_spark.operators.sketch import cms_heavy_hitter_candidates
+    from pimdb_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_multitable_topk,
+    )
+
+    def _recall_lsh(d):
+        q1 = emb(d).filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+        q2 = emb(d).filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+        approx = lsh_multitable_topk(
+            q1, emb(d).select("vec_id", "embedding"),
+            "vec_id", "vec_id", k=3, n_bits=4, n_tables=4,
+        )
+        exact = cosine_topk(
+            q2, emb(d).select("vec_id", "embedding"), "vec_id", "vec_id", k=3
+        )
+        return ann_recall(approx, exact, k=3)
+
+    ops.update({
+        "cms_heavy_hitters": lambda d: cms_heavy_hitter_candidates(
+            docs(d).select(F.explode(F.split("text", " ")).alias("item")),
+            "item", width=64, depth=3, min_est=100,
+        ),
+        "lsh_multitable_topk": lambda d: lsh_multitable_topk(
+            emb(d).filter(F.col("vec_id") < 16).select("vec_id", "embedding"),
+            emb(d).select("vec_id", "embedding"),
+            "vec_id", "vec_id", k=3, n_bits=4, n_tables=4,
+        ),
+        "ann_recall_lsh": _recall_lsh,
+    })
+
     only = set(sys.argv[1:])
     for name, fn in ops.items():
         if only and name not in only:
