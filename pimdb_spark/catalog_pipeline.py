@@ -974,3 +974,58 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitter_candidates(
         toks, "item", width=64, depth=3, min_est=100
     )
+
+
+@register_bench_only(
+    "q_hll_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS item FROM documents
+    ), hs AS (
+      SELECT ('0x' || substring(md5(item), 1, 8))::BIGINT AS h FROM toks
+    ), rr AS (
+      SELECT CAST(h // 67108864 AS INTEGER) AS bucket,
+             CAST(CASE WHEN h % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(h % 67108864)) END AS INTEGER) AS rho
+      FROM hs
+    ), regs AS (
+      SELECT bucket, max(rho) AS register FROM rr GROUP BY bucket
+    ), est AS (
+      SELECT count(*) AS n_present,
+             sum(1.0::DOUBLE / CAST(1::BIGINT << register AS DOUBLE)) AS s
+      FROM regs
+    ), ex AS (
+      SELECT count(DISTINCT item) AS exact_distinct FROM toks
+    )
+    SELECT 64 AS m,
+           CAST(est.n_present AS BIGINT) AS n_present,
+           (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
+             * 64.0::DOUBLE * 64.0::DOUBLE
+             / (est.s + CAST(64 - est.n_present AS DOUBLE)) AS raw_estimate,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est, ex
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog over the corpus token vocabulary
+    (operators/sketch.hll_registers + hll_estimate) — the cardinality
+    member of the sketch trio, and unlike q_approx_distinct (Spark's
+    opaque builtin HLL, checked only within an error band) this one is
+    BIT-IDENTICAL across engines: md5-derived registers are exact
+    integers, 2^-M terms are dyadic rationals summed exactly in any
+    order, and the DuckDB oracle reproduces the raw estimate to the last
+    bit.  Output: (m, n_present, raw_estimate, exact_distinct).
+
+    Scale: the register groupBy is capped at 64 rows per task by the
+    map-side combine; registers are MAX-idempotent, so the sketch also
+    streams replay-safe (the bloom contract).  Bench-only with the
+    oracle pytest-gated (window-budget policy)."""
+    from pimdb_spark.operators.sketch import hll_estimate, hll_registers
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+    est = hll_estimate(hll_registers(toks, "item"))
+    exact = toks.agg(F.count_distinct("item").cast("bigint").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m", "n_present", "raw_estimate", "exact_distinct"
+    )

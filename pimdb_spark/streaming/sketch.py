@@ -34,3 +34,19 @@ def cms_stream(
     Drained-batch equality across micro-batch splits is asserted in
     tests/test_streaming_sketch.py."""
     return cms_build(items, item_col, width, depth, weight_col)
+
+
+def hll_registers_stream(items: DataFrame, item_col: str) -> DataFrame:
+    """The continuously-maintained HyperLogLog register frame over a
+    streaming (or batch — same plan) item source — live cardinality
+    tracking with 64 rows of state.  MAX registers are idempotent like
+    the bloom's OR: duplicate arrivals and replays cannot change the
+    sketch, so NO exactly-once-source requirement (unlike cms_stream's
+    sums).  Use with ``outputMode("complete")``; feed the emitted frame
+    to operators/sketch.hll_estimate for the live estimate.
+
+    Drained-batch equality across micro-batch splits is asserted in
+    tests/test_streaming_sketch.py."""
+    from pimdb_spark.operators.sketch import hll_registers
+
+    return hll_registers(items, item_col)

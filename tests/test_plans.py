@@ -202,6 +202,9 @@ def test_no_plan_red_flags(spark, name, entry):
       shape as the EXACT BASELINE side of the recall evaluation — the
       measured ground truth an approximate index is judged against; the
       approximate side stays a bucket equi-join.
+    - q_hll_distinct: a ONE-ROW x ONE-ROW attach (the 64-register HLL
+      estimate row joined to the exact-distinct row for side-by-side
+      output) — two bounded aggregates, no pairing.
     - q_bpe_train_batched: two bounded non-data joins per round — the
       conflict anti-join of the <=batch_size-row pool against itself
       (non-equi on pool position + arrays_overlap; <=m^2 pairs, never
@@ -228,6 +231,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_bloom_decontaminate",
         "q_cms_heavy_hitters",
         "q_ann_recall_lsh",
+        "q_hll_distinct",
         "q_bpe_apply",
         "q_bpe_train_batched",
     ):

@@ -101,3 +101,50 @@ def test_cms_heavy_hitter_candidates_sound_and_complete(spark):
     for item, c in counts.items():
         if c >= 50:
             assert item in out and out[item][2]
+
+
+def _py_hll(values, low_bits=26, buckets=64):
+    regs = {}
+    for s in set(values):
+        h = int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16)
+        b, low = h >> low_bits, h % (1 << low_bits)
+        rho = (low_bits + 1) if low == 0 else (low_bits + 1 - low.bit_length())
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_hll_registers_match_python_model_and_are_idempotent(spark, seed):
+    from pimdb_spark.operators.sketch import hll_registers
+
+    rng = random.Random(seed)
+    values = [f"u{rng.randint(0, 5000)}" for _ in range(1500)]
+    df = spark.createDataFrame([(s,) for s in values], ["item"])
+    got = {r.bucket: r.register for r in hll_registers(df, "item").collect()}
+    assert got == _py_hll(values)
+
+    # idempotence: replaying the whole stream changes nothing (MAX)
+    replay = {
+        r.bucket: r.register
+        for r in hll_registers(df.union(df), "item").collect()
+    }
+    assert replay == got
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    from pimdb_spark.operators.sketch import hll_estimate, hll_registers
+
+    rng = random.Random(7)
+    true_n = 3000
+    values = [f"id{i}" for i in range(true_n) for _ in (0, 1)]  # dups too
+    rng.shuffle(values)
+    df = spark.createDataFrame([(s,) for s in values], ["item"])
+    est = hll_estimate(hll_registers(df, "item")).collect()[0]
+    assert est.m == 64
+    # raw HLL error ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(est.raw_estimate - true_n) / true_n < 0.4
+    # determinism: re-partitioned input gives the BIT-identical estimate
+    est2 = hll_estimate(
+        hll_registers(df.repartition(13), "item")
+    ).collect()[0]
+    assert est2.raw_estimate == est.raw_estimate

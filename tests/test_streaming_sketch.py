@@ -77,3 +77,63 @@ def test_streaming_cms_matches_batch_exactly(spark, tmp_path):
         ).collect()
     }
     assert all(est[i] >= truth[i] for i in truth)
+
+
+def test_streaming_hll_matches_batch_exactly(spark, tmp_path):
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.sketch import hll_estimate, hll_registers
+    from pimdb_spark.streaming.sketch import hll_registers_stream
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+
+    src = tmp_path / "hll_stream"
+    src.mkdir()
+    for name, half in (("a", 0), ("b", 1)):
+        stage = tmp_path / f"stage_{name}"
+        docs.filter(F.col("doc_id") % 2 == half).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def toks_of(df):
+        return df.select(F.explode(F.split("text", " ")).alias("item"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        hll_registers_stream(toks_of(stream), "item")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream")
+        .option("checkpointLocation", str(tmp_path / "chk_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "expected the halves in separate micro-batches"
+
+    got = {
+        r.bucket: r.register
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    want = {
+        r.bucket: r.register
+        for r in hll_registers(toks_of(docs), "item").collect()
+    }
+    assert got == want  # exact registers, across micro-batch splits
+    assert len(got) <= 64
+
+    # the live registers give the bit-identical estimate the batch gives
+    live = spark.createDataFrame(
+        list(got.items()), ["bucket", "register"]
+    )
+    e1 = hll_estimate(live).collect()[0].raw_estimate
+    e2 = hll_estimate(
+        hll_registers(toks_of(docs), "item")
+    ).collect()[0].raw_estimate
+    assert e1 == e2
