@@ -271,6 +271,12 @@ def main() -> None:
             "vec_id", "vec_id", k=3, n_bits=4, n_tables=4,
         ),
         "ann_recall_lsh": _recall_lsh,
+        "hll_distinct": lambda d: __import__(
+            "pimdb_spark.operators.sketch", fromlist=["hll_registers"]
+        ).hll_registers(
+            docs(d).select(F.explode(F.split("text", " ")).alias("item")),
+            "item",
+        ),
     })
 
     only = set(sys.argv[1:])
