@@ -228,3 +228,27 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
             f" + CAST({m} - count(1) AS DOUBLE))"
         ).alias("raw_estimate"),
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS counter tables cell-wise (sum) — sketches built with the
+    SAME (width, depth) over different slices (partitions, days,
+    sources) combine into the sketch of the union stream: the mergeable-
+    summary property that makes sketches the distributed-systems tool
+    they are.  Exact BIGINT sums; output stays <= d x w rows."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge HLL register tables bucket-wise (max) — the union-
+    cardinality sketch: merging per-slice sketches gives EXACTLY the
+    sketch of the union stream (max is idempotent, so overlapping
+    slices never double-count — the property sums lack).  Output stays
+    <= m rows."""
+    out = register_tables[0]
+    for s in register_tables[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))

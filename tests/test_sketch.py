@@ -148,3 +148,45 @@ def test_hll_estimate_accuracy_and_determinism(spark):
         hll_registers(df.repartition(13), "item")
     ).collect()[0]
     assert est2.raw_estimate == est.raw_estimate
+
+
+def test_sketch_merges_equal_union_sketches(spark):
+    """Mergeability — the distributed-systems property: per-slice
+    sketches merged == the sketch of the union stream.  CMS merges by
+    cell sums (disjoint slices only — sums double-count overlap); HLL
+    merges by register max and is EXACT even for overlapping slices."""
+    from pimdb_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+        hll_merge,
+        hll_registers,
+    )
+
+    rng = random.Random(13)
+    a = [f"x{rng.randint(0, 300)}" for _ in range(400)]
+    b = [f"x{rng.randint(100, 500)}" for _ in range(400)]
+    da = spark.createDataFrame([(s,) for s in a], ["item"])
+    db = spark.createDataFrame([(s,) for s in b], ["item"])
+    du = da.union(db)
+
+    merged_cms = {
+        (r.row, r.col): r.cnt
+        for r in cms_merge(
+            cms_build(da, "item", 128, 3), cms_build(db, "item", 128, 3)
+        ).collect()
+    }
+    union_cms = {
+        (r.row, r.col): r.cnt for r in cms_build(du, "item", 128, 3).collect()
+    }
+    assert merged_cms == union_cms
+
+    merged_hll = {
+        r.bucket: r.register
+        for r in hll_merge(
+            hll_registers(da, "item"), hll_registers(db, "item")
+        ).collect()
+    }
+    union_hll = {
+        r.bucket: r.register for r in hll_registers(du, "item").collect()
+    }
+    assert merged_hll == union_hll  # exact despite the overlapping range
