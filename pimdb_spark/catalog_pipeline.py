@@ -1029,3 +1029,47 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact)).select(
         "m", "n_present", "raw_estimate", "exact_distinct"
     )
+
+
+@register_bench_only(
+    "q_hll_group_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS}) AS item FROM documents
+    ), hs AS (
+      SELECT lang, ('0x' || substring(md5(item), 1, 8))::BIGINT AS h FROM toks
+    ), rr AS (
+      SELECT lang, CAST(h // 67108864 AS INTEGER) AS bucket,
+             CAST(CASE WHEN h % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(h % 67108864)) END AS INTEGER) AS rho
+      FROM hs
+    ), regs AS (
+      SELECT lang, bucket, max(rho) AS register FROM rr GROUP BY 1, 2
+    )
+    SELECT lang AS grp,
+           CAST(count(*) AS BIGINT) AS n_present,
+           (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
+             * 64.0::DOUBLE * 64.0::DOUBLE
+             / (sum(1.0::DOUBLE / CAST(1::BIGINT << register AS DOUBLE))
+                + CAST(64 - count(*) AS DOUBLE)) AS raw_estimate
+    FROM regs GROUP BY lang
+    """,
+)
+def q_hll_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via grouped HyperLogLog
+    (operators/sketch.hll_group_estimate) — the at-scale
+    count-DISTINCT-GROUP-BY shape: per-(group, bucket) MAX registers,
+    then an m-row reduce per group, every estimate bit-identical across
+    engines (the q_hll_distinct arithmetic with a group key).  Bench-only
+    with the oracle pytest-gated (window-budget policy).
+
+    Scale: register aggregation is capped at |groups| x 64 rows per task
+    map-side; no distinct-set shuffle ever happens — the point of the
+    sketch."""
+    from pimdb_spark.operators.sketch import hll_group_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("item")
+    )
+    return hll_group_estimate(toks, "lang", "item")

@@ -252,3 +252,46 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     for s in register_tables[1:]:
         out = out.unionByName(s)
     return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_group_estimate(
+    items: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog cardinality — the at-scale form of
+    ``SELECT g, count(DISTINCT x) GROUP BY g`` when the distinct sets
+    are too large to shuffle raw: registers aggregate per (group,
+    bucket), then each group's raw estimate reduces from its <= m
+    registers.  Output: (group, n_present, raw_estimate).
+
+    Every step keeps the bit-exactness of hll_estimate (dyadic 2^-M
+    terms, exact any-order sums, no pow/ln), so the per-group estimates
+    are engine-identical and the whole thing is two bounded groupBys:
+    the register aggregation caps at |groups| x m rows per task
+    map-side, and the reduce is m rows per group."""
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    low = h % F.lit(2**_HLL_LOW_BITS)
+    rho = (
+        F.when(low == 0, F.lit(_HLL_MAX_RHO))
+        .otherwise(F.lit(_HLL_MAX_RHO) - F.length(F.bin(low)))
+        .cast("int")
+    )
+    m = HLL_BUCKETS
+    regs = (
+        items.select(
+            F.col(group_col).alias("grp"),
+            (h / F.lit(2**_HLL_LOW_BITS)).cast("bigint").cast("int").alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+    return regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.expr(
+            f"(0.7213D / (1.0D + 1.079D / {m})) * {m}D * {m}D / "
+            f"(sum(1.0D / CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE))"
+            f" + CAST({m} - count(1) AS DOUBLE))"
+        ).alias("raw_estimate"),
+    )

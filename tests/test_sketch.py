@@ -190,3 +190,38 @@ def test_sketch_merges_equal_union_sketches(spark):
         r.bucket: r.register for r in hll_registers(du, "item").collect()
     }
     assert merged_hll == union_hll  # exact despite the overlapping range
+
+
+def test_hll_group_estimate_matches_per_group_global(spark):
+    """Per-group HLL must equal running the global sketch on each group
+    independently (group isolation), bit for bit."""
+    from pimdb_spark.operators.sketch import (
+        hll_estimate,
+        hll_group_estimate,
+        hll_registers,
+    )
+
+    rng = random.Random(21)
+    rows = [
+        (f"g{i % 3}", f"u{rng.randint(0, 2000)}") for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    got = {
+        r.grp: (r.n_present, r.raw_estimate)
+        for r in hll_group_estimate(df, "grp", "item").collect()
+    }
+    assert set(got) == {"g0", "g1", "g2"}
+    for g in got:
+        solo = hll_estimate(
+            hll_registers(df.filter(F.col("grp") == g), "item")
+        ).collect()[0]
+        assert got[g] == (solo.n_present, solo.raw_estimate)  # bit-equal
+    # and the estimates track the true per-group cardinalities
+    truth = {
+        r.grp: r.n
+        for r in df.groupBy("grp")
+        .agg(F.count_distinct("item").alias("n"))
+        .collect()
+    }
+    for g, n in truth.items():
+        assert abs(got[g][1] - n) / n < 0.4
