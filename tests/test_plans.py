@@ -609,3 +609,74 @@ def test_kmeans_assignment_broadcast_only(spark):
     assert count_op(plan, "Window") <= 1
     assert "WindowGroupLimit" not in plan
     assert count_op(plan, "Exchange") <= 2  # init's 1-partition + agg shuffle
+
+
+def test_gram_matrix_single_exchange(spark):
+    """The int8 Gram aggregation must cost exactly ONE exchange — the
+    bounded (i, j) groupBy; the 2,080-cell fan-out is map-side."""
+    from pimdb_spark.catalog import _REGISTRY
+
+    plan = plan_of(_REGISTRY["q_embedding_gram_int8"].fn(spark, SF))
+    assert count_op(plan, "Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_random_projection_shuffle_free(spark):
+    """JL projection is a pure projection: zero exchanges, zero joins,
+    no Python eval."""
+    from pimdb_spark.catalog import _REGISTRY
+
+    plan = plan_of(_REGISTRY["q_random_projection_int8"].fn(spark, SF))
+    assert count_op(plan, "Exchange") == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_is_shuffle_free_and_codegen(spark):
+    """The unrolled bloom probe: one-row broadcast map attach, NO
+    hash-join against the bloom table, no fold-back exchange, and the
+    md5 bit tests inside WholeStageCodegen (the measured design —
+    operators/membership.bloom_probe)."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.corpus import ngrams
+    from pimdb_spark.operators.membership import bloom_build, bloom_probe
+
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF, "documents")
+    grams = docs.select(
+        F.col("doc_id"), F.explode(ngrams("text", 5)).alias("gram")
+    )
+    bloom = bloom_build(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            F.explode(ngrams("text", 5)).alias("gram")
+        ),
+        "gram", 65536, 3,
+    )
+    plan = plan_of(bloom_probe(grams, "gram", bloom, 65536, 3))
+    # probe side: no per-gram hash join against the bloom table, no
+    # fold-back exchange — the only join is the ONE-ROW map attach
+    # (BroadcastNestedLoopJoin, constant), and the only exchange is the
+    # bloom BUILD's own bit_or groupBy
+    assert count_op(plan, "BroadcastHashJoin") == 0
+    assert count_op(plan, "BroadcastNestedLoopJoin") == 1
+    # every exchange sits on the bounded BUILD side: the eval-gram
+    # distinct, the bit_or groupBy (<= m/32 rows), and the one-row
+    # map_from_entries collapse — NOTHING scales with the probe side
+    assert count_op(plan, "Exchange") == 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_registers_bounded_single_exchange(spark):
+    """HLL register aggregation: one exchange into a <= 64-group
+    aggregate, no joins."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.sketch import hll_registers
+
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    plan = plan_of(hll_registers(toks, "item"))
+    assert count_op(plan, "Exchange") == 1
+    assert "Join" not in plan
