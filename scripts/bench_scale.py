@@ -271,6 +271,9 @@ def main() -> None:
             "vec_id", "vec_id", k=3, n_bits=4, n_tables=4,
         ),
         "ann_recall_lsh": _recall_lsh,
+        "random_projection_int8": lambda d: __import__(
+            "pimdb_spark.operators.linalg", fromlist=["random_project_int8"]
+        ).random_project_int8(emb(d), n_components=16, dim=64),
         "hll_distinct": lambda d: __import__(
             "pimdb_spark.operators.sketch", fromlist=["hll_registers"]
         ).hll_registers(
