@@ -487,14 +487,17 @@ def q_bpe_apply_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_lengths(docs, merges, n_merges=3)
 
 
-from pimdb_spark.catalog import register_bench_only  # noqa: E402
+from pimdb_spark.catalog import _REGISTRY, register_bench_only  # noqa: E402
 
-# Bench-only since the round-10 consolidation: the encoder twin's
-# semantics are attested through q_bpe_apply's oracle (identical SQL —
-# hash-green while it held a registry slot in the r10 window); the
-# Arrow-batched encoder path stays covered by tests/test_corpus.py and
-# timed by bench.py.
-register_bench_only("q_bpe_apply_fast")(q_bpe_apply_fast)
+# Bench-only since the round-10 consolidation: the encoder twin's oracle
+# is the LITERAL oracle of q_bpe_apply (identical semantics, Arrow
+# rank-dict encoder instead of the one-fold apply; the base was
+# hash-green in the r10 window).  Registering the duplicate oracle keeps
+# the twin under tests/test_catalog_oracle.py's pytest hash gate on top
+# of tests/test_corpus.py's twin-equality tests.
+register_bench_only("q_bpe_apply_fast", oracle=_REGISTRY["q_bpe_apply"].oracle)(
+    q_bpe_apply_fast
+)
 
 
 _BIGRAMS = f"""

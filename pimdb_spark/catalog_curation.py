@@ -272,14 +272,16 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pimdb_spark.catalog import register_bench_only  # noqa: E402
+from pimdb_spark.catalog import _REGISTRY, register_bench_only  # noqa: E402
 
 # Bench-only since the round-10 consolidation: the star-contraction twin's
-# labeling contract is attested through q_dup_clusters' oracle (identical
-# SQL — hash-green while it held a registry slot through r7); the
-# large-star/small-star path stays covered by tests/test_curation.py's
-# star-vs-iterative equality tests, plan-audited, and timed by bench.py.
-register_bench_only("q_dup_clusters_star")(q_dup_clusters_star)
+# labeling contract is the LITERAL oracle of q_dup_clusters (hash-green
+# while it held a registry slot through r7).  Registering the duplicate
+# oracle keeps the twin under tests/test_catalog_oracle.py's pytest hash
+# gate on top of the star-vs-iterative equality tests and the plan audit.
+register_bench_only("q_dup_clusters_star", oracle=_REGISTRY["q_dup_clusters"].oracle)(
+    q_dup_clusters_star
+)
 
 
 @register(

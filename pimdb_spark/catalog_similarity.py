@@ -239,14 +239,20 @@ def q_ivf_ann_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pimdb_spark.catalog import register_bench_only  # noqa: E402
+from pimdb_spark.catalog import _REGISTRY, register_bench_only  # noqa: E402
 
-# Bench-only since the round-10 consolidation: each twin's semantics are
-# attested through its fold base entry's oracle (identical SQL — verified
-# hash-green through r7 while these held registry slots); the numpy scorer
-# path stays covered by tests/test_similarity.py and timed by bench.py.
-register_bench_only("q_cosine_topk_np")(q_cosine_topk_np)
-register_bench_only("q_ivf_ann_topk_np")(q_ivf_ann_topk_np)
+# Bench-only since the round-10 consolidation: each twin's oracle is the
+# LITERAL oracle of its fold base entry (identical query parameters,
+# different physical scorer — verified hash-green through r7 while these
+# held registry slots).  Registering the duplicate oracle keeps the
+# twins under tests/test_catalog_oracle.py's pytest hash gate (the r10
+# demotion had left them on twin-equality property tests alone).
+register_bench_only("q_cosine_topk_np", oracle=_REGISTRY["q_cosine_topk"].oracle)(
+    q_cosine_topk_np
+)
+register_bench_only("q_ivf_ann_topk_np", oracle=_REGISTRY["q_ivf_ann_topk"].oracle)(
+    q_ivf_ann_topk_np
+)
 
 
 _SQDIST = """

@@ -219,12 +219,23 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is the LITERAL oracle of q_partial_salted_join (both prove
 # salting semantically invisible against the same plain join) — the
 # heavy-key-only production form keeps the registry slot; the full-salt
-# path stays covered by tests/test_plans.py's plan audit, the skew
+# path is hash-gated on the shared oracle by tests/test_catalog_oracle.py
+# and stays covered by tests/test_plans.py's plan audit, the skew
 # operator tests, and bench.py.
 from pimdb_spark.catalog import register_bench_only as _rbo  # noqa: E402
 
+# Salting must be semantically invisible: both the full-salt demo and the
+# heavy-key-only production form hash against this one plain-join oracle.
+_PLAIN_JOIN_ORACLE = """
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """
 
-@_rbo("q_salted_join")
+
+@_rbo("q_salted_join", oracle=_PLAIN_JOIN_ORACLE)
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient salted join (operators/skew.salted_join): lineitem's
     orderkey spread over 8 salts, orders replicated 8x, then the same
@@ -247,13 +258,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_partial_salted_join",
-    oracle="""
-    SELECT o.o_orderstatus,
-           count(*) AS n,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderstatus
-    """,
+    oracle=_PLAIN_JOIN_ORACLE,
     bench=True,
 )
 def q_partial_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:

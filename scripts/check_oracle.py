@@ -11,7 +11,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pimdb_spark import entrypoints  # noqa: E402  (registers all catalog modules)
-from pimdb_spark.catalog import _REGISTRY  # noqa: E402
+from pimdb_spark.catalog import (  # noqa: E402
+    _EXTRA_BENCH,
+    _EXTRA_BENCH_ORACLE,
+    _REGISTRY,
+    CatalogEntry,
+)
 from pimdb_spark.oracle import compare  # noqa: E402
 from pimdb_spark.session import get_spark  # noqa: E402
 
@@ -21,7 +26,14 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     failures = 0
-    for name, entry in _REGISTRY.items():
+    # bench-only entries with a pytest-gated oracle are part of the sweep
+    # (same set tests/test_catalog_oracle.py parametrizes)
+    entries = dict(_REGISTRY)
+    for name in _EXTRA_BENCH_ORACLE:
+        entries[name] = CatalogEntry(
+            name=name, fn=_EXTRA_BENCH[name], oracle=_EXTRA_BENCH_ORACLE[name]
+        )
+    for name, entry in entries.items():
         if only and name not in only:
             continue
         if entry.oracle is None:

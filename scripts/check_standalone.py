@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from pimdb_spark import entrypoints  # noqa: E402,F401
-from pimdb_spark.catalog import _REGISTRY  # noqa: E402
+from pimdb_spark.catalog import _EXTRA_BENCH_ORACLE, _REGISTRY  # noqa: E402
 
 
 def main() -> int:
@@ -32,7 +32,7 @@ def main() -> int:
     else:
         sf_dir, only = "/root/testdata/sf0.01", set(args)
     failures = []
-    for name in _REGISTRY:
+    for name in list(_REGISTRY) + list(_EXTRA_BENCH_ORACLE):
         if only and name not in only:
             continue
         proc = subprocess.run(
