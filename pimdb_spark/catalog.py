@@ -280,118 +280,113 @@ _CHECK_FIRST: list[str] = [
     # every round by scripts/derive_rotation.py as (new entries) +
     # (changed entries) + (entries that failed last round) + (entries
     # outside last round's window, stalest attestation first, ties in
-    # registration order).  Final round-10 derivation over the 144-entry
-    # registry (after the late-r10 adds q_bloom_decontaminate /
-    # q_ngram_lm_score / q_embedding_gram_int8 / q_label_propagation /
-    # q_random_projection_int8 and the consolidation of six twins to
-    # bench-only — four literal oracle duplicates plus q_salted_join and
-    # q_sparse_doc_sim_sum, the latter keeping its own oracle under the
-    # pytest bench-only sweep): 11 new + 2 changed + 0 failed +
-    # stalest-first; the first 50 emitted form round 10's driver window;
-    # derive_rotation.py verified registry \ (r8 ∪ r9 ∪ r10 windows) = ∅
-    # and that every entry outside the r9/r10 windows is r8-green — the
-    # three-round invariant (valid to 150 entries; K=3 held via
-    # consolidation, see COVERAGE.md).
+    # registration order).  Round-11 derivation over the 147-entry
+    # registry (after promoting q_cms_heavy_hitters /
+    # q_hll_group_distinct / q_lsh_multitable_topk from bench-only into
+    # the 3 slots round 10's window freed): 3 new + 0 changed + 0 failed
+    # + stalest-first; the 47 r8-attested names head the stale group, so
+    # the round-11 driver window is exactly 3 + 47 = 50 and
+    # derive_rotation.py verified registry \ (r9 ∪ r10 ∪ r11 windows)
+    # = ∅ — the three-round invariant holds at 147/150 capacity.
     # -- new this round --
-    "q_bpe_train_batched",
-    "q_jpeg_color_stats",
-    "q_int8_ann_topk",
-    "q_ivf_int8_topk",
-    "q_pq_adc_topk",
-    "q_ivf_pq_topk",
-    "q_bloom_decontaminate",
-    "q_ngram_lm_score",
-    "q_embedding_gram_int8",
-    "q_label_propagation",
-    "q_random_projection_int8",
-    # -- changed this round --
-    "q_bpe_apply",
-    "q_sparse_doc_sim",
+    "q_cms_heavy_hitters",
+    "q_hll_group_distinct",
+    "q_lsh_multitable_topk",
     # -- stalest attestation first --
-    "q_bm25_topk",
-    "q_kmeans_assignments",
-    "q_multimodal_decode",
-    "q_multimodal_decode_pinned",
-    "q_image_channel_stats",
-    "q13_order_distribution",
-    "q18_large_volume_customers",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q19_discounted_revenue",
-    "q17_small_quantity",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q16_supplier_parts",
-    "q_rolling_window",
-    "q4_priority_count",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q9_product_profit",
-    "q_hash_split",
-    "q_domain_quota",
-    "q_seq_packing",
-    "q_quality_funnel",
-    "q_dup_clusters",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    "q_snapshot_diff",
-    "q_snapshot_merge",
-    "q_scd2_intervals",
-    "q_token_df_idf",
-    "q_top_bigrams",
-    "q_decontaminate",
-    "q_priority_dedup",
-    "q_repetition_ratio",
-    "q_redact",
-    "q_corpus_divergence",
-    "q_dedup_keep_first",  # last green r8
-    "q_distinct_multi",  # last green r8
-    "q_key_table_tokens",  # last green r8
-    "q_left_join_coalesce",  # last green r8
-    "q_window_rank",  # last green r8
-    "q_count_star",  # last green r8
-    "q_set_ops",  # last green r8
-    "q_json_extract",  # last green r8
-    "q_sql_passthrough",  # last green r8
-    "q_posexplode_ordering",  # last green r8
-    "q_explode_resolve_renumber",  # last green r8
-    "q_token_decompose",  # last green r8
-    "q_text_stats",  # last green r8
-    "q_lang_id",  # last green r8
-    "q_token_counts",  # last green r8
-    "q_doc_fingerprint_dedup",  # last green r8
-    "q_ngram_jaccard_pairs",  # last green r8
-    "q_minhash_signatures",  # last green r8
-    "q_minhash_lsh_pairs",  # last green r8
-    "q_simhash",  # last green r8
-    "q_cosine_topk",  # last green r8
-    "q_negative_sample",  # last green r8
-    "q_audio_stats",  # last green r8
-    "q_video_frame_stats",  # last green r8
-    "q_image_ahash",  # last green r8
-    "q_image_dup_pairs",  # last green r8
-    "q_audio_fingerprint",  # last green r8
-    "q_audio_dup_pairs",  # last green r8
-    "q7_nation_volume",  # last green r8
-    "q_approx_distinct",  # last green r8
-    "q_approx_percentile",  # last green r8
-    "q_table_profile",  # last green r8
-    "q2_min_cost_supplier",  # last green r8
-    "q11_important_stock",  # last green r8
-    "q12_late_shipments",  # last green r8
-    "q20_part_promotion",  # last green r8
-    "q_paragraph_dedup",  # last green r8
-    "q_ngram_decontaminate",  # last green r8
-    "q_chunk_documents",  # last green r8
-    "q_budget_take",  # last green r8
-    "q_heavy_hitters",  # last green r8
-    "q_histogram",  # last green r8
-    "q_robust_outliers",  # last green r8
-    "q_fuzzy_link",  # last green r8
-    "q_zorder_key",  # last green r8
-    "q_mixture_plan",  # last green r8
-    "q_validate_constraints",  # last green r8
+    "q_dedup_keep_first",
+    "q_distinct_multi",
+    "q_key_table_tokens",
+    "q_left_join_coalesce",
+    "q_window_rank",
+    "q_count_star",
+    "q_set_ops",
+    "q_json_extract",
+    "q_sql_passthrough",
+    "q_posexplode_ordering",
+    "q_explode_resolve_renumber",
+    "q_token_decompose",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_counts",
+    "q_doc_fingerprint_dedup",
+    "q_ngram_jaccard_pairs",
+    "q_minhash_signatures",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_negative_sample",
+    "q_audio_stats",
+    "q_video_frame_stats",
+    "q_image_ahash",
+    "q_image_dup_pairs",
+    "q_audio_fingerprint",
+    "q_audio_dup_pairs",
+    "q7_nation_volume",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_table_profile",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q20_part_promotion",
+    "q_paragraph_dedup",
+    "q_ngram_decontaminate",
+    "q_chunk_documents",
+    "q_budget_take",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_robust_outliers",
+    "q_fuzzy_link",
+    "q_zorder_key",
+    "q_mixture_plan",
+    "q_validate_constraints",
+    "q1_pricing_summary",  # last green r9
+    "q3_shipping_priority",  # last green r9
+    "q5_region_revenue",  # last green r9
+    "q_filter_project_rename",  # last green r9
+    "q_conjunctive_isin",  # last green r9
+    "q_self_join_pairs",  # last green r9
+    "q_composite_key_join",  # last green r9
+    "q_multiway_distinct",  # last green r9
+    "q_topk_orders",  # last green r9
+    "q_lsh_ann_topk",  # last green r9
+    "q_ivf_ann_topk",  # last green r9
+    "q_embedding_dup_pairs",  # last green r9
+    "q_semdedup",  # last green r9
+    "q_time_window_agg",  # last green r9
+    "q_sessionize",  # last green r9
+    "q_multimodal_meta",  # last green r9
+    "q_jpeg_pixel_stats",  # last green r9
+    "q_asof_join",  # last green r9
+    "q_range_join",  # last green r9
+    "q_interval_join",  # last green r9
+    "q_grouping_analytics",  # last green r9
+    "q_exists_subquery",  # last green r9
+    "q_scalar_subquery",  # last green r9
+    "q_pivot",  # last green r9
+    "q_percentile",  # last green r9
+    "q_partial_salted_join",  # last green r9
+    "q_full_outer",  # last green r9
+    "q_window_suite",  # last green r9
+    "q_scalar_functions",  # last green r9
+    "q_list_membership_join",  # last green r9
+    "q_bpe_pairs",  # last green r9
+    "q_bpe_train",  # last green r9
+    "q_inverted_index",  # last green r9
+    "q_inverted_index_capped",  # last green r9
+    "q_sorted_neighborhood",  # last green r9
+    "q_snm_multipass",  # last green r9
+    "q_group_auc",  # last green r9
+    "q_calibration_bins",  # last green r9
+    "q_cohort_retention",  # last green r9
+    "q_last_touch",  # last green r9
+    "q_session_paths",  # last green r9
+    "q_co_occurrence_edges",  # last green r9
+    "q_bfs_hops",  # last green r9
+    "q_funnel_steps",  # last green r9
+    "q_pagerank",  # last green r9
+    "q_triangle_count",  # last green r9
+    "q_linear_attribution",  # last green r9
 ]
 
 

@@ -918,11 +918,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bench-only (pytest-gated oracle) per the round-10 window-budget policy
-# (COVERAGE.md "Growth headroom"): promote to the driver registry when a
-# rotation slot frees in a future round.
-@register_bench_only(
+# Promoted to the driver registry in round 11 (one of the 3 freed
+# rotation slots — COVERAGE.md "Attestation rotation"); bench-only with a
+# pytest-gated oracle through round 10.
+@register(
     "q_cms_heavy_hitters",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT unnest({_TOKS}) AS item FROM documents
@@ -1031,8 +1032,11 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+# Promoted to the driver registry in round 11 (one of the 3 freed
+# rotation slots); bench-only with a pytest-gated oracle through round 10.
+@register(
     "q_hll_group_distinct",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT lang, unnest({_TOKS}) AS item FROM documents
@@ -1060,8 +1064,7 @@ def q_hll_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketch.hll_group_estimate) — the at-scale
     count-DISTINCT-GROUP-BY shape: per-(group, bucket) MAX registers,
     then an m-row reduce per group, every estimate bit-identical across
-    engines (the q_hll_distinct arithmetic with a group key).  Bench-only
-    with the oracle pytest-gated (window-budget policy).
+    engines (the q_hll_distinct arithmetic with a group key).
 
     Scale: register aggregation is capped at |groups| x 64 rows per task
     map-side; no distinct-set shuffle ever happens — the point of the

@@ -848,8 +848,11 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(approx, exact, "q_id", "c_id", k=3)
 
 
-@register_bench_only(
+# Promoted to the driver registry in round 11 (one of the 3 freed
+# rotation slots); bench-only with a pytest-gated oracle through round 10.
+@register(
     "q_lsh_multitable_topk",
+    bench=True,
     oracle=f"""
     WITH tabbed AS (
       SELECT vec_id, embedding, t.t AS tab,
@@ -881,8 +884,6 @@ def q_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall repair the measured ladder demanded (q_ann_recall_lsh
     shows single-table b=8 at recall 0.02; this configuration measures
     0.46, see the operator docstring for the full (b, L) table).
-    Bench-only with the oracle pytest-gated (window-budget policy);
-    promotable when a rotation slot frees.
 
     Scale: candidates fan out L-fold into a (table, bucket) equi-join,
     pair-distinct bounds re-scoring — never all-pairs; (b, L) are the
