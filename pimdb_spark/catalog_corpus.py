@@ -555,3 +555,67 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ref = docs.filter(F.col("lang") == "en")
     return ngram_lm_score(docs, ref)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# r10 verdict's item 3: the JM-interpolated scorer had python-model
+# bit-parity tests but no DuckDB oracle; both floor divisions are
+# integer-exact, so the oracle is the base q_ngram_lm_score chain with
+# the two-term interpolation spliced into the term expression.
+@register_bench_only(
+    "q_ngram_lm_score_jm",
+    oracle=f"""
+    WITH bi AS (
+      SELECT gram, count(*) AS c2 FROM ({_BIGRAMS} WHERE lang = 'en')
+      GROUP BY gram
+    ), ctx AS (
+      SELECT string_split(gram, ' ')[1] AS w1, sum(c2) AS c1
+      FROM bi GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS t, count(DISTINCT w) AS v
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE lang = 'en')
+    ), uni AS (
+      SELECT w AS w2, count(*) AS cu
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE lang = 'en')
+      GROUP BY w
+    ), dg AS (
+      SELECT doc_id, gram,
+             string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2
+      FROM ({_BIGRAMS})
+    ), terms AS (
+      SELECT doc_id,
+             (3 * (coalesce(bi.c2, 0) + 1) * 1000000000)
+               // (4 * (coalesce(ctx.c1, 0) + tot.v))
+             + (1 * (coalesce(uni.cu, 0) + 1) * 1000000000)
+               // (4 * (tot.t + tot.v)) AS trm
+      FROM dg LEFT JOIN bi USING (gram) LEFT JOIN ctx USING (w1)
+              LEFT JOIN uni USING (w2), tot
+    ), pd AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(trm) AS s FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(pd.s AS DOUBLE) / CAST(pd.n_bigrams * 1000000000 AS DOUBLE) AS lm_score
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_ngram_lm_score_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated reference-LM scoring
+    (operators/lm.ngram_lm_score_interpolated, λ = 3/4): the standard
+    fix for pure add-one smoothing, which over-penalizes unseen bigrams
+    of common words — the unigram back-off term keeps frequent-word
+    contexts ranked above genuinely out-of-language text.  Both
+    interpolation terms are integer-exact floor divisions over BIGINTs
+    (λ is an exact small rational), so the per-doc sum stays order-free
+    and the oracle reproduces every score bit-for-bit.
+
+    Scale: identical plan shape to q_ngram_lm_score plus one more
+    reference-sized broadcast (unigram counts) and a one-row totals
+    attach; the scoring pass stays shuffle-free until the per-doc
+    groupBy."""
+    from pimdb_spark.operators.lm import ngram_lm_score_interpolated
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return ngram_lm_score_interpolated(docs, ref)

@@ -190,6 +190,9 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_ngram_lm_score: the ONE-ROW vocabulary-size aggregate broadcast-
       attaches to every (doc, gram) row for the smoothing denominator —
       constant attach, no pairing (same shape as q_token_df_idf).
+    - q_ngram_lm_score_jm: the same ONE-ROW attach carrying (T, V) —
+      the interpolated scorer adds a reference-sized unigram broadcast
+      HASH join, not a second nested-loop shape.
     - q_bloom_decontaminate: the ONE-ROW bloom-bitmap map (<= m/32
       entries collapsed via map_from_entries — the bpe_apply pattern)
       broadcast-attaches to every (doc, gram) probe row; the unrolled
@@ -228,6 +231,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_heavy_hitters",
         "q_mixture_plan",
         "q_ngram_lm_score",
+        "q_ngram_lm_score_jm",
         "q_bloom_decontaminate",
         "q_cms_heavy_hitters",
         "q_ann_recall_lsh",
