@@ -1002,7 +1002,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(est.n_present AS BIGINT) AS n_present,
            (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
              * 64.0::DOUBLE * 64.0::DOUBLE
-             / (est.s + CAST(64 - est.n_present AS DOUBLE)) AS raw_estimate,
+             / (coalesce(est.s, 0.0::DOUBLE)
+                + CAST(64 - est.n_present AS DOUBLE)) AS raw_estimate,
            CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
     FROM est, ex
     """,

@@ -820,8 +820,9 @@ def q_random_projection_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q.q_id,
            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall
-    FROM (SELECT DISTINCT q_id FROM exact) q
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+             / CAST(q.n_exact AS DOUBLE) AS recall
+    FROM (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id) q
     LEFT JOIN hits h USING (q_id)
     """,
 )

@@ -858,8 +858,16 @@ def ann_recall(
     approximate index trades recall for cost, and this MEASURES the
     trade instead of asserting it.  Input frames carry (query_id,
     cand_id) rows (rank/score columns ignored); output is (query_id,
-    n_hits, recall) per query with recall = |approx ∩ exact| / k — a
-    single exact IEEE division of integers.
+    n_hits, recall) per query with recall = |approx ∩ exact| / |exact
+    set for that query| — a single exact IEEE division of integers.
+    Dividing by the PER-QUERY exact-set size (not the nominal ``k``)
+    keeps recall honest when a query has fewer than k true neighbors
+    (corpus smaller than k+1, or an exact side built with its own
+    cutoff): a by-k denominator would saturate below 1.0 for a perfect
+    index.  On any corpus where every query has >= k neighbors — every
+    testdata SF here — the two denominators coincide, so this is a
+    contract clarification, not a value change.  ``k`` is retained for
+    call-site documentation only.
 
     Queries missing entirely from ``approx`` (e.g. an empty LSH bucket)
     still appear, with n_hits = 0 — silent query dropout is exactly what
@@ -875,14 +883,16 @@ def ann_recall(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        exact.select(query_id).distinct()
+        exact.select(query_id, cand_id)
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("_n_exact"))
         .join(hits, query_id, "left")
         .select(
             query_id,
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
             (
                 F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                / F.lit(float(k))
+                / F.col("_n_exact").cast("double")
             ).alias("recall"),
         )
     )
@@ -897,6 +907,7 @@ def lsh_multitable_topk(
     k: int = 3,
     n_bits: int = 8,
     n_tables: int = 4,
+    dim: int = 64,
     round_digits: int | None = 4,
     scorer: str = "fold",
 ) -> DataFrame:
@@ -918,8 +929,20 @@ def lsh_multitable_topk(
 
     Scale: candidates fan out L-fold into the (table, bucket) equi-join
     — still never all-pairs; the pair-distinct before scoring bounds
-    re-scoring at one per surviving pair; requires
-    n_tables * n_bits <= dim."""
+    re-scoring at one per surviving pair.
+
+    Requires n_tables * n_bits <= dim, ENFORCED (the pq_topk
+    discipline): table t reads dims t*n_bits+1..(t+1)*n_bits, and
+    element_at past the end of the vector is engine-dependent (NULL
+    under non-ANSI Spark), which would silently collapse the
+    out-of-range bits to 0 — every tail table becomes bucket-biased
+    instead of failing loudly."""
+    if n_tables * n_bits > dim:
+        raise ValueError(
+            f"lsh_multitable_topk: n_tables ({n_tables}) * n_bits ({n_bits}) "
+            f"= {n_tables * n_bits} exceeds dim ({dim}) — disjoint slices "
+            "would read past the vector"
+        )
     q = queries.select(
         F.col(query_id).alias("q_id"),
         F.col(vec_col).alias("q_vec"),

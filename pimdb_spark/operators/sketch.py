@@ -217,14 +217,22 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     fold discipline.  The small-range (linear-counting) correction needs
     ln and is deliberately NOT applied here; callers compare
     raw_estimate against exact counts with the documented HLL error
-    ~ 1.04 / sqrt(m) (~13%% at m = 64)."""
+    ~ 1.04 / sqrt(m) (~13%% at m = 64).
+
+    An EMPTY register table (zero items seen) is a defined input, not an
+    error: sum() over zero rows is NULL, which the coalesce pins to 0.0
+    so the estimate is the all-zero-registers constant
+    alpha_m * m^2 / m = alpha_m * m (~45.1 at m = 64, the raw formula's
+    documented zero-cardinality bias without the linear-counting
+    correction) — never NULL."""
     m = HLL_BUCKETS
     return registers.agg(
         F.lit(m).alias("m"),
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
         F.expr(
             f"(0.7213D / (1.0D + 1.079D / {m})) * {m}D * {m}D / "
-            f"(sum(1.0D / CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE))"
+            f"(coalesce(sum(1.0D / CAST(shiftleft(CAST(1 AS BIGINT), register)"
+            f" AS DOUBLE)), 0.0D)"
             f" + CAST({m} - count(1) AS DOUBLE))"
         ).alias("raw_estimate"),
     )

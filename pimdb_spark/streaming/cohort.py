@@ -73,9 +73,17 @@ def _cohort_group(
     else:
         cohort, seen = None, set()
     out: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts_us")
-        for ts in pdf["ts_us"]:
+    # Concatenate ALL Arrow chunks before sorting: a per-chunk sort would
+    # let a later chunk's earlier-period event arrive after a later-period
+    # one from an earlier chunk and mis-set the cohort — the chunk split is
+    # an Arrow batching artifact, not a semantic boundary.  Memory is the
+    # group's rows within one micro-batch (the same bound applyInPandas
+    # already implies); cross-BATCH order remains the documented trade in
+    # the module docstring (negative offsets, visible downstream).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("ts_us")
+        for ts in batch["ts_us"]:
             ts = int(ts)
             # floor division (python // floors), exact for negative epochs —
             # the same pmod-floor semantics as the batch operator

@@ -39,7 +39,21 @@ def decontaminate_stream(
     """doc_stream (doc_id, text, ...) x static eval_docs -> append-mode
     parquet sink of (doc_id, n_shared_ngrams, keep) verdicts; returns the
     started StreamingQuery (AvailableNow trigger — call repeatedly to
-    drain arrivals, the house file-ingest pattern)."""
+    drain arrivals, the house file-ingest pattern).
+
+    Sink contract: AT-LEAST-ONCE, stated not hidden.  foreachBatch gives
+    exactly-once only if the handler is idempotent per epoch; a plain
+    parquet append is not — if the process dies between the append and
+    the checkpoint commit, the restarted query re-runs the epoch and the
+    batch's verdicts land TWICE.  That is safe here by construction:
+    verdicts are deterministic per doc_id (a replay writes identical
+    rows), so any reader that keeps one row per doc_id — the natural
+    access pattern for a keep/drop verdict table — sees exactly-once
+    results.  Readers that aggregate raw rows must dedup on doc_id
+    first.  The upgrade path when the sink itself must be exactly-once:
+    write each epoch to an epoch-keyed subdirectory with mode
+    "overwrite" (replays overwrite themselves — idempotent), or use a
+    transactional table format that records the (queryId, epoch) pair."""
 
     def handle(batch_df: DataFrame, _epoch: int) -> None:
         out = ngram_decontaminate(batch_df, eval_docs, n=n, threshold=threshold)

@@ -98,8 +98,16 @@ def _attribute_group(
         touches = []  # [(ts, eid, typ)] ascending (ts, eid)
     out: list[tuple] = []
     last_ts = touches[-1][0] if touches else None
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Concat-then-sort across ALL Arrow chunks (see streaming/cohort.py):
+    # a per-chunk sort would process a later chunk's earlier event after an
+    # earlier chunk's later one — a conversion could miss a touch that
+    # precedes it within the same micro-batch.  Chunk splits are an Arrow
+    # batching artifact; the in-batch order contract is (ts_us, event_id).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         for ts, eid, typ in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]):
             ts, eid, typ = int(ts), int(eid), str(typ)
             if typ == conversion_type:

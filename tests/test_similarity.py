@@ -312,3 +312,43 @@ def test_lsh_multitable_recall_monotone_and_single_table_parity(spark):
         )
     assert all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] > recalls[0]
+
+
+def test_lsh_multitable_rejects_slice_overrun():
+    """n_tables * n_bits > dim must raise: table t reads dims
+    t*n_bits+1..(t+1)*n_bits and element_at past the vector end is NULL
+    under non-ANSI Spark — every tail table would silently collapse
+    toward bucket 0 instead of failing loudly (the pq_topk dim check
+    discipline)."""
+    import pytest
+
+    from pimdb_spark.operators import similarity as S
+
+    with pytest.raises(ValueError, match="exceeds dim"):
+        S.lsh_multitable_topk(
+            None, None, "vec_id", "vec_id", "embedding",
+            k=3, n_bits=8, n_tables=16, dim=64,
+        )
+    with pytest.raises(ValueError, match="exceeds dim"):
+        S.lsh_multitable_topk(
+            None, None, "vec_id", "vec_id", "embedding",
+            k=3, n_bits=4, n_tables=4, dim=8,
+        )
+
+
+def test_ann_recall_divides_by_exact_set_size(spark):
+    """Recall denominates by the PER-QUERY exact-set size, not the nominal
+    k: a query with only 2 true neighbors and both recovered scores 1.0,
+    not the saturated 2/3 a by-k denominator would report."""
+    from pimdb_spark.operators import similarity as S
+
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (1, 21), (1, 22)], ["q_id", "c_id"]
+    )
+    approx = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (1, 21)], ["q_id", "c_id"]
+    )
+    got = {r.q_id: (r.n_hits, r.recall) for r in
+           S.ann_recall(approx, exact, "q_id", "c_id", k=3).collect()}
+    assert got[0] == (2, 1.0)          # 2-of-2, NOT 2-of-k
+    assert got[1] == (2, 2.0 / 3.0)    # 2-of-3

@@ -225,3 +225,22 @@ def test_hll_group_estimate_matches_per_group_global(spark):
     }
     for g, n in truth.items():
         assert abs(got[g][1] - n) / n < 0.4
+
+
+def test_hll_estimate_empty_sketch_is_defined_constant(spark):
+    """Zero items seen is a defined input: the estimate is the
+    all-zero-registers constant alpha_m * m (never NULL) — the coalesce
+    contract on operators/sketch.hll_estimate."""
+    from pimdb_spark.operators.sketch import (
+        HLL_BUCKETS,
+        hll_estimate,
+        hll_registers,
+    )
+
+    empty = spark.createDataFrame([], "item string")
+    row = hll_estimate(hll_registers(empty, "item")).collect()[0]
+    m = HLL_BUCKETS
+    assert row.m == m and row.n_present == 0
+    assert row.raw_estimate is not None
+    # same expression shape the operator evaluates: alpha * m^2 / (0 + m)
+    assert row.raw_estimate == (0.7213 / (1.0 + 1.079 / m)) * m * m / m

@@ -208,3 +208,41 @@ def test_streaming_cohort_randomized_splits(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 4
+
+
+def test_cohort_group_sorts_across_arrow_chunks():
+    """The stateful fn must order a micro-batch's events across ALL Arrow
+    chunks before fixing the cohort: a later chunk carrying the user's
+    EARLIEST event still defines the cohort (a per-chunk sort would
+    mis-cohort to the first chunk's minimum and emit a negative offset)."""
+    import pandas as pd
+
+    from pimdb_spark.streaming.cohort import WEEK_US, _cohort_group
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # chunk order: the 2-weeks-in event arrives in chunk 0, the true
+    # first event (week 0) in chunk 1 — an Arrow batching artifact
+    chunk0 = pd.DataFrame({"ts_us": [2 * WEEK_US + 5]})
+    chunk1 = pd.DataFrame({"ts_us": [5, WEEK_US + 5]})
+    state = _FakeState()
+    out = pd.concat(
+        list(_cohort_group((7,), [chunk0, chunk1], state, WEEK_US)),
+        ignore_index=True,
+    )
+    rows = {(r.cohort_period, r.period_offset) for r in out.itertuples()}
+    assert rows == {(0, 0), (0, 1), (0, 2)}  # cohort = week 0, no negatives
+    assert state.get[0] == 0

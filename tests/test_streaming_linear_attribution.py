@@ -208,3 +208,52 @@ def test_streaming_linear_attribution_randomized_splits(spark, tmp_path):
     assert got == expected
     assert len(got) > 10
     assert any(len(v) > 1 for v in got.values())  # real multi-touch splits
+
+
+def test_attribute_group_sorts_across_arrow_chunks():
+    """A conversion in an earlier Arrow chunk must still see a touch from
+    a later chunk of the SAME micro-batch when the touch precedes it in
+    (ts_us, event_id) order — the chunk split is a batching artifact, so
+    the fn concatenates and sorts before replaying."""
+    import pandas as pd
+
+    from pimdb_spark.streaming.linear_attribution import _attribute_group
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        @property
+        def hasTimedOut(self):
+            return False
+
+    chunk0 = pd.DataFrame(
+        {"ts_us": [100], "event_id": [9], "event_type": ["purchase"]}
+    )
+    chunk1 = pd.DataFrame(
+        {"ts_us": [50], "event_id": [3], "event_type": ["click"]}
+    )
+    out = pd.concat(
+        list(
+            _attribute_group(
+                (7,), [chunk0, chunk1], _FakeState(),
+                "purchase", frozenset(["click"]), horizon_us=1000,
+            )
+        ),
+        ignore_index=True,
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["touch_event_id"] == 3 and r["n_touches"] == 1
+    assert r["weight"] == 1.0
