@@ -895,3 +895,124 @@ def q_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "vec_id", "embedding",
         k=3, n_bits=4, n_tables=4,
     )
+
+
+def _pq_trained_oracle(
+    m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3, n_q: int = 8
+) -> str:
+    """Oracle for the TRAINED-codebook PQ: m per-subspace one-update
+    Lloyd's chains (the _KM_CTES pattern, q_kmeans_assignments'
+    bit-determinism argument applied per subspace) feed the _pq_oracle
+    ADC tail — the codebook VALUES are the only difference from the
+    training-free oracle."""
+
+    def sqd_assign(s: int) -> str:
+        lo = (s - 1) * sub + 1
+        return (
+            f"list_reduce(list_transform(range(1, {sub + 1}), "
+            f"i -> (e.embedding[{lo} - 1 + i]::DOUBLE - c.cvec[i]) * "
+            f"(e.embedding[{lo} - 1 + i]::DOUBLE - c.cvec[i])), (x, y) -> x + y)"
+        )
+
+    def km(s: int) -> str:
+        lo = (s - 1) * sub + 1
+        return f"""init{s} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             list_transform(range({lo}, {lo + sub}), i -> embedding[i]::DOUBLE) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_centroids})
+    ), a{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sqd_assign(s)}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN init{s} c)
+      WHERE rn = 1
+    ), s{s} AS (
+      SELECT a.cid, count(*) AS n,
+             list_reduce(
+               list(list_transform(range({lo}, {lo + sub}),
+                                   i -> e.embedding[i]::DOUBLE)
+                    ORDER BY e.vec_id),
+               (x, y) -> list_transform(range(1, {sub + 1}), i -> x[i] + y[i]))
+               AS summed
+      FROM a{s} a JOIN embeddings e USING (vec_id) GROUP BY a.cid
+    ), cb{s} AS (
+      SELECT list(cvec ORDER BY cid) AS cvecs FROM (
+        SELECT i.cid,
+               CASE WHEN t.cid IS NULL THEN i.cvec
+                    ELSE list_transform(t.summed, x -> x / t.n) END AS cvec
+        FROM init{s} i LEFT JOIN s{s} t ON i.cid = t.cid)
+    )"""
+
+    def subsqd(s: int) -> str:
+        lo = (s - 1) * sub + 1
+        return (
+            f"list_reduce(list_transform(range(1, {sub + 1}), "
+            f"i -> (e.embedding[{lo} - 1 + i]::DOUBLE - cv[i]) * "
+            f"(e.embedding[{lo} - 1 + i]::DOUBLE - cv[i])), (x, y) -> x + y)"
+        )
+
+    kms = ", ".join(km(s) for s in range(1, m + 1))
+    dls = ", ".join(
+        f"list_transform((SELECT cvecs FROM cb{s}), cv -> {subsqd(s)})"
+        for s in range(1, m + 1)
+    )
+    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
+    return f"""
+    WITH {kms}, dt AS (
+      SELECT e.vec_id, [{dls}] AS dtab FROM embeddings e
+    ), coded AS (
+      SELECT vec_id, dtab,
+             list_transform(dtab, d -> list_position(d, list_min(d))) AS codes
+      FROM dt
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round({adc}, 4) AS adc
+      FROM coded c, (SELECT * FROM coded WHERE vec_id < {n_q}) q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT q_id, rank, c_id, adc FROM (
+      SELECT q_id, c_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r12
+# verdict's item 1: trained codebooks through pq_topk's plan shape, with
+# the training-free q_pq_adc_topk kept as the oracle-simple registry form.
+@register_bench_only("q_pq_trained_topk", oracle=_pq_trained_oracle())
+def q_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 with TRAINED per-subspace k-means
+    codebooks (operators/similarity.pq_topk_trained = train_pq_codebooks
+    + pq_topk_books): dim 64 splits into 8 subspaces; each subspace's
+    16-entry codebook is a 2-iteration Lloyd's run over that subspace's
+    sub-vectors (init = the 16 lowest-id sub-vectors, one exact
+    ordered-fold centroid update) instead of q_pq_adc_topk's
+    training-free first-16 convention — the stated production upgrade,
+    measured recall@3 vs exact L2 on this config: 0.125 training-free ->
+    0.25 trained at 16 queries, 0.089 -> 0.203 at 64 (scripts/
+    pq_recall.py; see the operator docstring and SCALE.md's ANN ladder).
+
+    The ENTIRE trained pipeline sits under the hash gate: the DuckDB
+    oracle unrolls all 8 per-subspace k-means chains (the
+    q_kmeans_assignments bit-determinism argument — ordered-fold centroid
+    updates — applied per subspace) and replays the identical ADC
+    scoring, so a codebook regression flips the verdict mechanically.
+
+    Scale: training is m kmeans passes paid once per index build
+    (quantize-on-write); the codebooks collapse to ONE broadcast row
+    (localCheckpoint-ed — one materialization serves both sides, the
+    scoring plan stays as shallow as q_pq_adc_topk's); scoring ships 8
+    codes per candidate, never a float vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return S.pq_topk_trained(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        m=8, dim=64, n_centroids=16, k=3, n_iter=2,
+    )

@@ -995,3 +995,217 @@ def lsh_multitable_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "cos")
     )
+
+
+def train_pq_codebooks(
+    candidates: DataFrame,
+    cand_id: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """TRAINED product-quantization codebooks: per-subspace Lloyd's
+    k-means over the candidates' sub-vectors — the production upgrade
+    over pq_topk's training-free lowest-id convention (a codebook that
+    models the actual sub-vector distribution cuts quantization error,
+    hence ADC ranking error, hence raises recall; measured on
+    catalog_similarity.q_pq_trained_topk's config).
+
+    Returns a ONE-ROW frame with column ``books``:
+    array<array<array<double>>> of shape m x n_centroids x (dim/m) —
+    books[s][j] is subspace s's centroid j, in deterministic cid order.
+    Training is the clustering module's machinery verbatim per subspace
+    (init = the n_centroids lowest-id candidates' s-th sub-vectors;
+    ``n_iter - 1`` exact ordered-fold centroid updates), so every
+    centroid coordinate is bit-deterministic and the whole trained
+    pipeline stays DuckDB-oracle-checkable end to end — the
+    q_kmeans_assignments property, applied m times.
+
+    Scale: each subspace's training is the kmeans shape (broadcast
+    argmin assignment — no candidate shuffle — plus one keyed update
+    shuffle); m such passes produce m * n_centroids rows that collapse
+    to one broadcastable row.  Training cost is a constant number of
+    corpus passes paid ONCE per index build (the quantize-on-write
+    argument); callers localCheckpoint the returned row to cut the
+    m-subspace lineage out of every downstream scoring plan."""
+    from pimdb_spark.operators.clustering import (
+        assign_clusters,
+        init_centroids,
+        update_centroids_exact,
+    )
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m {m}")
+    tagged = None
+    for s in range(m):
+        sliced = candidates.select(
+            F.col(cand_id).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        cents = init_centroids(sliced, n_centroids)
+        for _ in range(n_iter - 1):
+            assigned = assign_clusters(sliced, cents)
+            cents = update_centroids_exact(assigned, sliced, cents, sub)
+        t = cents.select(F.lit(s).alias("s"), "cid", "cvec")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    flat = tagged.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("cid"), F.col("cvec")))
+        ).alias("_flat")
+    )
+    return flat.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda si: F.transform(
+                F.slice(F.col("_flat"), si * n_centroids + 1, n_centroids),
+                lambda r: r["cvec"],
+            ),
+        ).alias("books")
+    )
+
+
+def pq_topk_books(
+    queries: DataFrame,
+    candidates: DataFrame,
+    books: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    k: int = 3,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """PQ ADC top-k against an EXPLICIT codebook frame (one row,
+    ``books`` = m x n_centroids x (dim/m) doubles — train_pq_codebooks'
+    output, or any codebook table materialized at index-build time):
+    candidates code to their per-subspace nearest centroid, queries
+    precompute the m x n_centroids exact sub-distance table once, pairs
+    score as m table lookups — pq_topk's exact plan shape with the
+    codebook attach swapped from the training-free convention to a
+    supplied table.  This separation IS the production layout: train
+    once, write codes with the table, score forever.
+
+    Determinism: identical expression shapes to pq_topk (house
+    sequential double fold per sub-distance, first-minimum code
+    assignment, left-associated ADC adds) — codebook VALUES are the only
+    difference, so the same DuckDB oracle discipline applies.
+
+    Scale: one one-row broadcast (the codebooks), both assignments as
+    projections over their scans, the q_cosine_topk brute broadcast
+    shape for scoring (compose an IVF cell equi-join in front exactly as
+    ivf_pq_topk does when the corpus outgrows one pass)."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"pq_topk_books: dim {dim} not divisible by m {m}")
+
+    def sub_sqd(vec_name: str, cb, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_name), s * sub + 1, sub),
+                cb,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sub_dists(vec_name: str, s: int):
+        # factory closure — see pq_topk: a 2-arg lambda would bind s to
+        # the element index
+        return F.transform(
+            F.element_at(F.col("books"), s + 1),
+            lambda cb: sub_sqd(vec_name, cb, s),
+        )
+
+    c = (
+        candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(books))
+        .select(
+            "c_id",
+            F.array(*[sub_dists("c_vec", s) for s in range(m)]).alias("_dtabs"),
+        )
+        .select(
+            "c_id",
+            F.transform(
+                F.col("_dtabs"),
+                lambda d: F.array_position(d, F.array_min(d)).cast("int"),
+            ).alias("codes"),
+        )
+    )
+    q = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .localCheckpoint(eager=False)
+        .crossJoin(F.broadcast(books))
+        .select(
+            "q_id",
+            F.array(*[sub_dists("q_vec", s) for s in range(m)]).alias("dtab"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(F.col("dtab"), s), F.element_at(F.col("codes"), s)),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", adc.alias("adc"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("adc", F.round("adc", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "adc")
+    )
+
+
+def pq_topk_trained(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    k: int = 3,
+    n_iter: int = 2,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """PQ ADC top-k with PER-SUBSPACE K-MEANS-TRAINED codebooks — the
+    stated production upgrade over pq_topk's training-free lowest-id
+    convention, through the identical plan shape (train_pq_codebooks +
+    pq_topk_books).  The one-row codebook frame is lazily
+    localCheckpoint-ed: one materialization of the m training chains
+    serves both the candidate-coding and query-table sides, the scoring
+    plan stays as shallow as pq_topk's, and the checkpointed leaf
+    sidesteps the self-join HOF-rebind hazard of re-deriving the
+    codebooks from the candidate scan on both sides (see
+    embedding_dup_pairs).
+
+    Measured recall lift (scripts/pq_recall.py — sf0.01 embeddings, 500
+    candidates, recall@3 vs exact squared-L2 brute force, same round-4 +
+    id tie-breaks both sides): at the same m=8 x 16-centroid budget,
+    training-free pq_topk 0.125 -> trained 0.25 over 16 queries, and
+    0.089 -> 0.203 over 64 queries — a consistent ~2.3x lift from the
+    codebook modeling the distribution instead of memorizing the first
+    16 rows.  A third Lloyd's iteration measured flat-to-slightly-lower
+    (0.193 at 64 queries): ADC recall is NOT monotone in codebook
+    quality per the ann_recall non-monotonicity note, and 2 iterations
+    is the measured sweet spot here.  IVF-PQ composition: swap the
+    fine-codebook attach in ivf_pq_topk the same way."""
+    books = train_pq_codebooks(
+        candidates, cand_id, vec_col, m=m, dim=dim,
+        n_centroids=n_centroids, n_iter=n_iter,
+    ).localCheckpoint(eager=False)
+    return pq_topk_books(
+        queries, candidates, books, query_id, cand_id, vec_col,
+        m=m, dim=dim, k=k, round_digits=round_digits,
+    )

@@ -163,6 +163,14 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_ivf_pq_topk: two one-row broadcast attaches (coarse centroids +
       PQ codebooks); the scoring join itself is the hash equi-join on
       cell id — the production IVF-PQ layout, no pairing outside cells.
+    - q_pq_trained_topk: q_pq_adc_topk's exact shape (one-row codebook
+      attaches + the brute broadcast scoring pass over 8-byte codes)
+      with TRAINED codebooks; the training chain adds per-subspace
+      k-means assignment passes, each the q_kmeans_assignments
+      broadcast-argmin (a BOUNDED 16-row centroid build side against
+      the vector scan, never data x data), and the trained one-row
+      codebook frame is localCheckpoint-ed so scoring re-reads it, not
+      the chains.
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
       (a 1-row aggregate) attaches to every (token, df) row.
     - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
@@ -223,6 +231,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_int8_topk",
         "q_pq_adc_topk",
         "q_ivf_pq_topk",
+        "q_pq_trained_topk",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

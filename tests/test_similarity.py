@@ -352,3 +352,98 @@ def test_ann_recall_divides_by_exact_set_size(spark):
            S.ann_recall(approx, exact, "q_id", "c_id", k=3).collect()}
     assert got[0] == (2, 1.0)          # 2-of-2, NOT 2-of-k
     assert got[1] == (2, 2.0 / 3.0)    # 2-of-3
+
+
+def test_train_pq_codebooks_shape_and_python_model(spark):
+    """Trained codebooks: books is m x n_centroids x (dim/m); subspace
+    s's codebook equals a python per-subspace Lloyd's run (init = 16
+    lowest-id sub-vectors, one id-ordered-fold update) bit-for-bit."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    m, dim, nc, sub = 8, 64, 16, 8
+    books = S.train_pq_codebooks(emb, "vec_id", "embedding",
+                                 m=m, dim=dim, n_centroids=nc).collect()[0].books
+    assert len(books) == m
+    assert all(len(b) == nc for b in books)
+    assert all(len(cv) == sub for b in books for cv in b)
+
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()
+    )
+    for s in range(m):
+        subs = [(vid, v[s * sub:(s + 1) * sub]) for vid, v in rows]
+        cents = [list(v) for _, v in subs[:nc]]  # lowest-id init, cid order
+        # one assignment + one exact ordered-fold update (n_iter=2)
+        assign = {}
+        for vid, v in subs:
+            d = [
+                (sum_fold(v, c), cid) for cid, c in enumerate(cents)
+            ]
+            assign[vid] = min(d)[1]
+        new = []
+        for cid in range(nc):
+            members = [v for vid, v in subs if assign[vid] == cid]
+            if not members:
+                new.append(cents[cid])
+                continue
+            acc = [0.0] * sub
+            for v in members:  # id order (subs sorted by vec_id)
+                acc = [a + x for a, x in zip(acc, v)]
+            new.append([a / len(members) for a in acc])
+        assert books[s] == new, f"subspace {s}"
+
+
+def sum_fold(a, b):
+    """Left-to-right squared-L2 fold matching the engine expression."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def test_pq_trained_beats_training_free_recall(spark):
+    """The measured claim behind q_pq_trained_topk: at the same
+    m x n_centroids budget, trained codebooks recall at least as much of
+    the exact-L2 top-3 as the training-free convention on the testdata
+    (measured 0.125 -> 0.25 at sf0.01; asserted non-strictly here at
+    sf0.001 to stay robust to fixture regeneration)."""
+    from pyspark.sql import Window
+
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+
+    def emb():
+        return load(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def qs():
+        return emb().filter(F.col("vec_id") < 16)
+
+    q = qs().select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).localCheckpoint(eager=False)
+    c = emb().select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), "c_id")
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                F.round(S.sqdist(F.col("q_vec"), F.col("c_vec")), 4).alias("d"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id")
+    )
+    free = S.pq_topk(qs(), emb(), "vec_id", "vec_id", "embedding",
+                     m=8, dim=64, n_centroids=16, k=3)
+    trained = S.pq_topk_trained(qs(), emb(), "vec_id", "vec_id", "embedding",
+                                m=8, dim=64, n_centroids=16, k=3)
+    r_free = S.ann_recall(free, exact, k=3).agg(F.avg("recall")).first()[0]
+    r_trained = S.ann_recall(trained, exact, k=3).agg(F.avg("recall")).first()[0]
+    assert 0.0 <= r_free <= 1.0 and 0.0 <= r_trained <= 1.0
+    assert r_trained >= r_free, (r_free, r_trained)
