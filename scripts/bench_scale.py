@@ -282,6 +282,33 @@ def main() -> None:
         ),
     })
 
+    # r12 rows: production-dial settings for the two families the r10/r11
+    # verdicts flagged as missing measured 10x economics.
+    from pimdb_spark.operators import multimodal as MM
+
+    ops.update({
+        # ~256 merges = 8 driver-sequenced count rounds x 32-candidate
+        # conflict-filtered pools — a production-shaped merge budget (the
+        # classic 1-merge-per-round trainer cannot reach it, SCALE.md "BPE
+        # at production merge counts")
+        "bpe_train_batched_256": lambda d: bpe_train_batched(
+            docs(d), n_rounds=8, batch_size=32
+        ),
+        # payload-count dial: doc_id % 50 == 0 selects 100 payloads at 1x
+        # and 1,000 at 10x (the blow-up preserves id residues mod 50);
+        # repartition(32) pins parallelism so the row measures decode CPU
+        # linearity, not partition-count luck (doc_id < 100 off one
+        # parquet file runs single-core: 6.2 s vs 1.3 s for the SAME 100
+        # payloads, measured)
+        "jpeg_color_stats": lambda d: MM.image_channel_stats(
+            MM.synth_jpeg_color_payload(
+                docs(d).filter(F.col("doc_id") % 50 == 0).repartition(32),
+                "doc_id",
+            ),
+            "doc_id", "payload",
+        ),
+    })
+
     only = set(sys.argv[1:])
     for name, fn in ops.items():
         if only and name not in only:
