@@ -280,113 +280,118 @@ _CHECK_FIRST: list[str] = [
     # every round by scripts/derive_rotation.py as (new entries) +
     # (changed entries) + (entries that failed last round) + (entries
     # outside last round's window, stalest attestation first, ties in
-    # registration order).  Round-11 derivation over the 147-entry
-    # registry (after promoting q_cms_heavy_hitters /
-    # q_hll_group_distinct / q_lsh_multitable_topk from bench-only into
-    # the 3 slots round 10's window freed): 3 new + 0 changed + 0 failed
-    # + stalest-first; the 47 r8-attested names head the stale group, so
-    # the round-11 driver window is exactly 3 + 47 = 50 and
-    # derive_rotation.py verified registry \ (r9 ∪ r10 ∪ r11 windows)
-    # = ∅ — the three-round invariant holds at 147/150 capacity.
+    # registration order).  Round-12 derivation over the 149-entry
+    # registry (after promoting q_hll_distinct / q_ann_recall_lsh from
+    # bench-only into 2 of the 3 slots round 11's window freed — the
+    # third slot is consumed by q_lsh_multitable_topk, CHANGED this round
+    # by the n_tables*n_bits <= dim guard): 2 new + 1 changed + 0 failed
+    # + stalest-first; the 47 r9-attested names head the stale group, so
+    # the round-12 driver window is exactly 2 + 1 + 47 = 50 and
+    # derive_rotation.py verified registry \ (r10 ∪ r11 ∪ r12 windows)
+    # = ∅ — the three-round invariant holds at 149/150 capacity.
     # -- new this round --
-    "q_cms_heavy_hitters",
-    "q_hll_group_distinct",
+    "q_hll_distinct",
+    "q_ann_recall_lsh",
+    # -- changed this round --
     "q_lsh_multitable_topk",
     # -- stalest attestation first --
-    "q_dedup_keep_first",
-    "q_distinct_multi",
-    "q_key_table_tokens",
-    "q_left_join_coalesce",
-    "q_window_rank",
-    "q_count_star",
-    "q_set_ops",
-    "q_json_extract",
-    "q_sql_passthrough",
-    "q_posexplode_ordering",
-    "q_explode_resolve_renumber",
-    "q_token_decompose",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_counts",
-    "q_doc_fingerprint_dedup",
-    "q_ngram_jaccard_pairs",
-    "q_minhash_signatures",
-    "q_minhash_lsh_pairs",
-    "q_simhash",
-    "q_cosine_topk",
-    "q_negative_sample",
-    "q_audio_stats",
-    "q_video_frame_stats",
-    "q_image_ahash",
-    "q_image_dup_pairs",
-    "q_audio_fingerprint",
-    "q_audio_dup_pairs",
-    "q7_nation_volume",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_table_profile",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q20_part_promotion",
-    "q_paragraph_dedup",
-    "q_ngram_decontaminate",
-    "q_chunk_documents",
-    "q_budget_take",
-    "q_heavy_hitters",
-    "q_histogram",
-    "q_robust_outliers",
-    "q_fuzzy_link",
-    "q_zorder_key",
-    "q_mixture_plan",
-    "q_validate_constraints",
-    "q1_pricing_summary",  # last green r9
-    "q3_shipping_priority",  # last green r9
-    "q5_region_revenue",  # last green r9
-    "q_filter_project_rename",  # last green r9
-    "q_conjunctive_isin",  # last green r9
-    "q_self_join_pairs",  # last green r9
-    "q_composite_key_join",  # last green r9
-    "q_multiway_distinct",  # last green r9
-    "q_topk_orders",  # last green r9
-    "q_lsh_ann_topk",  # last green r9
-    "q_ivf_ann_topk",  # last green r9
-    "q_embedding_dup_pairs",  # last green r9
-    "q_semdedup",  # last green r9
-    "q_time_window_agg",  # last green r9
-    "q_sessionize",  # last green r9
-    "q_multimodal_meta",  # last green r9
-    "q_jpeg_pixel_stats",  # last green r9
-    "q_asof_join",  # last green r9
-    "q_range_join",  # last green r9
-    "q_interval_join",  # last green r9
-    "q_grouping_analytics",  # last green r9
-    "q_exists_subquery",  # last green r9
-    "q_scalar_subquery",  # last green r9
-    "q_pivot",  # last green r9
-    "q_percentile",  # last green r9
-    "q_partial_salted_join",  # last green r9
-    "q_full_outer",  # last green r9
-    "q_window_suite",  # last green r9
-    "q_scalar_functions",  # last green r9
-    "q_list_membership_join",  # last green r9
-    "q_bpe_pairs",  # last green r9
-    "q_bpe_train",  # last green r9
-    "q_inverted_index",  # last green r9
-    "q_inverted_index_capped",  # last green r9
-    "q_sorted_neighborhood",  # last green r9
-    "q_snm_multipass",  # last green r9
-    "q_group_auc",  # last green r9
-    "q_calibration_bins",  # last green r9
-    "q_cohort_retention",  # last green r9
-    "q_last_touch",  # last green r9
-    "q_session_paths",  # last green r9
-    "q_co_occurrence_edges",  # last green r9
-    "q_bfs_hops",  # last green r9
-    "q_funnel_steps",  # last green r9
-    "q_pagerank",  # last green r9
-    "q_triangle_count",  # last green r9
-    "q_linear_attribution",  # last green r9
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_filter_project_rename",
+    "q_conjunctive_isin",
+    "q_self_join_pairs",
+    "q_composite_key_join",
+    "q_multiway_distinct",
+    "q_topk_orders",
+    "q_lsh_ann_topk",
+    "q_ivf_ann_topk",
+    "q_embedding_dup_pairs",
+    "q_semdedup",
+    "q_time_window_agg",
+    "q_sessionize",
+    "q_multimodal_meta",
+    "q_jpeg_pixel_stats",
+    "q_asof_join",
+    "q_range_join",
+    "q_interval_join",
+    "q_grouping_analytics",
+    "q_exists_subquery",
+    "q_scalar_subquery",
+    "q_pivot",
+    "q_percentile",
+    "q_partial_salted_join",
+    "q_full_outer",
+    "q_window_suite",
+    "q_scalar_functions",
+    "q_list_membership_join",
+    "q_bpe_pairs",
+    "q_bpe_train",
+    "q_inverted_index",
+    "q_inverted_index_capped",
+    "q_sorted_neighborhood",
+    "q_snm_multipass",
+    "q_group_auc",
+    "q_calibration_bins",
+    "q_cohort_retention",
+    "q_last_touch",
+    "q_session_paths",
+    "q_co_occurrence_edges",
+    "q_bfs_hops",
+    "q_funnel_steps",
+    "q_pagerank",
+    "q_triangle_count",
+    "q_linear_attribution",
+    "q_bm25_topk",  # last green r10
+    "q_kmeans_assignments",  # last green r10
+    "q_int8_ann_topk",  # last green r10
+    "q_ivf_int8_topk",  # last green r10
+    "q_pq_adc_topk",  # last green r10
+    "q_ivf_pq_topk",  # last green r10
+    "q_embedding_gram_int8",  # last green r10
+    "q_random_projection_int8",  # last green r10
+    "q_multimodal_decode",  # last green r10
+    "q_multimodal_decode_pinned",  # last green r10
+    "q_image_channel_stats",  # last green r10
+    "q_jpeg_color_stats",  # last green r10
+    "q13_order_distribution",  # last green r10
+    "q18_large_volume_customers",  # last green r10
+    "q6_forecast_revenue",  # last green r10
+    "q14_promo_revenue",  # last green r10
+    "q10_returned_items",  # last green r10
+    "q19_discounted_revenue",  # last green r10
+    "q17_small_quantity",  # last green r10
+    "q21_waiting_suppliers",  # last green r10
+    "q22_idle_customers",  # last green r10
+    "q16_supplier_parts",  # last green r10
+    "q_rolling_window",  # last green r10
+    "q4_priority_count",  # last green r10
+    "q8_market_share",  # last green r10
+    "q15_top_supplier",  # last green r10
+    "q9_product_profit",  # last green r10
+    "q_hash_split",  # last green r10
+    "q_domain_quota",  # last green r10
+    "q_seq_packing",  # last green r10
+    "q_quality_funnel",  # last green r10
+    "q_dup_clusters",  # last green r10
+    "q_stratified_sample",  # last green r10
+    "q_weighted_sample",  # last green r10
+    "q_snapshot_diff",  # last green r10
+    "q_snapshot_merge",  # last green r10
+    "q_scd2_intervals",  # last green r10
+    "q_token_df_idf",  # last green r10
+    "q_top_bigrams",  # last green r10
+    "q_decontaminate",  # last green r10
+    "q_priority_dedup",  # last green r10
+    "q_repetition_ratio",  # last green r10
+    "q_redact",  # last green r10
+    "q_corpus_divergence",  # last green r10
+    "q_bpe_apply",  # last green r10
+    "q_bpe_train_batched",  # last green r10
+    "q_ngram_lm_score",  # last green r10
+    "q_sparse_doc_sim",  # last green r10
+    "q_bloom_decontaminate",  # last green r10
+    "q_label_propagation",  # last green r10
 ]
 
 

@@ -977,8 +977,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+# Promoted to the driver registry in round 12 (one of the 3 freed
+# rotation slots); bench-only with a pytest-gated oracle through round 11.
+@register(
     "q_hll_distinct",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT unnest({_TOKS}) AS item FROM documents
@@ -1020,8 +1023,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the register groupBy is capped at 64 rows per task by the
     map-side combine; registers are MAX-idempotent, so the sketch also
-    streams replay-safe (the bloom contract).  Bench-only with the
-    oracle pytest-gated (window-budget policy)."""
+    streams replay-safe (the bloom contract)."""
     from pimdb_spark.operators.sketch import hll_estimate, hll_registers
 
     docs = load(spark, sf_dir, "documents")

@@ -787,10 +787,11 @@ def q_random_projection_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_project_int8(emb, n_components=16, dim=64)
 
 
-# Bench-only (pytest-gated oracle) per the round-10 window-budget policy;
-# promotable to the driver registry when a rotation slot frees.
-@register_bench_only(
+# Promoted to the driver registry in round 12 (one of the 3 freed
+# rotation slots); bench-only with a pytest-gated oracle through round 11.
+@register(
     "q_ann_recall_lsh",
+    bench=True,
     oracle=f"""
     WITH side AS (
       SELECT vec_id, embedding, {_BUCKET.format(v='embeddings')} AS bucket
