@@ -515,3 +515,68 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     fp = A.audio_fingerprint(A.synth_audio_variants(docs, "doc_id"))
     return M.hamming_dup_pairs(fp, max_hamming=2)
+
+
+from pimdb_spark.catalog import register_bench_only  # noqa: E402
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# round-12 stretch item: 4:2:0 chroma subsampling, previously a
+# documented NON-GOAL of the 4:4:4 decoder.
+@register_bench_only(
+    "q_jpeg_color_stats_420",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 * (1 + (doc_id * 7) % 4) AS w,
+             16 * (1 + (doc_id * 13) % 4) AS h
+      FROM documents WHERE doc_id < 100
+    ), bx1 AS (
+      SELECT doc_id, w, h, unnest(range(0, w // 8)) AS bx FROM d
+    ), blocks AS (
+      SELECT doc_id, w, h, bx, unnest(range(0, h // 8)) AS by FROM bx1
+    ), ycc AS (
+      SELECT doc_id, w, h,
+             (doc_id + 16 * bx + 29 * by) % 256 AS yv,
+             (5 * doc_id + 11 * (bx // 2) + 3 * (by // 2)) % 256 - 128 AS dcb,
+             (7 * doc_id + 5 * (bx // 2) + 17 * (by // 2)) % 256 - 128 AS dcr
+      FROM blocks
+    ), rgb AS (
+      SELECT doc_id, w, h,
+             least(255, greatest(0,
+               yv + CAST(floor((45.0 * dcr) / 32.0) AS BIGINT))) AS r,
+             least(255, greatest(0,
+               yv + CAST(floor((-(11.0 * dcb + 23.0 * dcr)) / 32.0) AS BIGINT))) AS g,
+             least(255, greatest(0,
+               yv + CAST(floor((113.0 * dcb) / 64.0) AS BIGINT))) AS b
+      FROM ycc
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(64 * sum(r) AS DOUBLE) / (w * h) AS mean_r,
+           CAST(64 * sum(g) AS DOUBLE) / (w * h) AS mean_g,
+           CAST(64 * sum(b) AS DOUBLE) / (w * h) AS mean_b
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def q_jpeg_color_stats_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0-SUBSAMPLED color baseline-JPEG pixel decode, hash-checked
+    end to end (operators/multimodal.jpeg_decode_pixels_420 — closes the
+    long-documented 4:4:4-only NON-GOAL): synth payloads are fully valid
+    SOF0 files in the camera/web layout — Y at 2x2 sampling, Cb/Cr at
+    1x1, each 16x16 MCU carrying 4 Y blocks + Cb + Cr with independent
+    DC predictors — decoded through the general baseline path plus
+    pixel-replication chroma upsampling and the dyadic-rational
+    YCbCr->RGB conversion.  Luma varies per 8x8 block and chroma per
+    MCU, so a decoder that skips the subsampled chroma entropy decode,
+    upsamples from the wrong grid, or mis-orders the interleave cannot
+    pass; every channel value is engine-exact (the oracle folds the 64
+    identical pixels per luma block into one 64x term).
+
+    Scale: Arrow-batched mapInPandas over payload bytes; zero shuffle —
+    and 4:2:0 is itself the bytes dial for image corpora: half the
+    chroma blocks of 4:4:4 through every scan."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = M.synth_jpeg_color_420_payload(docs, "doc_id")
+    return M.image_channel_stats_420(payloads, "doc_id", "payload")

@@ -1319,3 +1319,294 @@ def payload_meta(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(payload).alias("n_bytes"),
         F.md5(F.col(text_col)).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 chroma subsampling (r12 — closes the long-documented NON-GOAL).
+# Deliberately self-contained: jpeg_decode_pixels (the 4:4:4 path) and
+# image_channel_stats stay byte-untouched so their r10-attested catalog
+# entries are not "changed" under the rotation's re-attestation rule; the
+# shared-walk refactor folds in when the window budget next frees.
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_color_420(width: int, height: int, seed: int = 0) -> bytes:
+    """Fully valid baseline (SOF0) 3-component 4:2:0 YCbCr JPEG — Y at
+    2x2 sampling, Cb/Cr at 1x1, the layout virtually every camera and
+    web JPEG uses: each 16x16 MCU carries FOUR Y blocks (left-to-right,
+    top-to-bottom per spec) then one Cb and one Cr block covering the
+    whole MCU at half resolution.  Dimensions must be multiples of 16
+    (full MCUs — keeps the generative oracle exact; real decoders pad).
+
+    Generative formulas (the SQL oracle replays them): luma constant per
+    8x8 block via _color_planes(seed, bx, by)[0] over the LUMA block
+    grid; chroma constant per MCU via _color_planes(seed, mx, my)[1:]
+    over the MCU grid — so chroma genuinely varies per MCU and a decoder
+    that skips the subsampled Cb/Cr entropy decode or upsamples from the
+    wrong grid cannot pass.  Block-constant planes survive the lossy
+    pipeline bit-exact (every quantized AC is 0, DC quant step 8 = DCT
+    gain), exactly as encode_jpeg_color."""
+    if width % 16 or height % 16:
+        raise ValueError(
+            "encode_jpeg_color_420: dimensions must be multiples of 16 "
+            f"(got {width}x{height})"
+        )
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcus_x, mcus_y = width // 16, height // 16
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    yv = _color_planes(seed, 2 * mx + bx, 2 * my + by)[0]
+                    block = [[yv - 128] * 8 for _ in range(8)]
+                    preds[0] = _encode_block(bw, block, preds[0], dc_codes, ac_codes)
+            _, cbv, crv = _color_planes(seed, mx, my)
+            for ci, v in ((1, cbv), (2, crv)):
+                block = [[v - 128] * 8 for _ in range(8)]
+                preds[ci] = _encode_block(bw, block, preds[ci], dc_codes, ac_codes)
+    scan = bw.flush()
+    dqt = _jpeg_seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[pos] for pos in _ZIGZAG))
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+    ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS))
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _decode_block_420(br, pred: int, qt, dc_table, ac_table):
+    """Decode one 8x8 block (DC prediction, AC run-length, dequant, full
+    2-D IDCT, level shift + clamp) — the jpeg_decode_pixels inner block
+    verbatim, factored for the 4:2:0 decoder.  Returns (new_pred,
+    64 spatial samples row-major)."""
+    coef = [0] * 64
+    size = _huff_decode(br, dc_table)
+    pred += _extend(br.bits(size), size) if size else 0
+    coef[0] = pred * qt[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_table)
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("jpeg_decode_pixels_420: AC index overflow")
+        asize = rs & 15
+        coef[_ZIGZAG[k]] = _extend(br.bits(asize), asize) * qt[_ZIGZAG[k]]
+        k += 1
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cyv = _JPEG_COS[y][v] * _JPEG_C[v]
+                base = v * 8
+                for u in range(8):
+                    c = coef[base + u]
+                    if c:
+                        s += _JPEG_C[u] * c * _JPEG_COS[x][u] * cyv
+            val = int(round(s / 4.0)) + 128
+            out[y * 8 + x] = 0 if val < 0 else 255 if val > 255 else val
+    return pred, out
+
+
+def jpeg_decode_pixels_420(data: bytes) -> tuple[int, int, bytes]:
+    """REAL baseline-JPEG pixel decode for the 4:2:0 layout (Y 2x2,
+    Cb/Cr 1x1 — the camera/web default jpeg_decode_pixels deliberately
+    raises on): marker walk, DQT/DHT/SOF0/SOS parse, interleaved MCU
+    entropy decode (4 Y blocks + Cb + Cr per 16x16 MCU, independent DC
+    predictors), dequant + full IDCT per block, then PIXEL-REPLICATION
+    chroma upsampling (each Cb/Cr sample covers a 2x2 luma quad — the
+    libjpeg non-fancy upsample; bit-deterministic, and exact for any
+    chroma plane constant per MCU) and the house dyadic-rational
+    YCbCr->RGB conversion.  Any other sampling layout raises — 4:4:4 and
+    grayscale stay jpeg_decode_pixels' contract.  Returns
+    (width, height, RGB bytes)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg_decode_pixels_420: not a JPEG (no SOI)")
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = 0
+    comps: list[tuple[int, int, int]] = []  # (component id, hv, quant id)
+    scan_comps: list[tuple[int, int, int]] = []
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("jpeg_decode_pixels_420: marker sync lost")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        ln = int.from_bytes(data[i + 2 : i + 4], "big")
+        body = data[i + 4 : i + 2 + ln]
+        if ln < 2 or len(body) != ln - 2:
+            raise ValueError("jpeg_decode_pixels_420: truncated marker segment")
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq != 0:
+                    raise ValueError("jpeg_decode_pixels_420: 16-bit DQT unsupported")
+                if len(body) < j + 65:
+                    raise ValueError("jpeg_decode_pixels_420: truncated DQT")
+                nat = [0] * 64
+                for k, pos in enumerate(_ZIGZAG):
+                    nat[pos] = body[j + 1 + k]
+                quant[tq] = nat
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                nsym = sum(bits)
+                syms = list(body[j + 17 : j + 17 + nsym])
+                if len(bits) < 16 or len(syms) < nsym:
+                    raise ValueError("jpeg_decode_pixels_420: truncated DHT")
+                codes = _canonical_codes(bits, syms)
+                huff[(tc, th)] = {(l, c): s for s, (c, l) in codes.items()}
+                j += 17 + nsym
+        elif marker == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp != 3 or len(body) < 6 + 3 * ncomp:
+                raise ValueError(
+                    "jpeg_decode_pixels_420: 3-component 4:2:0 only "
+                    "(use jpeg_decode_pixels for grayscale/4:4:4)"
+                )
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv, tq))
+            if [hv for _, hv, _ in comps] != [0x22, 0x11, 0x11]:
+                raise ValueError(
+                    "jpeg_decode_pixels_420: sampling must be 4:2:0 "
+                    "(Y 2x2, Cb/Cr 1x1)"
+                )
+        elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
+            raise ValueError("jpeg_decode_pixels_420: non-baseline frame type")
+        elif marker == 0xDD:
+            raise ValueError("jpeg_decode_pixels_420: restart intervals unsupported")
+        elif marker == 0xDA:
+            if not body or body[0] != 3 or len(body) < 7:
+                raise ValueError("jpeg_decode_pixels_420: truncated SOS")
+            for c in range(3):
+                cs, tbl = body[1 + 2 * c], body[2 + 2 * c]
+                matches = [k for k, (cid, _, _) in enumerate(comps) if cid == cs]
+                if not matches:
+                    raise ValueError(
+                        "jpeg_decode_pixels_420: SOS references unknown component"
+                    )
+                scan_comps.append((matches[0], tbl >> 4, tbl & 15))
+            i = i + 2 + ln
+            break
+        i += 2 + ln
+    if len(scan_comps) != 3 or not w or not h:
+        raise ValueError("jpeg_decode_pixels_420: missing SOF/SOS")
+    tables = []
+    for cidx, dc_t, ac_t in scan_comps:
+        qt = quant.get(comps[cidx][2])
+        dc_table, ac_table = huff.get((0, dc_t)), huff.get((1, ac_t))
+        if qt is None or dc_table is None or ac_table is None:
+            raise ValueError(
+                "jpeg_decode_pixels_420: scan references missing DQT/DHT"
+            )
+        tables.append((qt, dc_table, ac_table))
+    br = _BitReader(data, i)
+    mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
+    # MCU-padded planes: luma at full resolution, chroma at half — blocks
+    # write unclipped into the padded grid, conversion reads w x h
+    ywpad, cwpad = mcus_x * 16, mcus_x * 8
+    yplane = bytearray(ywpad * mcus_y * 16)
+    cbplane = bytearray(cwpad * mcus_y * 8)
+    crplane = bytearray(cwpad * mcus_y * 8)
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    preds[0], block = _decode_block_420(br, preds[0], *tables[0])
+                    ox, oy = (2 * mx + bx) * 8, (2 * my + by) * 8
+                    for y in range(8):
+                        row = (oy + y) * ywpad + ox
+                        yplane[row : row + 8] = bytes(block[y * 8 : y * 8 + 8])
+            for ci, plane in ((1, cbplane), (2, crplane)):
+                preds[ci], block = _decode_block_420(br, preds[ci], *tables[ci])
+                ox, oy = mx * 8, my * 8
+                for y in range(8):
+                    row = (oy + y) * cwpad + ox
+                    plane[row : row + 8] = bytes(block[y * 8 : y * 8 + 8])
+    rgb = bytearray(w * h * 3)
+    for py in range(h):
+        yrow = py * ywpad
+        crow = (py // 2) * cwpad
+        for px in range(w):
+            yv = yplane[yrow + px]
+            cidx = crow + (px // 2)
+            dcb, dcr = cbplane[cidx] - 128, crplane[cidx] - 128
+            r = yv + (45 * dcr) // 32
+            g = yv + (-(11 * dcb + 23 * dcr)) // 32
+            b = yv + (113 * dcb) // 64
+            o = (py * w + px) * 3
+            rgb[o] = 0 if r < 0 else 255 if r > 255 else r
+            rgb[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            rgb[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+    return w, h, bytes(rgb)
+
+
+def synth_jpeg_color_420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 4:2:0 baseline-JPEG payload synthesis: dimensions
+    16*(1 + (id*7) % 4) x 16*(1 + (id*13) % 4) (full MCUs, 16-64 px),
+    luma per 8x8 block and chroma per 16x16 MCU via _color_planes — the
+    generative formulas the SQL oracle replays.  Arrow-batched
+    mapInPandas; zero shuffle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = 16 * (1 + (i * 7) % 4)
+                h = 16 * (1 + (i * 13) % 4)
+                rows.append((i, encode_jpeg_color_420(w, h, seed=i), "jpeg"))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "fmt"])
+
+    return df.select(id_col).mapInPandas(synth, SYNTH_SCHEMA)
+
+
+def image_channel_stats_420(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel means via the 4:2:0 decoder — the
+    image_channel_stats contract (exact integer channel sums, one
+    bit-stable double division each) over subsampled payloads.
+    Arrow-batched mapInPandas; zero shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = jpeg_decode_pixels_420(bytes(payload))
+                n = w * h
+                rows.append(
+                    (int(doc_id), w, h,
+                     sum(px[0::3]) / n, sum(px[1::3]) / n, sum(px[2::3]) / n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(stats, CHANNEL_STATS_SCHEMA)

@@ -620,3 +620,53 @@ def test_jpeg_decoder_corruption_fuzz_valueerror_only():
                 jpeg_decode_pixels(bytes(d))
             except ValueError:
                 pass
+
+
+def test_jpeg_420_roundtrip_is_generative_exact():
+    """4:2:0 encode -> decode reproduces the generative formulas
+    bit-exactly: luma per 8x8 block, chroma per 16x16 MCU replicated to
+    each 2x2 quad, dyadic-rational YCbCr->RGB with floor rounding."""
+    from pimdb_spark.operators.multimodal import (
+        _color_planes,
+        encode_jpeg_color_420,
+        jpeg_decode_pixels_420,
+    )
+
+    for seed in (0, 7, 123):
+        w, h = 32, 48
+        dw, dh, rgb = jpeg_decode_pixels_420(encode_jpeg_color_420(w, h, seed))
+        assert (dw, dh) == (w, h)
+        for py in range(h):
+            for px in range(w):
+                yv = _color_planes(seed, px // 8, py // 8)[0]
+                _, cb, cr = _color_planes(seed, px // 16, py // 16)
+                dcb, dcr = cb - 128, cr - 128
+                r = min(255, max(0, yv + (45 * dcr) // 32))
+                g = min(255, max(0, yv + (-(11 * dcb + 23 * dcr)) // 32))
+                b = min(255, max(0, yv + (113 * dcb) // 64))
+                o = (py * w + px) * 3
+                assert rgb[o : o + 3] == bytes((r, g, b)), (seed, px, py)
+
+
+def test_jpeg_420_and_444_contracts_are_complementary():
+    """The two decoders split the sampling space loudly: the 4:4:4
+    decoder raises on a subsampled file, the 4:2:0 decoder raises on a
+    4:4:4 file and on non-MCU-aligned encode dimensions — no silent
+    wrong-grid decode in either direction."""
+    import pytest
+
+    from pimdb_spark.operators.multimodal import (
+        encode_jpeg_color,
+        encode_jpeg_color_420,
+        jpeg_decode_pixels,
+        jpeg_decode_pixels_420,
+    )
+
+    f420 = encode_jpeg_color_420(32, 32, seed=5)
+    f444 = encode_jpeg_color(32, 32, seed=5)
+    with pytest.raises(ValueError, match="subsampling unsupported"):
+        jpeg_decode_pixels(f420)
+    with pytest.raises(ValueError, match="sampling must be 4:2:0"):
+        jpeg_decode_pixels_420(f444)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_jpeg_color_420(24, 32, seed=5)
