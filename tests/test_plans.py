@@ -171,6 +171,10 @@ def test_no_plan_red_flags(spark, name, entry):
       the vector scan, never data x data), and the trained one-row
       codebook frame is localCheckpoint-ed so scoring re-reads it, not
       the chains.
+    - q_ivf_pq_trained_topk: q_ivf_pq_topk's exact shape (two one-row
+      attaches, hash equi-join on cell id for scoring) plus the same
+      bounded per-subspace k-means training chains as q_pq_trained_topk
+      behind the checkpointed codebook row.
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
       (a 1-row aggregate) attaches to every (token, df) row.
     - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
@@ -232,6 +236,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_pq_adc_topk",
         "q_ivf_pq_topk",
         "q_pq_trained_topk",
+        "q_ivf_pq_trained_topk",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

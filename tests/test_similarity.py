@@ -447,3 +447,53 @@ def test_pq_trained_beats_training_free_recall(spark):
     r_trained = S.ann_recall(trained, exact, k=3).agg(F.avg("recall")).first()[0]
     assert 0.0 <= r_free <= 1.0 and 0.0 <= r_trained <= 1.0
     assert r_trained >= r_free, (r_free, r_trained)
+
+
+def test_books_plumbing_reduces_to_training_free_at_n_iter_1(spark):
+    """n_iter=1 training = zero Lloyd's updates = the init centroids = the
+    n_centroids lowest-id sub-vectors — EXACTLY the training-free
+    convention.  So pq_topk_books/ivf_pq_topk_books over those books must
+    reproduce pq_topk/ivf_pq_topk row-for-row: the explicit-codebook
+    plumbing changes nothing but the codebook source."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+
+    def emb():
+        return load(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def qs(n):
+        return emb().filter(F.col("vec_id") < n)
+
+    books = S.train_pq_codebooks(
+        emb(), "vec_id", "embedding", m=8, dim=64, n_centroids=16, n_iter=1
+    ).localCheckpoint(eager=False)
+
+    base_pq = {
+        tuple(r) for r in S.pq_topk(
+            qs(8), emb(), "vec_id", "vec_id", "embedding",
+            m=8, dim=64, n_centroids=16, k=3,
+        ).collect()
+    }
+    via_books = {
+        tuple(r) for r in S.pq_topk_books(
+            qs(8), emb(), books, "vec_id", "vec_id", "embedding",
+            m=8, dim=64, k=3,
+        ).collect()
+    }
+    assert via_books == base_pq
+
+    base_ivfpq = {
+        tuple(r) for r in S.ivf_pq_topk(
+            qs(16), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=3,
+        ).collect()
+    }
+    via_books_ivf = {
+        tuple(r) for r in S.ivf_pq_topk_books(
+            qs(16), emb(), books, "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, k=3,
+        ).collect()
+    }
+    assert via_books_ivf == base_ivfpq
