@@ -1384,3 +1384,195 @@ def pq_topk_trained(
         queries, candidates, books, query_id, cand_id, vec_col,
         m=m, dim=dim, k=k, round_digits=round_digits,
     )
+
+
+def ivf_pq_residual_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    k: int = 3,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the literature's actual IVF-PQ layout (Jegou et
+    al. 2011), completing the upgrade path ivf_pq_topk's docstring
+    documents: PQ quantizes the RESIDUAL vec - coarse_centroid[cell]
+    instead of the raw vector.  Residuals are centered near zero and far
+    lower-variance than raw vectors, so the same m x n_centroids budget
+    spends its codewords on the part of the vector the coarse quantizer
+    did NOT explain.  The metric is unchanged — within a probed cell,
+    q_res - c_res = (q - centroid) - (c - centroid) = q - c — so ADC
+    over residuals approximates the same squared-L2, with smaller
+    quantization error.
+
+    Training-free determinism (the house convention): the residual
+    codebook is the residuals of candidates ranked n_cells+1 ..
+    n_cells+n_centroids in id order (each w.r.t. its OWN nearest cell;
+    the first n_cells ids are skipped because they ARE the coarse
+    centroids — their residuals are identically zero and would waste
+    codebook entries).  Per-subspace k-means over residuals plugs into
+    the same slot exactly as train_pq_codebooks does for the raw form.
+
+    The query side pays the residual price: the sub-distance table is
+    per (query, probed cell) — nprobe tables per query instead of one —
+    which is the classic residual-PQ trade and stays O(queries x nprobe
+    x m x n_centroids), corpus-size-independent.
+
+    Scale: identical join shapes to ivf_pq_topk (two one-row broadcasts,
+    cell hash equi-join, m lookups per surviving pair)."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"ivf_pq_residual_topk: dim {dim} not divisible by m {m}")
+    coarse = (
+        candidates.orderBy(cand_id)
+        .limit(n_cells)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(cand_id).alias("cid"),
+                            F.col(vec_col).alias("cvec"),
+                        )
+                    )
+                ),
+                lambda s: s.cvec,
+            ).alias("coarse_vecs")
+        )
+    )
+
+    def resid(vec: Column) -> Column:
+        # residual vs the row's own `cell` (requires coarse_vecs in scope)
+        return F.zip_with(
+            vec,
+            F.element_at(F.col("coarse_vecs"), F.col("cell").cast("int")),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        )
+
+    def with_cell(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(cand_id if id_alias == "c_id" else query_id).alias(id_alias),
+                F.col(vec_col).alias("_vec"),
+            )
+            .crossJoin(F.broadcast(coarse))
+            .withColumn(
+                "cdists",
+                F.transform(
+                    F.col("coarse_vecs"), lambda cv: sqdist(F.col("_vec"), cv)
+                ),
+            )
+            .withColumn(
+                "cell", F.array_position("cdists", F.array_min("cdists"))
+            )
+        )
+
+    # residual codebook: ranks n_cells+1 .. n_cells+n_centroids in id
+    # order, each residualized against its own nearest cell
+    rank_w = Window.orderBy(F.col("c_id"))
+    books = (
+        with_cell(candidates.orderBy(cand_id).limit(n_cells + n_centroids), "c_id")
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") > n_cells)
+        .select(F.col("c_id"), resid(F.col("_vec")).alias("rvec"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("c_id"), F.col("rvec")))
+                ),
+                lambda s: s.rvec,
+            ).alias("rvecs")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def sub_sqd(res_name: str, rv, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(res_name), s * sub + 1, sub),
+                F.slice(rv, s * sub + 1, sub),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sub_dists(res_name: str, s: int):
+        # factory closure — see pq_topk: a 2-arg lambda would bind s to
+        # the element index
+        return F.transform(
+            F.col("rvecs"), lambda rv: sub_sqd(res_name, rv, s)
+        )
+
+    c = (
+        with_cell(candidates, "c_id")
+        .select("c_id", F.col("cell").alias("c_cell"), resid(F.col("_vec")).alias("c_res"))
+        .crossJoin(F.broadcast(books))
+        .select(
+            "c_id",
+            "c_cell",
+            F.array(*[sub_dists("c_res", s) for s in range(m)]).alias("_dtabs"),
+        )
+        .select(
+            "c_id",
+            "c_cell",
+            F.transform(
+                F.col("_dtabs"),
+                lambda d: F.array_position(d, F.array_min(d)).cast("int"),
+            ).alias("codes"),
+        )
+    )
+    q = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("_vec"))
+        .localCheckpoint(eager=False)
+        .crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "cdists",
+            F.transform(F.col("coarse_vecs"), lambda cv: sqdist(F.col("_vec"), cv)),
+        )
+        .select(
+            "q_id", "_vec", "coarse_vecs",
+            F.posexplode("cdists").alias("pos", "dist"),
+        )
+        .withColumn("cell", (F.col("pos") + 1).cast("bigint"))
+        .withColumn("probe_rank", F.row_number().over(
+            Window.partitionBy("q_id").orderBy("dist", "cell")
+        ))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            "q_id",
+            F.col("cell").alias("q_cell"),
+            resid(F.col("_vec")).alias("q_res"),
+        )
+        .crossJoin(F.broadcast(books))
+        .select(
+            "q_id",
+            "q_cell",
+            F.array(*[sub_dists("q_res", s) for s in range(m)]).alias("dtab"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(F.col("dtab"), s), F.element_at(F.col("codes"), s)),
+    )
+    scored = (
+        c.join(q, F.col("c_cell").eqNullSafe(F.col("q_cell")))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", adc.alias("adc"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("adc", F.round("adc", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "adc")
+    )

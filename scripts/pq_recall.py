@@ -83,6 +83,10 @@ def main() -> None:
             qs(), emb(), "vec_id", "vec_id", "embedding",
             n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k, n_iter=2,
         ),
+        "ivf_pq_residual": S.ivf_pq_residual_topk(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k,
+        ),
     }
     for name, approx in variants.items():
         r = (

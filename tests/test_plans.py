@@ -175,6 +175,11 @@ def test_no_plan_red_flags(spark, name, entry):
       attaches, hash equi-join on cell id for scoring) plus the same
       bounded per-subspace k-means training chains as q_pq_trained_topk
       behind the checkpointed codebook row.
+    - q_ivf_pq_residual_topk: q_ivf_pq_topk's exact shape again — the
+      residual form changes WHAT is coded (vec minus its cell
+      centroid), not the join strategy; the codebook build side is a
+      bounded n_cells+n_centroids-row frame, and scoring stays the cell
+      hash equi-join.
     - q_token_df_idf: same one-row-broadcast shape — the corpus size
       (a 1-row aggregate) attaches to every (token, df) row.
     - q_bm25_topk: same one-row-broadcast shape — the (N, avgdl) corpus
@@ -237,6 +242,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_pq_topk",
         "q_pq_trained_topk",
         "q_ivf_pq_trained_topk",
+        "q_ivf_pq_residual_topk",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",
