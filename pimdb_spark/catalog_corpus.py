@@ -619,3 +619,71 @@ def q_ngram_lm_score_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ref = docs.filter(F.col("lang") == "en")
     return ngram_lm_score_interpolated(docs, ref)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# r12 dedup-modality addition: exact duplicate-SPAN excision.
+@register_bench_only(
+    "q_dup_span_excise",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n_tokens FROM tk
+    ), grams AS (
+      SELECT doc_id, i AS gpos,
+             md5(array_to_string(t[i:i+4], ' ')) AS gh
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+            FROM base WHERE len(t) >= 5) x
+    ), dup_set AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT g.doc_id, unnest(range(g.gpos, g.gpos + 5)) AS pos
+        FROM grams g JOIN dup_set USING (gh))
+    ), cov AS (
+      SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM base
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.t[k.pos] AS tok
+      FROM toks k LEFT JOIN covered c
+        ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.pos IS NULL
+    ), clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(coalesce(cov.n_dup, 0) AS DOUBLE)
+             / CAST(b.n_tokens AS DOUBLE) AS dup_frac,
+           coalesce(clean.clean_text, '') AS clean_text
+    FROM base b
+    LEFT JOIN cov USING (doc_id)
+    LEFT JOIN clean USING (doc_id)
+    """,
+)
+def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span excision (operators/dedup.dup_span_excise —
+    the Lee et al. 2022 modality): every token position covered by a
+    5-token span occurring >= 2 times anywhere in the corpus is cut out,
+    and the document keeps its unique remainder — the boilerplate/
+    templated-text treatment document-level dedup cannot express
+    (it keeps or drops whole docs; this repairs them).  Output per doc:
+    exact token counts, dup fraction, and the excised clean_text, all
+    hash-gated — the oracle replays the span hashing, corpus-global
+    count, coverage union, and in-order reassembly term for term (md5
+    span keys are engine-identical; counts and the coverage union are
+    exact integers; dup_frac is one double division).
+
+    Scale: one span-hash groupBy (map-side combined) + one hash
+    equi-join of spans vs the duplicated-span set + a per-doc coverage
+    distinct bounded at n_tokens rows — the span hash is the blocking
+    key, no all-pairs stage exists.  The 128-bit key is also ~10x
+    narrower on the wire than a raw production-sized (50-token) span."""
+    from pimdb_spark.operators.dedup import dup_span_excise
+
+    docs = load(spark, sf_dir, "documents")
+    return dup_span_excise(docs, n=5, min_count=2)

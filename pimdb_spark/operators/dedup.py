@@ -267,3 +267,92 @@ def hamming32_sql(a_sql: str, b_sql: str) -> str:
 
 def hamming32(a_sql: str, b_sql: str) -> Column:
     return F.expr(hamming32_sql(a_sql, b_sql))
+
+
+def dup_span_excise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection and excision — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    modality this repo's dedup family was missing: instead of dropping
+    whole near-duplicate DOCUMENTS, find every token position covered by
+    an n-token span that occurs ``min_count``-or-more times ANYWHERE in
+    the corpus (boilerplate headers, license blocks, templated
+    paragraphs — also within one document) and cut those positions out,
+    keeping the unique remainder.  Returns one row per document:
+    (id, n_tokens, n_dup_tokens, dup_frac, clean_text) — clean_text is
+    the original token stream with covered positions removed, in order.
+
+    Mechanics: n-token shingles with their start position, md5-keyed
+    (the key the corpus-wide count groups and joins on — 128 bits, so
+    collisions are negligible and both engines compute the identical
+    key; at 100 TB the md5 string is also ~10x narrower than a raw
+    50-token span, which is what the count shuffle and the dup-set join
+    bill for).  A span's occurrence count is corpus-global, so a doc's
+    own repetition counts too — the paper's semantics.  Coverage is the
+    union of [start, start + n) over its duplicated spans, computed by
+    an explode + distinct bounded at n_tokens positions per doc.
+
+    Scale: one corpus-sized groupBy on the span hash (map-side combined
+    — Zipf leverage caps nothing here, dup detection NEEDS the full
+    count) + one hash equi-join of spans against the >=min_count set +
+    one bounded per-doc coverage distinct.  No all-pairs stage at any
+    point — the span hash IS the blocking key.  dup_frac is an exact
+    integer ratio in one double division."""
+    arr = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("_id"), arr.alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "_id", F.posexplode(gram_arr).alias("gidx", "gh")
+    ).withColumn("gpos", F.col("gidx") + 1)
+    dup_set = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup_set, "gh")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy("_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("cov_pos"),
+        F.count(F.lit(1)).alias("n_dup"),
+    )
+    joined = base.join(cov, "_id", "left").withColumn(
+        "_cov", F.coalesce(F.col("cov_pos"), F.array().cast("array<int>"))
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+        (
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_frac"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.col("toks"),
+                lambda x, i: ~F.array_contains(F.col("_cov"), i + F.lit(1)),
+            ),
+        ).alias("clean_text"),
+    )

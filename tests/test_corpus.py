@@ -265,3 +265,50 @@ def test_bpe_train_batched_feeds_bpe_apply(spark):
     assert n >= 2
     got = {r.doc_id: r.n_tokens for r in bpe_apply(docs, merges, n).collect()}
     assert set(got) == {1, 2} and all(v > 0 for v in got.values())
+
+
+def test_dup_span_excise_matches_python_model(spark):
+    """dup_span_excise vs a direct python model on a corpus with known
+    boilerplate: a shared 6-token header (covered in every doc), a
+    WITHIN-doc repeated 5-token phrase (corpus-global counts include
+    self-repetition — the Lee et al. semantics), and unique tails that
+    must survive excision in order."""
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.dedup import dup_span_excise
+
+    header = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (0, header + " one two three four five six"),
+        (1, header + " seven eight nine ten eleven"),
+        (2, "p q r s t p q r s t unique tail words here"),
+        (3, "totally unique content with no repeats at all"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.clean_text)
+        for r in dup_span_excise(df, n=5, min_count=2).collect()
+    }
+
+    # python model: same 5-gram corpus-global counting + coverage union
+    n = 5
+    toks = {i: t.split(" ") for i, t in docs}
+    from collections import Counter
+
+    counts = Counter()
+    for i, ts in toks.items():
+        for s in range(len(ts) - n + 1):
+            counts[" ".join(ts[s : s + n])] += 1
+    for i, ts in toks.items():
+        covered = set()
+        for s in range(len(ts) - n + 1):
+            if counts[" ".join(ts[s : s + n])] >= 2:
+                covered.update(range(s, s + n))
+        clean = " ".join(t for p, t in enumerate(ts) if p not in covered)
+        assert got[i] == (len(ts), len(covered), clean), i
+
+    # the shared header is excised from both docs; unique tails survive
+    assert got[0][2].startswith("one") or "one" in got[0][2]
+    assert got[3] == (8, 0, docs[3][1])   # untouched doc
+    assert got[4] == (2, 0, "tiny doc")   # shorter than n -> no grams
