@@ -294,6 +294,23 @@ def main() -> None:
         "bpe_train_batched_256": lambda d: bpe_train_batched(
             docs(d), n_rounds=8, batch_size=32
         ),
+        # blow-up stress for span excision: copies share every interior
+        # 5-gram (only the per-copy suffix differs), so the duplicated-
+        # span set and coverage both explode — the worst-case shape for
+        # the dup-set join; output stays one row per doc
+        "dup_span_excise": lambda d: __import__(
+            "pimdb_spark.operators.dedup", fromlist=["dup_span_excise"]
+        ).dup_span_excise(docs(d), n=5, min_count=2),
+        # trained-PQ end-to-end (training inline): the 8 per-subspace
+        # k-means passes dominate — the cost that moves to index build
+        # time under quantize-on-write
+        "pq_topk_trained": lambda d: __import__(
+            "pimdb_spark.operators.similarity", fromlist=["pq_topk_trained"]
+        ).pq_topk_trained(
+            emb(d).filter(F.col("vec_id") < 8).select("vec_id", "embedding"),
+            emb(d).select("vec_id", "embedding"),
+            "vec_id", "vec_id", k=3,
+        ),
         # payload-count dial: doc_id % 50 == 0 selects 100 payloads at 1x
         # and 1,000 at 10x (the blow-up preserves id residues mod 50);
         # repartition(32) pins parallelism so the row measures decode CPU
