@@ -687,3 +687,98 @@ def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return dup_span_excise(docs, n=5, min_count=2)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# within-document Gopher repetition-quality signals (Rae et al. 2021).
+@register_bench_only(
+    "q_gopher_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, n_tokens, toks, nn.n AS n,
+             unnest(range(1, greatest(n_tokens - nn.n + 2, 1))) AS gpos
+      FROM base, (VALUES (2),(3),(4),(5),(8)) nn(n)
+    ), grams AS (
+      SELECT doc_id, n, gpos,
+             array_to_string(toks[gpos : gpos + n - 1], ' ') AS gram
+      FROM pos
+    ), counts AS (
+      SELECT doc_id, n, gram, count(*) AS c
+      FROM grams GROUP BY doc_id, n, gram
+    ), top AS (
+      SELECT doc_id, n, gram, c FROM (
+        SELECT doc_id, n, gram, c,
+               row_number() OVER (
+                 PARTITION BY doc_id, n ORDER BY c DESC, gram ASC
+               ) AS rn
+        FROM counts WHERE n IN (2, 3, 4)
+      ) WHERE rn = 1
+    ), dupset AS (
+      SELECT doc_id, n, gram FROM counts
+      WHERE n IN (5, 8) AND c >= 2
+    ), expanded AS (
+      SELECT g.doc_id, g.n, g.gpos + unnest(range(0, g.n)) AS p
+      FROM grams g
+      JOIN dupset d ON g.doc_id = d.doc_id AND g.n = d.n AND g.gram = d.gram
+    ), cov AS (
+      SELECT doc_id, n, count(*) AS cov
+      FROM (SELECT DISTINCT doc_id, n, p FROM expanded)
+      GROUP BY doc_id, n
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_chars AS BIGINT) AS n_chars,
+           t2.gram AS top2_gram,
+           CAST(coalesce(t2.c, 0) AS BIGINT) AS top2_count,
+           CAST(coalesce(t2.c, 0) AS DOUBLE)
+             * CAST(coalesce(length(t2.gram), 0) AS DOUBLE)
+             / CAST(b.n_chars AS DOUBLE) AS top2_char_frac,
+           t3.gram AS top3_gram,
+           CAST(coalesce(t3.c, 0) AS BIGINT) AS top3_count,
+           CAST(coalesce(t3.c, 0) AS DOUBLE)
+             * CAST(coalesce(length(t3.gram), 0) AS DOUBLE)
+             / CAST(b.n_chars AS DOUBLE) AS top3_char_frac,
+           t4.gram AS top4_gram,
+           CAST(coalesce(t4.c, 0) AS BIGINT) AS top4_count,
+           CAST(coalesce(t4.c, 0) AS DOUBLE)
+             * CAST(coalesce(length(t4.gram), 0) AS DOUBLE)
+             / CAST(b.n_chars AS DOUBLE) AS top4_char_frac,
+           CAST(coalesce(c5.cov, 0) AS BIGINT) AS dup5_cov_tokens,
+           CAST(coalesce(c5.cov, 0) AS DOUBLE)
+             / CAST(b.n_tokens AS DOUBLE) AS dup5_token_frac,
+           CAST(coalesce(c8.cov, 0) AS BIGINT) AS dup8_cov_tokens,
+           CAST(coalesce(c8.cov, 0) AS DOUBLE)
+             / CAST(b.n_tokens AS DOUBLE) AS dup8_token_frac
+    FROM base b
+    LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+    LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+    LEFT JOIN top t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+    LEFT JOIN cov c5 ON c5.doc_id = b.doc_id AND c5.n = 5
+    LEFT JOIN cov c8 ON c8.doc_id = b.doc_id AND c8.n = 8
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher WITHIN-document repetition-quality signals
+    (operators/dedup.gopher_repetition — Rae et al. 2021, Appendix
+    A1.1): per doc, the char fraction of the single most frequent word
+    n-gram for n = 2,3,4 (overlap-counting, lexicographic tie-break)
+    and the token-coverage fraction of n-grams repeated >= 2 times
+    within the doc for n = 5,8 — the standard pre-training quality gate
+    this repo's quality family was missing (doc_stats measures
+    composition; this measures REPETITION).  Every intermediate is an
+    integer; each output fraction is one int/int IEEE division, so the
+    oracle reproduces all 16 columns bit-for-bit.
+
+    Scale: per-doc keyed end to end — gram explode (no shuffle), one
+    map-side-combined (doc, n, gram) groupBy, one (doc, n) window, one
+    bounded coverage distinct, one conditional-aggregate groupBy back
+    to a row per doc.  No corpus-global stage, no all-pairs."""
+    from pimdb_spark.operators.dedup import gopher_repetition
+
+    docs = load(spark, sf_dir, "documents")
+    return gopher_repetition(docs)

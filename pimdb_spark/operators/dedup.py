@@ -356,3 +356,172 @@ def dup_span_excise(
             ),
         ).alias("clean_text"),
     )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 8),
+) -> DataFrame:
+    """Gopher repetition-quality signals — Rae et al. 2021 ("Scaling
+    Language Models: ... Gopher"), Appendix A1.1's WITHIN-document
+    repetition filters, the quality-gate sibling of the corpus-global
+    `dup_span_excise`:
+
+    - for each n in ``top_ns`` (paper: 2..4): the fraction of characters
+      contained in occurrences of the doc's single most frequent word
+      n-gram (``top{n}_char_frac`` = count * len(gram) / len(text) —
+      overlapping occurrences each count, so machine-gun repetition can
+      push the ratio past 1.0 exactly as in the reference
+      implementations; ties broken by lexicographically smallest gram so
+      both engines pick the same one).
+    - for each n in ``dup_ns`` (paper: 5..10): the fraction of TOKENS
+      covered by any n-gram that occurs two-or-more times within the
+      document (``dup{n}_token_frac``) — a coverage union over [start,
+      start+n), so overlap never double-counts.  Token fraction rather
+      than the paper's character fraction: deterministic under
+      tokenization and exact as one integer ratio (documented
+      deviation).
+
+    Documents shorter than n tokens have no n-grams: NULL top gram,
+    zero counts, 0.0 fractions.
+
+    All intermediate values are integers (counts, lengths, coverage
+    sizes); every output fraction is a single int/int IEEE division, so
+    results are bit-identical across engines — no float folds needed.
+
+    Scale: grams explode per doc (no shuffle), one map-side-combined
+    groupBy on (doc, n, gram), one window per (doc, n) for the top pick,
+    one bounded per-doc coverage distinct, and one conditional-aggregate
+    groupBy back to a single row per doc.  Everything is keyed by doc
+    id — no corpus-global stage, no all-pairs, so the operator scales
+    with corpus size like any per-doc projection chain."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    arr = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        arr.alias("toks"),
+        F.length(text_col).alias("n_chars"),
+    ).withColumn("n_tokens", F.size("toks"))
+
+    # NOTE deliberately no F.transform lambda here: unioning several
+    # frames that each close over their own HOF lambda variable trips a
+    # Spark 4.1 rebind bug (the branches' lambda exprIds collide and the
+    # slice length decays into a position-dependent value — observed,
+    # not hypothetical).  explode(sequence) + slice with a plain column
+    # start has no lambda to collide and yields gpos for free.
+    gram_frames = []
+    for n in all_ns:
+        gram_frames.append(
+            base.select(
+                "_id",
+                "toks",
+                F.explode(
+                    # sequence(1, 0) would DESCEND ([1, 0]) — guard short
+                    # docs with an explicit empty array instead
+                    F.when(
+                        F.col("n_tokens") >= n,
+                        F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                    ).otherwise(F.array().cast("array<int>"))
+                ).alias("gpos"),
+            ).select(
+                "_id",
+                F.lit(n).alias("n"),
+                "gpos",
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("gpos"), n)
+                ).alias("gram"),
+            )
+        )
+    grams = gram_frames[0]
+    for gf in gram_frames[1:]:
+        grams = grams.unionByName(gf)
+
+    counts = grams.groupBy("_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    w = Window.partitionBy("_id", "n").orderBy(F.desc("c"), F.asc("gram"))
+    tstats = (
+        counts.filter(F.col("n").isin(list(top_ns)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("_id", "n", "gram", "c")
+    )
+
+    dup_set = (
+        counts.filter(F.col("n").isin(list(dup_ns)))
+        .filter(F.col("c") >= 2)
+        .select("_id", "n", "gram")
+    )
+    cstats = (
+        grams.join(dup_set, ["_id", "n", "gram"])
+        .select(
+            "_id",
+            "n",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.col("n") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("_id", "n")
+        .agg(F.count(F.lit(1)).alias("cov"))
+    )
+
+    stats = tstats.withColumn("cov", F.lit(None).cast("long")).unionByName(
+        cstats.select(
+            "_id",
+            "n",
+            F.lit(None).cast("string").alias("gram"),
+            F.lit(None).cast("long").alias("c"),
+            F.col("cov"),
+        )
+    )
+
+    aggs = []
+    for n in top_ns:
+        is_n = F.col("n") == n
+        aggs.append(F.max(F.when(is_n, F.col("gram"))).alias(f"top{n}_gram"))
+        aggs.append(
+            F.coalesce(F.max(F.when(is_n, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias(f"top{n}_count")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("cov"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"dup{n}_cov_tokens")
+        )
+    perdoc = stats.groupBy("_id").agg(*aggs)
+
+    out = base.join(perdoc, "_id", "left")
+    cols = [
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ]
+    for n in top_ns:
+        cols.append(F.col(f"top{n}_gram"))
+        cnt = F.coalesce(F.col(f"top{n}_count"), F.lit(0)).cast("long")
+        cols.append(cnt.alias(f"top{n}_count"))
+        cols.append(
+            (
+                cnt.cast("double")
+                * F.coalesce(F.length(f"top{n}_gram"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias(f"top{n}_char_frac")
+        )
+    for n in dup_ns:
+        cov = F.coalesce(F.col(f"dup{n}_cov_tokens"), F.lit(0)).cast("long")
+        cols.append(cov.alias(f"dup{n}_cov_tokens"))
+        cols.append(
+            (cov.cast("double") / F.col("n_tokens").cast("double")).alias(
+                f"dup{n}_token_frac"
+            )
+        )
+    return out.select(*cols)

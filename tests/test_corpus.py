@@ -312,3 +312,66 @@ def test_dup_span_excise_matches_python_model(spark):
     assert got[0][2].startswith("one") or "one" in got[0][2]
     assert got[3] == (8, 0, docs[3][1])   # untouched doc
     assert got[4] == (2, 0, "tiny doc")   # shorter than n -> no grams
+
+
+def test_gopher_repetition_matches_python_model(spark):
+    """gopher_repetition vs a direct python model on a corpus that
+    exercises every signal: machine-gun token repetition (top-2-gram
+    char frac past 1.0 via overlap counting), a repeated 5-token phrase
+    (coverage union, no double count on overlap), a tie on the top
+    bigram (lexicographic break), and a doc shorter than the largest n
+    (NULL gram / zero-count contract)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.dedup import gopher_repetition
+
+    docs = [
+        (0, "spam spam spam spam spam spam eggs"),
+        (1, "p q r s t x p q r s t y unique tail words"),
+        (2, "b a b a c d c d"),          # ties: "a b"/"b a"/"c d" all x2?
+        (3, "one two three"),            # shorter than n=4, 5, 8
+        (4, "totally unique content with no repeats at all present"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r.doc_id: r.asDict() for r in gopher_repetition(df).collect()}
+
+    for i, t in docs:
+        ts = t.split(" ")
+        me = got[i]
+        assert me["n_tokens"] == len(ts) and me["n_chars"] == len(t)
+        for n in (2, 3, 4):
+            c = Counter(
+                " ".join(ts[s : s + n]) for s in range(len(ts) - n + 1)
+            )
+            if not c:
+                assert me[f"top{n}_gram"] is None
+                assert me[f"top{n}_count"] == 0
+                assert me[f"top{n}_char_frac"] == 0.0
+                continue
+            gram, cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert me[f"top{n}_gram"] == gram, (i, n)
+            assert me[f"top{n}_count"] == cnt
+            assert me[f"top{n}_char_frac"] == cnt * len(gram) / len(t)
+        for n in (5, 8):
+            c = Counter(
+                " ".join(ts[s : s + n]) for s in range(len(ts) - n + 1)
+            )
+            cov: set[int] = set()
+            for s in range(len(ts) - n + 1):
+                if c[" ".join(ts[s : s + n])] >= 2:
+                    cov.update(range(s, s + n))
+            assert me[f"dup{n}_cov_tokens"] == len(cov), (i, n)
+            assert me[f"dup{n}_token_frac"] == (
+                len(cov) / len(ts) if ts else 0.0
+            )
+
+    # spot checks the model already verified, stated explicitly:
+    # overlap counting pushes the spam doc's top-2-gram frac past 1.0
+    assert got[0]["top2_gram"] == "spam spam" and got[0]["top2_count"] == 5
+    assert got[0]["top2_char_frac"] > 1.0
+    # repeated 5-token phrase covers both occurrences, union not sum
+    assert got[1]["dup5_cov_tokens"] == 10
+    # clean doc: zero coverage everywhere
+    assert got[4]["dup5_cov_tokens"] == 0 and got[4]["dup5_token_frac"] == 0.0
