@@ -782,3 +782,104 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return gopher_repetition(docs)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# fastText/CCNet quality-classifier modality: batch-perceptron training
+# replayed epoch for epoch by the oracle.
+@register_bench_only(
+    "q_quality_classifier",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS feat,
+             count(*) AS cnt
+      FROM tok GROUP BY doc_id, feat
+      UNION ALL
+      SELECT doc_id, 64 AS feat, 1 AS cnt FROM documents
+    ),
+    -- epoch 1: w0 = 0, every margin is 0 <= 0, ALL docs update
+    w1 AS (
+      SELECT f.feat, sum(l.y * f.cnt) AS w
+      FROM tf f JOIN lab l USING (doc_id) GROUP BY f.feat
+    ), s1 AS (
+      SELECT f.doc_id, sum(f.cnt * coalesce(w1.w, 0)) AS score
+      FROM tf f LEFT JOIN w1 ON f.feat = w1.feat GROUP BY f.doc_id
+    ),
+    -- epoch 2
+    d2 AS (
+      SELECT f.feat, sum(l.y * f.cnt) AS d
+      FROM tf f
+      JOIN s1 ON f.doc_id = s1.doc_id
+      JOIN lab l ON f.doc_id = l.doc_id
+      WHERE l.y * s1.score <= 0 GROUP BY f.feat
+    ), w2 AS (
+      SELECT coalesce(w1.feat, d2.feat) AS feat,
+             coalesce(w1.w, 0) + coalesce(d2.d, 0) AS w
+      FROM w1 FULL JOIN d2 ON w1.feat = d2.feat
+    ), s2 AS (
+      SELECT f.doc_id, sum(f.cnt * coalesce(w2.w, 0)) AS score
+      FROM tf f LEFT JOIN w2 ON f.feat = w2.feat GROUP BY f.doc_id
+    ),
+    -- epoch 3
+    d3 AS (
+      SELECT f.feat, sum(l.y * f.cnt) AS d
+      FROM tf f
+      JOIN s2 ON f.doc_id = s2.doc_id
+      JOIN lab l ON f.doc_id = l.doc_id
+      WHERE l.y * s2.score <= 0 GROUP BY f.feat
+    ), w3 AS (
+      SELECT coalesce(w2.feat, d3.feat) AS feat,
+             coalesce(w2.w, 0) + coalesce(d3.d, 0) AS w
+      FROM w2 FULL JOIN d3 ON w2.feat = d3.feat
+    ), s3 AS (
+      SELECT f.doc_id, sum(f.cnt * coalesce(w3.w, 0)) AS score
+      FROM tf f LEFT JOIN w3 ON f.feat = w3.feat GROUP BY f.doc_id
+    )
+    SELECT l.doc_id,
+           CAST(s3.score AS BIGINT) AS score,
+           CAST(CASE WHEN s3.score > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+           CAST(l.y AS INT) AS label,
+           CAST(CASE WHEN (CASE WHEN s3.score > 0 THEN 1 ELSE -1 END) = l.y
+                THEN 1 ELSE 0 END AS INT) AS correct
+    FROM s3 JOIN lab l USING (doc_id)
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier TRAINING inside the engine
+    (operators/classify — the fastText/CCNet curation gate): 3 epochs of
+    batch perceptron over 64 hashed bag-of-words features + bias,
+    labels y = +1 for lang='en' docs, then every doc scored by the
+    trained weights.  All-integer training (hashed counts, epoch-summed
+    updates, margin-tie updates included) makes the run bit-reproducible
+    — the oracle replays all three epochs CTE for CTE and every score
+    matches exactly.  On this synthetic corpus the lang label is
+    (deliberately) nearly text-independent — every lang shares one
+    31-word vocabulary — so accuracy sits near the base rate; the gate
+    attests the TRAINING ALGORITHM, and tests/test_classify.py shows the
+    same operator reaching 100% on a separable corpus.
+
+    Scale: per epoch one broadcast join against the 65-row weight frame,
+    one per-doc score groupBy, one per-feature delta groupBy — all
+    map-side combined; epochs driver-sequenced with localCheckpoint
+    (the kmeans/bpe_train pattern), so plan depth is constant in
+    epochs."""
+    from pimdb_spark.operators.classify import (
+        hashed_token_features,
+        perceptron_score,
+        train_perceptron,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("int").alias("y"),
+    )
+    feats = hashed_token_features(docs, n_features=64)
+    w = train_perceptron(feats, labels, epochs=3)
+    return perceptron_score(feats, labels, w)
