@@ -31,12 +31,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a token array (element_at is 1-based)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    """Distinct k-word shingles of a token array (element_at is 1-based);
+    empty array for documents shorter than k tokens.  The guard is a
+    conditional branch, not greatest(end, 0): sequence(1, 0) DESCENDS to
+    [1, 0], so the unguarded form still evaluated position 1 and walked
+    element_at past the end of a short document (ANSI out-of-bounds
+    crash — every caller in the minhash/LSH family inherited it)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(k)]
     )
-    return F.array_distinct(F.transform(idx, shingle))
+    return F.when(
+        F.size(toks) >= k, F.array_distinct(F.transform(idx, shingle))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # Universal-hash minhash family: one md5 per shingle yields a 32-bit
@@ -525,3 +532,4 @@ def gopher_repetition(
             )
         )
     return out.select(*cols)
+

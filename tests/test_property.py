@@ -643,3 +643,41 @@ def test_bpe_train_batched_matches_bruteforce(spark, seed):
     assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
     got = [(r.batch_no, r.lhs, r.rhs, r.cnt) for r in rows]
     assert got == expected
+
+
+def test_word_shingles_short_doc_regression(spark):
+    """Docs shorter than k tokens must yield an EMPTY shingle array, not
+    crash: sequence(1, 0) descends to [1, 0], so the pre-fix
+    greatest(end, 0) guard still evaluated position 1 and element_at
+    walked past the end of the array (ANSI out-of-bounds) — every
+    minhash/LSH caller died on any corpus containing one short doc."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.dedup import minhash_lsh_pairs, word_shingles
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x"),
+            Row(doc_id=2, text="a b"),
+            Row(doc_id=3, text="a b c d e"),
+        ]
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", word_shingles(F.split("text", " "), 3).alias("s")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["a b c", "b c d", "c d e"]
+
+    # end to end: the pipeline survives short docs and still finds the
+    # planted exact copy
+    base = df.union(
+        df.selectExpr("doc_id + 10 as doc_id", "text")
+    )
+    pairs = minhash_lsh_pairs(
+        base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    assert (3, 13) in {(r.id_a, r.id_b) for r in pairs.collect()}
