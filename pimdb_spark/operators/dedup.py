@@ -533,3 +533,113 @@ def gopher_repetition(
         )
     return out.select(*cols)
 
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXHAUSTIVE near-duplicate ground truth: every unordered doc pair
+    whose k-shingle Jaccard similarity is >= t_num/t_den, found by
+    shared-shingle blocking — any pair with Jaccard > 0 shares at least
+    one shingle, so the equi-join on the shingle hash is COMPLETE (no
+    candidate is missed, unlike banded LSH).  The threshold compare is
+    integer cross-multiplication (t_den * shared >= t_num * union), so
+    no float enters the decision.  Returns (id_a, id_b, shared,
+    union_sz, jacc) with id_a < id_b; jacc is the one terminal double
+    division of two exact integers.
+
+    This is the evaluation baseline for minhash_lsh_pairs (see
+    dedup_recall), and a correct-by-construction dedup for corpora
+    small enough to afford it.
+
+    Scale: the shingle equi-join emits sum-over-shingles df^2 candidate
+    rows — quadratic in per-shingle document frequency, NOT corpus
+    size.  Fine when boilerplate shingles are rare or pre-capped;
+    at 100 TB this is the operator you run on a SAMPLE to measure the
+    banded pipeline's recall, not on the full corpus — which is exactly
+    its role here."""
+    toks = F.split(F.col(text_col), " ")
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc"), word_shingles(toks, k).alias("s")
+        )
+        .filter(F.size("s") > 0)
+        .select("doc", F.explode("s").alias("sg"))
+        .select("doc", F.md5("sg").alias("sh"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
+    uni = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(t_den * F.col("shared") >= t_num * uni)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            uni.cast("bigint").alias("union_sz"),
+            (F.col("shared").cast("double") / uni.cast("double")).alias(
+                "jacc"
+            ),
+        )
+    )
+
+
+def dedup_recall(
+    approx_pairs: DataFrame,
+    exact_pairs: DataFrame,
+) -> DataFrame:
+    """Recall/precision of an approximate near-dup pair set against the
+    exhaustive ground truth (both frames keyed id_a < id_b): ONE row —
+    (n_exact, n_approx, n_hit, recall, precision).  The quality gate
+    for the banded-LSH dedup path, mirroring similarity.ann_recall for
+    the ANN ladder.  Counts are exact integers from a full outer join;
+    the two ratios are terminal double divisions (NULL when the
+    denominator is zero — no pairs means the metric is undefined, not
+    1.0).  Agg-without-groupBy, so the row exists even on empty inputs.
+
+    Scale: both inputs are pair sets (already reduced); the outer join
+    shuffles on the pair key and the final aggregate is a single row."""
+    ap = approx_pairs.select("id_a", "id_b").withColumn("in_a", F.lit(1))
+    ex = exact_pairs.select("id_a", "id_b").withColumn("in_e", F.lit(1))
+    joined = ap.join(ex, ["id_a", "id_b"], "full")
+    # outer coalesce: sum over ZERO rows is NULL — counts must be 0
+    n_exact = F.coalesce(F.sum(F.coalesce(F.col("in_e"), F.lit(0))), F.lit(0))
+    n_approx = F.coalesce(F.sum(F.coalesce(F.col("in_a"), F.lit(0))), F.lit(0))
+    n_hit = F.coalesce(
+        F.sum(
+            F.coalesce(F.col("in_a"), F.lit(0))
+            * F.coalesce(F.col("in_e"), F.lit(0))
+        ),
+        F.lit(0),
+    )
+    return joined.agg(
+        n_exact.cast("bigint").alias("n_exact"),
+        n_approx.cast("bigint").alias("n_approx"),
+        n_hit.cast("bigint").alias("n_hit"),
+        (n_hit.cast("double") / F.when(n_exact > 0, n_exact).cast("double"))
+        .alias("recall"),
+        (
+            n_hit.cast("double")
+            / F.when(n_approx > 0, n_approx).cast("double")
+        ).alias("precision"),
+    )

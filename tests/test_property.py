@@ -681,3 +681,70 @@ def test_word_shingles_short_doc_regression(spark):
         base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
     )
     assert (3, 13) in {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_exact_jaccard_pairs_matches_bruteforce(spark, seed):
+    """Shared-shingle blocking must find EXACTLY the brute-force pairs
+    with shingle-Jaccard >= 1/2 — completeness is the property banded
+    LSH gives up, so it must hold here."""
+    import random
+
+    from pimdb_spark.operators.dedup import exact_jaccard_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(14)
+    ]
+    docs.append((100, docs[0][1]))  # exact copy: certain pair
+
+    def shingles(t):
+        ts = t.split(" ")
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    expected = {}
+    for i, ti in docs:
+        for j, tj in docs:
+            a, b = shingles(ti), shingles(tj)
+            if i < j and a and b:
+                inter = len(a & b)
+                uni = len(a | b)
+                if 2 * inter >= uni:
+                    expected[(i, j)] = (inter, uni)
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b): (r.shared, r.union_sz)
+        for r in exact_jaccard_pairs(df, k=3, t_num=1, t_den=2).collect()
+    }
+    assert got == expected
+    if len(docs[0][1].split(" ")) >= 3:  # doc 0 long enough to shingle
+        assert (0, 100) in got
+
+
+def test_dedup_recall_counts_and_null_contract(spark):
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.dedup import dedup_recall
+
+    ex = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3), Row(id_a=4, id_b=5)]
+    )
+    ap = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=9, id_b=10)]
+    )
+    r = dedup_recall(ap, ex).collect()[0]
+    assert (r.n_exact, r.n_approx, r.n_hit) == (3, 2, 1)
+    assert r.recall == 1 / 3 and r.precision == 1 / 2
+
+    # empty approx: recall 0, precision NULL (0/0 undefined, not 1.0)
+    r = dedup_recall(ap.filter("false"), ex).collect()[0]
+    assert (r.n_exact, r.n_approx, r.n_hit) == (3, 0, 0)
+    assert r.recall == 0.0 and r.precision is None
+
+    # both empty: the row still exists, all metrics NULL
+    r = dedup_recall(ap.filter("false"), ex.filter("false")).collect()[0]
+    assert (r.n_exact, r.n_approx, r.n_hit) == (0, 0, 0)
+    assert r.recall is None and r.precision is None
