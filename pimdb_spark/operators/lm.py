@@ -203,3 +203,116 @@ def ngram_lm_score_interpolated(
             ).alias("lm_score"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-bigram bag is under a
+    TARGET-domain model than under the RAW-corpus model — the published
+    recipe for selecting pretraining data that matches a target
+    distribution.  DSIR's weight is log p_target(x) − log p_raw(x) over
+    hashed n-gram features; this implementation keeps the repo's
+    numeric-parity discipline by replacing each per-feature log-prob
+    with the integer rational surrogate used by ngram_lm_score:
+
+        L_model(f) = floor((c_model(f) + 1) * SCALE / (N_model + B))
+
+    (add-one smoothing over B hash buckets), so a doc's weight
+    Σ_f cnt(f) * (L_target(f) − L_raw(f)) is an exact BIGINT — order-
+    free, partition-free, bit-identical across engines.  The surrogate
+    is monotone per feature in the model probability, so it ranks docs
+    the way the probability-ratio does (documented deviation: linear-
+    not log-domain, same convention as ngram_lm_score).
+
+    Returns one row per doc: (id, n_bigrams, weight).  Docs with fewer
+    than 2 tokens carry weight 0 (no features).  Top-m SELECTION
+    deliberately composes downstream (curation.budget_take /
+    weighted_sample) instead of embedding a global-ordering window
+    here.
+
+    Range bound: (c+1) * SCALE must fit int64 — same precondition as
+    ngram_lm_score, and the doc-weight sum adds a further factor of
+    n_bigrams * SCALE ≈ 1e12 per doc, far inside int64.
+
+    Scale: two reference-model builds (map-side-combined feature
+    groupBys capped at B rows out), two one-row totals, then ONE pass
+    over the corpus features with two broadcast joins (B-row tables) —
+    no corpus-global shuffle beyond the per-doc feature groupBy."""
+    toks = F.split(F.col(text_col), " ")
+
+    def feats(frame: DataFrame) -> DataFrame:
+        bg = (
+            frame.select(
+                "_id",
+                "toks",
+                F.explode(
+                    F.when(
+                        F.size("toks") >= 2,
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                    ).otherwise(F.array().cast("array<int>"))
+                ).alias("i"),
+            )
+            .select(
+                "_id",
+                F.concat_ws(
+                    " ",
+                    F.element_at("toks", F.col("i")),
+                    F.element_at("toks", F.col("i") + 1),
+                ).alias("b"),
+            )
+        )
+        feat = (
+            F.conv(F.substring(F.md5("b"), 1, 8), 16, 10).cast("bigint")
+            % n_buckets
+        )
+        return (
+            bg.select("_id", feat.alias("feat"))
+            .groupBy("_id", "feat")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("toks"))
+    tbase = target.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    doc_f = feats(base)
+    tgt_f = feats(tbase)
+
+    tgt_model = tgt_f.groupBy("feat").agg(F.sum("cnt").alias("ct"))
+    raw_model = doc_f.groupBy("feat").agg(F.sum("cnt").alias("cr"))
+    tgt_total = tgt_f.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("nt"))
+    raw_total = doc_f.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("nr"))
+
+    term = F.expr(
+        f"cnt * ((coalesce(ct, 0L) + 1L) * {SCALE}L div (nt + {n_buckets}L)"
+        f" - (coalesce(cr, 0L) + 1L) * {SCALE}L div (nr + {n_buckets}L))"
+    )
+    weights = (
+        doc_f.join(F.broadcast(tgt_model), "feat", "left")
+        .join(F.broadcast(raw_model), "feat", "left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+        .groupBy("_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(term).cast("bigint").alias("weight"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(weights, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
+        )
+    )

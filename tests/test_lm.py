@@ -133,3 +133,74 @@ def test_interpolated_lm_matches_python_model(spark):
         ).collect()
     }
     assert got2[1] > got2[2]
+
+
+def test_dsir_importance_matches_python_model(spark):
+    """dsir_importance vs a direct python model: hashed-bigram counts,
+    add-one surrogate log-probs over B buckets, target-minus-raw
+    weight — every doc's BIGINT weight exact, short docs at 0."""
+    from hashlib import md5 as _md5
+
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.lm import SCALE, dsir_importance
+
+    rng = random.Random(7)
+    tvocab = ["clean", "prose", "text", "the", "good"]
+    rvocab = ["spam", "junk", "the", "noise", "good"]
+    docs = []
+    for i in range(12):
+        v = tvocab if i % 2 == 0 else rvocab
+        docs.append((i, " ".join(rng.choice(v) for _ in range(rng.randint(2, 15))), "en" if i % 2 == 0 else "xx"))
+    docs.append((99, "solo", "xx"))  # 1 token: no bigrams, weight 0
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang) for i, t, lang in docs]
+    )
+    target = df.filter(F.col("lang") == "en")
+    B = 64
+    got = {
+        r.doc_id: (r.n_bigrams, r.weight)
+        for r in dsir_importance(df, target, n_buckets=B).collect()
+    }
+
+    def feats(text):
+        t = text.split(" ")
+        return Counter(
+            int(_md5((t[i] + " " + t[i + 1]).encode()).hexdigest()[:8], 16)
+            % B
+            for i in range(len(t) - 1)
+        )
+
+    tgt: Counter = Counter()
+    nt = 0
+    for i, t, lang in docs:
+        if lang == "en":
+            f = feats(t)
+            tgt.update(f)
+            nt += sum(f.values())
+    raw: Counter = Counter()
+    nr = 0
+    for i, t, lang in docs:
+        f = feats(t)
+        raw.update(f)
+        nr += sum(f.values())
+
+    for i, t, lang in docs:
+        f = feats(t)
+        w = sum(
+            c
+            * (
+                (tgt[k] + 1) * SCALE // (nt + B)
+                - (raw[k] + 1) * SCALE // (nr + B)
+            )
+            for k, c in f.items()
+        )
+        assert got[i] == (sum(f.values()), w), i
+    assert got[99] == (0, 0)
+
+    # the selection property DSIR exists for: target-domain docs
+    # outrank raw-domain docs on mean weight
+    en_w = [got[i][1] for i, _t, lang in docs if lang == "en"]
+    xx_w = [got[i][1] for i, _t, lang in docs if lang == "xx" and i != 99]
+    assert sum(en_w) / len(en_w) > sum(xx_w) / len(xx_w)

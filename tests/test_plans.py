@@ -229,7 +229,12 @@ def test_no_plan_red_flags(spark, name, entry):
       conflict anti-join of the <=batch_size-row pool against itself
       (non-equi on pool position + arrays_overlap; <=m^2 pairs, never
       data-sized) and the same one-row merge-array attach as
-      q_bpe_apply."""
+      q_bpe_apply.
+    - q_dsir_importance: two ONE-ROW total-count attaches (N_target and
+      N_raw, the add-one denominators) cross-joined onto the per-doc
+      feature rows — the same one-row broadcast shape as
+      q_ngram_lm_score's totals attach; the feature/model joins proper
+      are broadcast HASH joins on the B-row tables."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -258,6 +263,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_hll_distinct",
         "q_bpe_apply",
         "q_bpe_train_batched",
+        "q_dsir_importance",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
