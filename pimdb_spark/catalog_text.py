@@ -513,3 +513,126 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.5
     )
     return D.dedup_recall(approx, exact)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# cross-corpus near-dup gate (incremental-ingest dedup).
+@register_bench_only(
+    "q_cross_neardup_filter",
+    oracle="""
+    WITH refd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(
+               (string_split(text, ' '))
+                 [1 : (3 * len(string_split(text, ' '))) // 5], ' ') AS text
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+    ), nsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM newd)
+      WHERE len(t) >= 3
+    ), rsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM refd)
+      WHERE len(t) >= 3
+    ), nsig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM nsh
+    ), rsig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM rsh
+    ), nband AS (
+      SELECT doc_id, s,
+             unnest(range(0, 8)) AS band,
+             unnest(list_transform(range(0, 8),
+                    b -> md5(array_to_string(sg[b*2+1:b*2+2], ',')))) AS bh
+      FROM nsig
+    ), rband AS (
+      SELECT doc_id, s,
+             unnest(range(0, 8)) AS band,
+             unnest(list_transform(range(0, 8),
+                    b -> md5(array_to_string(sg[b*2+1:b*2+2], ',')))) AS bh
+      FROM rsig
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id,
+                      n.s AS ns, r.s AS rs
+      FROM nband n JOIN rband r ON n.band = r.band AND n.bh = r.bh
+    ), ver AS (
+      SELECT new_id, ref_id,
+             CAST(len(list_intersect(ns, rs)) AS DOUBLE)
+               / (len(ns) + len(rs) - len(list_intersect(ns, rs))) AS jacc
+      FROM cand
+      WHERE CAST(len(list_intersect(ns, rs)) AS DOUBLE)
+              / (len(ns) + len(rs) - len(list_intersect(ns, rs)))
+            >= 0.5::DOUBLE
+    ), best AS (
+      SELECT new_id, ref_id AS best_ref, jacc AS best_jacc FROM (
+        SELECT new_id, ref_id, jacc,
+               row_number() OVER (
+                 PARTITION BY new_id ORDER BY jacc DESC, ref_id ASC
+               ) AS rn
+        FROM ver
+      ) WHERE rn = 1
+    ), cnt AS (
+      SELECT new_id, count(*) AS n_ref_matches FROM ver GROUP BY new_id
+    )
+    SELECT nd.doc_id,
+           CAST(coalesce(c.n_ref_matches, 0) AS BIGINT) AS n_ref_matches,
+           CAST(b.best_ref AS BIGINT) AS best_ref,
+           b.best_jacc,
+           CAST(CASE WHEN c.n_ref_matches IS NULL THEN 0 ELSE 1 END AS INT)
+             AS matched
+    FROM newd nd
+    LEFT JOIN cnt c ON c.new_id = nd.doc_id
+    LEFT JOIN best b ON b.new_id = nd.doc_id
+    """,
+)
+def q_cross_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup gate (operators/dedup.cross_neardup_filter):
+    a NEW shard — the non-(id%7==0) docs plus 60%-prefix truncated
+    copies of every 3rd reference doc (Jaccard ~0.6 planted matches) —
+    is screened against the REFERENCE slice (id%7==0) by two-sided
+    banding (16 hashes x 8 bands, the measured high-recall end of the
+    banding ladder) with exact-Jaccard verification at 0.5.  One row
+    per new doc: match count, best reference and its Jaccard, and the
+    gate verdict — the incremental-ingest dedup / near-dup
+    decontamination shape a self-join cannot express.  The oracle
+    replays both sides' shingling, signatures, banding, the cross
+    equi-join, verification, and the deterministic best-match window.
+
+    Scale: candidates are new x ref band collisions only (never new x
+    new); the reference banded frame builds once and serves every
+    shard; verification re-joins shingle sets for candidates alone."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    toks = F.split("text", " ")
+    trunc = ref.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
+        ).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).union(trunc)
+    return D.cross_neardup_filter(
+        new, ref, k=3, num_hashes=16, bands=8, threshold=0.5
+    )

@@ -643,3 +643,97 @@ def dedup_recall(
             / F.when(n_approx > 0, n_approx).cast("double")
         ).alias("precision"),
     )
+
+
+def cross_neardup_filter(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """CROSS-corpus near-duplicate gate: flag every NEW document that is
+    a banded-MinHash near-duplicate (true Jaccard >= threshold) of ANY
+    REFERENCE document — the incremental-ingest shape self-join dedup
+    cannot express (dedup a fresh crawl shard against the existing
+    training corpus; keep eval/benchmark near-copies out of training
+    data — the near-dup complement of exact/ngram decontamination).
+
+    Returns one row per NEW doc: (id, n_ref_matches, best_ref,
+    best_jacc, matched) — best = highest verified Jaccard, ties to the
+    smallest reference id, NULLs and matched = 0 when nothing matched.
+
+    Banding recall is the knob: at the default 16 hashes x 8 bands a
+    Jaccard-0.6 pair is caught with p ~ 0.98 (measured ladder on the
+    sibling dedup_recall entry: 0.185 / 0.407 / 0.985 at 2 / 4 / 8
+    bands) — a GATE wants the high-recall end; verification keeps
+    precision exact.
+
+    Scale: both sides band independently (projections); candidates are
+    an equi-join on (band, band_hash) — new x ref only, never new x new
+    — and verification re-joins shingle sets for candidates alone.  The
+    reference side's banded frame is reusable across shards (build
+    once, join per shard)."""
+    rows_per_band = num_hashes // bands
+
+    def prep(df: DataFrame, side: str):
+        toks = F.split(F.col(text_col), " ")
+        base = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            word_shingles(toks, k).alias(f"{side}_s"),
+        ).filter(F.size(f"{side}_s") > 0)
+        banded = base.select(
+            f"{side}_id",
+            F.posexplode(
+                lsh_band_hashes(
+                    minhash_signature(F.col(f"{side}_s"), num_hashes),
+                    bands,
+                    rows_per_band,
+                )
+            ).alias("band", "bh"),
+        )
+        return base, banded
+
+    nbase, nband = prep(new_docs, "new")
+    rbase, rband = prep(ref_docs, "ref")
+    cand = nband.join(rband, ["band", "bh"]).select("new_id", "ref_id").distinct()
+    verified = (
+        cand.join(nbase, "new_id")
+        .join(rbase, "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
+            jaccard(F.col("new_s"), F.col("ref_s")).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jacc"), F.asc("ref_id"))
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("ref_id").alias("best_ref"),
+                F.col("jacc").alias("best_jacc"))
+    )
+    counts = verified.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_ref_matches")
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(counts, "new_id", "left")
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.coalesce("n_ref_matches", F.lit(0))
+            .cast("bigint")
+            .alias("n_ref_matches"),
+            F.col("best_ref").cast("bigint").alias("best_ref"),
+            F.col("best_jacc"),
+            F.when(F.col("n_ref_matches").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("matched"),
+        )
+    )

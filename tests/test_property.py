@@ -748,3 +748,79 @@ def test_dedup_recall_counts_and_null_contract(spark):
     r = dedup_recall(ap.filter("false"), ex.filter("false")).collect()[0]
     assert (r.n_exact, r.n_approx, r.n_hit) == (0, 0, 0)
     assert r.recall is None and r.precision is None
+
+
+def test_cross_neardup_filter_matches_python_model(spark):
+    """cross_neardup_filter vs a python replay of both sides' banding:
+    planted exact and partial copies of reference docs in the new
+    shard, plus never-matching docs (NULL best / matched 0)."""
+    import hashlib
+
+    from pimdb_spark.operators.dedup import (
+        MINHASH_P,
+        _A_ADD,
+        _A_MASK,
+        _A_MUL,
+        _B_MUL,
+        cross_neardup_filter,
+    )
+
+    ref = [
+        (0, "the quick brown fox jumps over the lazy dog tonight again"),
+        (7, "pack my box with five dozen liquor jugs before noon today"),
+        (14, "sphinx of black quartz judge my vow said the old king"),
+    ]
+    new = [
+        (100, ref[0][1]),                                   # exact copy
+        (101, " ".join(ref[1][1].split(" ")[:7])),          # 7-token prefix
+        (102, "completely unrelated words about database engines and joins"),
+        (103, "xy"),                                        # too short
+    ]
+
+    def shingles(t):
+        ts = t.split(" ")
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    def sig(s):
+        xs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in s]
+        out = []
+        for i in range(16):
+            a = ((i * _A_MUL + _A_ADD) & _A_MASK) | 1
+            out.append(min((a * x + i * _B_MUL) % MINHASH_P for x in xs))
+        return out
+
+    def bands(sg):
+        return {
+            (b, tuple(sg[b * 2 : b * 2 + 2])) for b in range(8)
+        }
+
+    expected = {}
+    for ni, nt in new:
+        ns = shingles(nt)
+        matches = []
+        if ns:
+            nb = bands(sig(ns))
+            for ri, rt in ref:
+                rs = shingles(rt)
+                if rs and nb & bands(sig(rs)):
+                    j = len(ns & rs) / len(ns | rs)
+                    if j >= 0.5:
+                        matches.append((j, ri))
+        if matches:
+            bj, br = max((j, -ri) for j, ri in matches)
+            expected[ni] = (len(matches), -br, bj, 1)
+        else:
+            expected[ni] = (0, None, None, 0)
+
+    ndf = spark.createDataFrame(new, "doc_id int, text string")
+    rdf = spark.createDataFrame(ref, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_ref_matches, r.best_ref, r.best_jacc, r.matched)
+        for r in cross_neardup_filter(
+            ndf, rdf, k=3, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert got == expected
+    assert got[100][3] == 1      # exact copy caught
+    assert got[102] == (0, None, None, 0)
+    assert got[103] == (0, None, None, 0)  # too short: no shingles, no crash
