@@ -311,6 +311,21 @@ def main() -> None:
             emb(d).select("vec_id", "embedding"),
             "vec_id", "vec_id", k=3,
         ),
+        # within-doc quality signals: pure per-doc chain, the flattest
+        # possible scaling shape
+        "gopher_repetition": lambda d: __import__(
+            "pimdb_spark.operators.dedup", fromlist=["gopher_repetition"]
+        ).gopher_repetition(docs(d)),
+        # 3 epochs of batch perceptron: per-epoch one broadcast join +
+        # two map-side-combined groupBys over the feature frame
+        "quality_classifier": lambda d: _quality_classifier(d),
+        # eval pair: exhaustive shared-shingle ground truth (the df^2
+        # side) + banded approx + one-row recall join
+        "dedup_recall_lsh": lambda d: _dedup_recall(d),
+        # two B-row models + one corpus pass with broadcast joins
+        "dsir_importance": lambda d: __import__(
+            "pimdb_spark.operators.lm", fromlist=["dsir_importance"]
+        ).dsir_importance(docs(d), docs(d).filter(F.col("lang") == "en")),
         # payload-count dial: doc_id % 50 == 0 selects 100 payloads at 1x
         # and 1,000 at 10x (the blow-up preserves id residues mod 50);
         # repartition(32) pins parallelism so the row measures decode CPU
@@ -325,6 +340,47 @@ def main() -> None:
             "doc_id", "payload",
         ),
     })
+
+    def _quality_classifier(d):
+        from pimdb_spark.operators.classify import (
+            hashed_token_features,
+            perceptron_score,
+            train_perceptron,
+        )
+
+        dd = docs(d)
+        labels = dd.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(-1).cast("int").alias("y"),
+        )
+        feats = hashed_token_features(dd, n_features=64)
+        w = train_perceptron(feats, labels, epochs=3)
+        return perceptron_score(feats, labels, w)
+
+    def _dedup_recall(d):
+        from pimdb_spark.operators.dedup import (
+            dedup_recall,
+            exact_jaccard_pairs,
+            minhash_lsh_pairs,
+        )
+
+        dd = docs(d).select("doc_id", "text")
+        toks = F.split("text", " ")
+        trunc = dd.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
+            ).alias("text"),
+        )
+        base = dd.union(trunc)
+        return dedup_recall(
+            minhash_lsh_pairs(
+                base, "doc_id", "text", k=3, num_hashes=16, bands=4,
+                threshold=0.5,
+            ),
+            exact_jaccard_pairs(base, k=3, t_num=1, t_den=2),
+        )
 
     only = set(sys.argv[1:])
     for name, fn in ops.items():
