@@ -409,13 +409,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_recall_lsh",
     oracle="""
     WITH raw AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
              array_to_string(
                (string_split(text, ' '))
                  [1 : (3 * len(string_split(text, ' '))) // 5], ' ') AS text
-      FROM documents WHERE doc_id % 5 = 0
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
     ), d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM raw
     ), sh AS (
@@ -485,20 +485,26 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection against EXHAUSTIVE shared-shingle ground truth
     (operators/dedup.exact_jaccard_pairs + dedup_recall) — the dedup
     ladder's quality gate as a query, mirroring q_ann_recall_lsh.  The
-    corpus is augmented with 60%-prefix TRUNCATED copies of every 5th
-    doc (Jaccard ~0.6 vs the original — exactly the regime where
-    banding's S-curve is lossy; exact copies would measure a trivial
-    1.0).  At 16 hashes x 4 bands against a 0.5 ground-truth threshold
-    the measured sf0.01 recall is 0.407 (0.185 at 2 bands, 0.985 at 8
-    — the operator's banding dial, measured); precision is 1.0 because
-    candidates are Jaccard-verified.  Counts are exact integers; the
-    two ratios are terminal double divisions.
-
-    Scale: the ground-truth side is sum-over-shingles df^2 — the
-    operator you run on a SAMPLE at 100 TB to calibrate the banding
-    dial, which is precisely this query's shape; the banded side stays
-    the production equi-join."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    calibration runs on a deterministic 1-in-3 SAMPLE (doc_id % 3 == 0)
+    because that is the operator's production contract: the
+    ground-truth side is sum-over-shingles df^2 (the measured 10x row
+    in SCALE.md is superlinear by design), so at 100 TB — and in this
+    per-round bench — the banding dial is calibrated on a sample while
+    the banded side stays the production equi-join.  The sample is
+    augmented with 60%-prefix TRUNCATED copies of every 5th sampled doc
+    (Jaccard ~0.6 vs the original — exactly the regime where banding's
+    S-curve is lossy; exact copies would measure a trivial 1.0).
+    Against a 0.5 ground-truth threshold (40 true pairs at sf0.01) the
+    measured recall at 16 hashes is 0.075 at 2 bands, 0.325 at 4 (this
+    entry's config), 1.0 at 8 — the operator's banding dial, measured;
+    precision is 1.0 at every rung because candidates are
+    Jaccard-verified.  Counts are exact integers; the two ratios are
+    terminal double divisions."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
     toks = F.split("text", " ")
     trunc = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
