@@ -1238,3 +1238,225 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "vec_id", "embedding",
         n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level data selection (operators/selection.py): hard-negative
+# mining, kNN label-error detection, k-center greedy coreset.  Bench-only
+# (pytest-gated oracles) per the window-budget policy — the driver window
+# is full this round; these head the promotion line with the PQ entries.
+
+from pimdb_spark.catalog import register_bench_only  # noqa: E402
+from pimdb_spark.operators import selection as SEL  # noqa: E402
+
+# int8 quantization CTE carrying the label column (the selection family
+# ranks by the same quantized scorer but decides on labels).
+_INT8_QZL = """
+      SELECT vec_id, label,
+             mx / 127.0 AS scale, nrm,
+             list_transform(range(1, 65), i ->
+               CASE WHEN mx = 0 THEN 0
+                    ELSE CAST(least(127.0, greatest(-127.0,
+                         floor(embedding[i]::DOUBLE * 127.0 / mx + 0.5)))
+                         AS BIGINT) END) AS codes
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(range(1, 65),
+                        i -> abs(embedding[i]::DOUBLE))) AS mx,
+               sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+                    (x, y) -> x + y)) AS nrm
+        FROM embeddings
+      )
+"""
+
+_QCOS = """round(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+                 ELSE (CAST(list_reduce(list_transform(range(1, 65),
+                            i -> q.codes[i] * c.codes[i]), (x, y) -> x + y)
+                       AS DOUBLE) * q.scale * c.scale)
+                      / (q.nrm * c.nrm) END, 4)"""
+
+
+@register_bench_only(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH qz AS ({_INT8_QZL}),
+    q AS (SELECT * FROM qz WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id AS c_id, c.label AS c_label,
+             {_QCOS} AS qcos
+      FROM qz c, q WHERE q.vec_id <> c.vec_id
+    ),
+    neg AS (
+      SELECT q_id, q_label, c_id, c_label, qcos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY qcos DESC, c_id) AS neg_rank
+      FROM scored WHERE c_label <> q_label
+    ),
+    pos AS (
+      SELECT q_id, max(qcos) AS pos_qcos
+      FROM scored WHERE c_label = q_label GROUP BY q_id
+    )
+    SELECT n.q_id, n.q_label, CAST(n.neg_rank AS INTEGER) AS neg_rank,
+           n.c_id AS neg_id, n.c_label AS neg_label, n.qcos AS neg_qcos,
+           p.pos_qcos, p.pos_qcos - n.qcos AS margin
+    FROM neg n LEFT JOIN pos p ON n.q_id = p.q_id
+    WHERE n.neg_rank <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/selection.hard_negative_mining): per query vector, the 3
+    most-similar DIFFERENT-label candidates under the quantized int8
+    cosine, the best same-label positive score, and the margin
+    pos - neg — small or negative margin marks exactly the
+    training-informative pair.  All ranking is the established int8
+    discipline (exact integer dots, one fixed-shape double rescale,
+    round-4, ties by candidate id); the positive best is an order-free
+    MAX over round-4 doubles; queries whose label has no other member
+    get NULL pos/margin (absence, not a zero score).
+
+    Scale: identical plan economics to q_int8_ann_topk — broadcast
+    query side, one 8x-narrower candidate pass, WindowGroupLimit —
+    plus one bounded broadcast join for the positive-best attach; the
+    label predicate prunes rows after the join, and at corpus scale the
+    candidate stream composes with the LSH/IVF generators unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side (self-join HOF rebind bug —
+    # see embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return SEL.hard_negative_mining(queries, emb, k=3)
+
+
+@register_bench_only(
+    "q_knn_label_errors",
+    oracle=f"""
+    WITH qz AS ({_INT8_QZL}),
+    q AS (SELECT * FROM qz WHERE vec_id < 32),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id AS c_id, c.label AS c_label,
+             {_QCOS} AS qcos
+      FROM qz c, q WHERE q.vec_id <> c.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT q_id, q_label, c_label, qcos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY qcos DESC, c_id) AS nn_rank
+        FROM scored
+      ) WHERE nn_rank <= 5
+    ),
+    votes AS (
+      SELECT q_id, q_label, c_label, count(*) AS n_votes
+      FROM knn GROUP BY q_id, q_label, c_label
+    ),
+    majority AS (
+      SELECT q_id, q_label, c_label AS knn_label FROM (
+        SELECT q_id, q_label, c_label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY n_votes DESC, c_label) AS vote_rank
+        FROM votes
+      ) WHERE vote_rank = 1
+    ),
+    agree AS (
+      SELECT q_id, count(*) AS n_agree FROM knn
+      WHERE c_label = q_label GROUP BY q_id
+    )
+    SELECT m.q_id AS vec_id, m.q_label AS label, m.knn_label,
+           CAST(coalesce(a.n_agree, 0) AS BIGINT) AS n_agree,
+           m.knn_label <> m.q_label AS is_suspect
+    FROM majority m LEFT JOIN agree a ON m.q_id = a.q_id
+    """,
+)
+def q_knn_label_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-error detection — confident-learning-lite (Northcutt et
+    al. 2021; operators/selection.knn_label_errors): for 32 query
+    vectors, the 5 nearest candidates vote their labels; the row is
+    flagged when the (count DESC, label ASC)-deterministic majority
+    disagrees with its own label.  Every decision after the round-4
+    ranking is INTEGER (vote counts, tie-broken argmax), so the flags
+    are engine-exact.
+
+    Honest-signal note (the q_quality_classifier precedent): this
+    corpus's labels are embedding-INDEPENDENT (measured same-label mean
+    cosine 0.0016 vs 0.0003 different-label at sf0.01), so the suspect
+    rate sits near the 1 - 1/n_labels base rate by construction — the
+    hash gate attests the algorithm (ranking, voting, tie-breaks), not
+    a planted mislabel signal.
+
+    Scale: one broadcast-query candidate pass + WindowGroupLimit, then
+    vote aggregation over at most queries x k rows — bounded by the
+    top-k output, not the corpus; candidate generation composes with
+    IVF/LSH unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side (self-join HOF rebind bug)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 32)
+    return SEL.knn_label_errors(queries, emb, k=5)
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled k-round k-center greedy CTE chain (the kmeans-oracle
+    discipline): each round materializes the chosen set as an ordered
+    list of vectors, computes every remaining point's min ordered-fold
+    sqdist to it (list_min over per-center folds — min is order-free,
+    each fold is the identical left-to-right double sequence Spark
+    runs), and takes the (dmin DESC, vec_id) argmax."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS v
+      FROM embeddings
+    ),
+    sel1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"""
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(f"""
+    ctr{r} AS (SELECT list(v ORDER BY vec_id) AS cvs FROM ({prev})),
+    sel{r} AS (
+      SELECT vec_id, v, dmin FROM (
+        SELECT e.vec_id, e.v,
+               list_min(list_transform(ctr{r}.cvs, cv ->
+                 list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65),
+                     i -> (e.v[i] - cv[i]) * (e.v[i] - cv[i]))),
+                   (x, y) -> x + y))) AS dmin
+        FROM e, ctr{r}
+        WHERE e.vec_id NOT IN ({" UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, r))})
+      ) ORDER BY dmin DESC, vec_id LIMIT 1
+    )""")
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS sel_rank, vec_id, "
+        + ("CAST(NULL AS DOUBLE) AS dmin" if r == 1 else "dmin")
+        + f" FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return ",".join(parts) + f"\n    {tail}"
+
+
+@register_bench_only("q_kcenter_coreset", oracle=_kcenter_oracle(6))
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection — Sener & Savarese 2018
+    (operators/selection.kcenter_greedy): seed with the smallest id,
+    then 5 times pick the point farthest (ordered-fold squared L2) from
+    its nearest chosen center, ties by id.  Output row r's dmin is the
+    k-center coverage radius after r-1 centers — the whole objective
+    curve, monotone non-increasing, hash-gated alongside the picks
+    themselves (oracle unrolls all 6 rounds CTE for CTE, the
+    kmeans-oracle discipline).
+
+    Scale: each round is ONE narrow pass — chosen centers travel as a
+    single broadcast row (k x dim doubles; the driver never holds a
+    data-sized frame), dmin is a map-side array_min expression, the
+    argmax is TakeOrdered(1), and lineage is cut per round so the plan
+    stays O(1) deep.  O(N*k) total work is the algorithm's bound, not a
+    plan artifact; at 100 TB run it on the post-dedup sample the
+    coreset is meant to summarize."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SEL.kcenter_greedy(emb, k=6)

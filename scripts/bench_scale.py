@@ -341,6 +341,22 @@ def main() -> None:
         ),
     })
 
+    # r12 selection family: fixed query set (the blow-up shifts ids, so
+    # vec_id < q keeps the same 8/32 queries) against a 10x candidate
+    # side — the expected shape is candidate-linear for the two scorers
+    # and rounds x scan for the coreset.
+    from pimdb_spark.operators import selection as SEL
+
+    ops.update({
+        "hard_negatives": lambda d: SEL.hard_negative_mining(
+            emb(d).filter(F.col("vec_id") < 8), emb(d), k=3
+        ),
+        "knn_label_errors": lambda d: SEL.knn_label_errors(
+            emb(d).filter(F.col("vec_id") < 32), emb(d), k=5
+        ),
+        "kcenter_coreset": lambda d: SEL.kcenter_greedy(emb(d), k=6),
+    })
+
     def _quality_classifier(d):
         from pimdb_spark.operators.classify import (
             hashed_token_features,

@@ -234,7 +234,16 @@ def test_no_plan_red_flags(spark, name, entry):
       N_raw, the add-one denominators) cross-joined onto the per-doc
       feature rows — the same one-row broadcast shape as
       q_ngram_lm_score's totals attach; the feature/model joins proper
-      are broadcast HASH joins on the B-row tables."""
+      are broadcast HASH joins on the B-row tables.
+    - q_hard_negatives: q_int8_ann_topk's exact brute-force broadcast
+      shape (bounded query set against the quantized candidate pass) —
+      mining changes the label predicate and adds a bounded positive-
+      best hash join, not a second nested-loop; the scale path composes
+      the LSH/IVF equi-join candidate generators unchanged.
+    - q_knn_label_errors: the same q_int8_ann_topk brute shape feeding
+      the vote stage — everything after the top-k is bounded by
+      queries x k rows, and candidate generation composes with IVF/LSH
+      equi-joins at corpus scale."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -264,6 +273,8 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_bpe_apply",
         "q_bpe_train_batched",
         "q_dsir_importance",
+        "q_hard_negatives",
+        "q_knn_label_errors",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
