@@ -347,14 +347,20 @@ def main() -> None:
     # and rounds x scan for the coreset.
     from pimdb_spark.operators import selection as SEL
 
+    # repartition(32) pins candidate-side parallelism: the sf0.1
+    # embeddings table is ONE parquet file, so without it the broadcast
+    # scorer runs single-core at 1x and the ratio measures partition-count
+    # luck, not CPU linearity (the jpeg_color_stats lesson).
     ops.update({
         "hard_negatives": lambda d: SEL.hard_negative_mining(
-            emb(d).filter(F.col("vec_id") < 8), emb(d), k=3
+            emb(d).filter(F.col("vec_id") < 8), emb(d).repartition(32), k=3
         ),
         "knn_label_errors": lambda d: SEL.knn_label_errors(
-            emb(d).filter(F.col("vec_id") < 32), emb(d), k=5
+            emb(d).filter(F.col("vec_id") < 32), emb(d).repartition(32), k=5
         ),
-        "kcenter_coreset": lambda d: SEL.kcenter_greedy(emb(d), k=6),
+        "kcenter_coreset": lambda d: SEL.kcenter_greedy(
+            emb(d).repartition(32), k=6
+        ),
     })
 
     def _quality_classifier(d):
