@@ -613,10 +613,13 @@ def q_ngram_lm_score_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical plan shape to q_ngram_lm_score plus one more
     reference-sized broadcast (unigram counts) and a one-row totals
     attach; the scoring pass stays shuffle-free until the per-doc
-    groupBy."""
+    groupBy.  repartition(32) pins that CPU-bound pre-shuffle scoring
+    pass past the SF dir's 2-split scan (the jpeg/minhash single-core
+    trap; measured 3.4 s -> 1.6 s for identical rows) — a no-op at
+    production split counts."""
     from pimdb_spark.operators.lm import ngram_lm_score_interpolated
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(32)
     ref = docs.filter(F.col("lang") == "en")
     return ngram_lm_score_interpolated(docs, ref)
 
@@ -682,10 +685,13 @@ def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of spans vs the duplicated-span set + a per-doc coverage
     distinct bounded at n_tokens rows — the span hash is the blocking
     key, no all-pairs stage exists.  The 128-bit key is also ~10x
-    narrower on the wire than a raw production-sized (50-token) span."""
+    narrower on the wire than a raw production-sized (50-token) span.
+    repartition(32) pins the CPU-bound span-hash explode past the SF
+    dir's 2-split scan (measured 2.2 s -> 1.5 s; the jpeg/minhash
+    single-core trap) — a no-op at production split counts."""
     from pimdb_spark.operators.dedup import dup_span_excise
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(32)
     return dup_span_excise(docs, n=5, min_count=2)
 
 
