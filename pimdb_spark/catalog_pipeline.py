@@ -1079,3 +1079,81 @@ def q_hll_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split(F.col("text"), " ")).alias("item")
     )
     return hll_group_estimate(toks, "lang", "item")
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# DISTRIBUTION member of the sketch family (bloom = membership/OR,
+# CMS = frequency/SUM, HLL = cardinality/MAX, EH = quantiles/SUM).
+@register_bench_only(
+    "q_quantile_sketch",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+    ), k AS (
+      SELECT CAST(length(bin(v)) AS BIGINT) * 16
+               + (v >> greatest(length(bin(v)) - 4, 0)) AS bkey,
+             CAST((v >> greatest(length(bin(v)) - 4, 0))
+               << greatest(length(bin(v)) - 4, 0) AS BIGINT) AS lo
+      FROM v
+    ), b AS (
+      SELECT bkey, lo, count(*) AS cnt FROM k GROUP BY bkey, lo
+    ), cum AS (
+      SELECT bkey, lo, cnt,
+             sum(cnt) OVER (ORDER BY bkey ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ), n AS (SELECT count(*) AS n FROM v),
+    t AS (
+      SELECT q_bp, (CAST(q_bp AS BIGINT) * n.n + 9999) // 10000 AS rank
+      FROM (VALUES (5000), (9000), (9900)) AS q(q_bp), n
+    ), est AS (
+      SELECT t.q_bp, t.rank, min(cum.lo) AS est
+      FROM cum JOIN t ON cum.cum >= t.rank
+      GROUP BY t.q_bp, t.rank
+    ), sorted AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+    )
+    SELECT CAST(est.q_bp AS INTEGER) AS q_bp,
+           CAST(est.rank AS BIGINT) AS rank,
+           CAST(est.est AS BIGINT) AS est,
+           CAST(s.v AS BIGINT) AS exact,
+           CAST(s.v - est.est AS BIGINT) AS abs_gap
+    FROM est JOIN sorted s ON s.rn = est.rank
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length via the exponential-histogram
+    quantile sketch (operators/sketch.eh_buckets + eh_quantiles) —
+    the distribution member of the sketch family, and the deterministic
+    engine-portable stand-in for approx_percentile / t-digest (whose
+    randomized internals can never be oracle-exact).  Buckets key on
+    (bitlength, top-4-bits) of the value — length(bin(v)), the HLL
+    trick — so both engines build the identical cell table; counts are
+    exact BIGINT sums; the readout rank ceil(q*N) and the bucket lower
+    bound are all integer arithmetic.  Output per quantile: (q_bp,
+    rank, est, exact, abs_gap) where exact is the true rank-r value —
+    the sketch's error, est <= exact < est * (1 + 2^-3), is hash-gated
+    row by row (the ann_recall quality-gate discipline; the exact side's
+    full-sort rank lookup is the calibration ground truth, not the
+    production path).
+
+    Scale: the sketch is ONE map-side-combined groupBy capped at the
+    cell count (<= 64 octaves x 8 sub-buckets) per task — the CMS
+    shape; the readout is bounded x 3 arithmetic.  Merge = cell-wise
+    SUM (disjoint slices, the CMS contract); streams exactly-once via
+    streaming/sketch.eh_stream."""
+    from pyspark.sql import Window
+
+    from pimdb_spark.operators.sketch import eh_buckets, eh_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").cast("bigint").alias("v"))
+    est = eh_quantiles(eh_buckets(vals, "v"), [5000, 9000, 9900])
+    w = Window.orderBy("v")
+    ranked = vals.select("v", F.row_number().over(w).alias("rn"))
+    return ranked.join(F.broadcast(est), F.col("rn") == F.col("rank")).select(
+        "q_bp",
+        "rank",
+        "est",
+        F.col("v").alias("exact"),
+        (F.col("v") - F.col("est")).cast("bigint").alias("abs_gap"),
+    )

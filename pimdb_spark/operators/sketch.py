@@ -303,3 +303,119 @@ def hll_group_estimate(
             f" + CAST({m} - count(1) AS DOUBLE))"
         ).alias("raw_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential-histogram quantile sketch — the DISTRIBUTION member of the
+# sketch family (bloom = membership/OR, CMS = frequency/SUM, HLL =
+# cardinality/MAX, EH = quantiles/SUM).  Appended self-contained (the
+# trio above is byte-untouched).
+
+EH_SUB_BITS = 3  # sub-buckets per octave; relative error <= 2^-3 = 12.5%
+
+
+def eh_buckets(
+    items: DataFrame, value_col: str, sub_bits: int = EH_SUB_BITS
+) -> DataFrame:
+    """Exponential-histogram bucket table over POSITIVE BIGINT values:
+    (bkey BIGINT, lo BIGINT, cnt BIGINT), where a value v with
+    bitlength b falls in the bucket keyed by its top (1 + sub_bits)
+    bits s at octave b — bkey = b * 2^(sub_bits+1) + s — and `lo` is the
+    bucket's smallest member (s back-shifted).  Bucket width over lo is
+    <= 2^-sub_bits, which bounds the quantile estimate's relative error;
+    values below 2^(sub_bits+1) get singleton buckets (exact).
+
+    The sketch is the standard fixed-memory quantile pre-pass (the
+    deterministic engine-portable stand-in for approx_percentile /
+    t-digest, whose randomized internals can never be oracle-exact):
+    <= 64 octaves x 2^sub_bits sub-buckets = a few hundred cells
+    whatever the row count.
+
+    Portability: bitlength = length(bin(v)) (`bin` zero-pad-free in
+    both engines, the HLL trick); the top-bits slice is one variable
+    shiftright (SQL form — the python F.shiftleft wrapper takes only
+    literal shifts); counts are exact BIGINT sums.
+
+    Scale: ONE map-side-combined groupBy capped at the cell count per
+    task — the CMS shape.  Sums are associative/commutative but not
+    idempotent: merging follows the CMS contract (disjoint slices
+    only), and the sketch streams exactly-once, not replay-safe.
+
+    Values <= 0 are rejected loudly (the log-domain bucketing is
+    undefined there); shift non-positive domains before sketching."""
+    v = F.col(value_col).cast("bigint")
+    checked = F.when(v <= 0, F.raise_error(
+        F.concat(F.lit("eh_buckets: value must be positive, got "),
+                 v.cast("string")))).otherwise(v)
+    items = items.select(checked.alias("_v"))
+    bl = F.length(F.bin(F.col("_v"))).cast("int")
+    width = sub_bits + 1
+    keyed = items.select(
+        F.col("_v"),
+        bl.alias("_bl"),
+        F.expr(f"shiftright(_v, greatest(length(bin(_v)) - {width}, 0))")
+        .cast("bigint")
+        .alias("_s"),
+    ).select(
+        (F.col("_bl").cast("bigint") * F.lit(2 ** width) + F.col("_s"))
+        .alias("bkey"),
+        F.expr(
+            f"shiftleft(shiftright(_v, greatest(length(bin(_v)) - {width}, 0)),"
+            f" greatest(length(bin(_v)) - {width}, 0))"
+        ).cast("bigint").alias("lo"),
+    )
+    return keyed.groupBy("bkey", "lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def eh_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge EH bucket tables cell-wise (sum) — same contract as
+    cms_merge: sketches over DISJOINT slices combine into the sketch of
+    the union stream; overlapping slices double-count."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bkey", "lo").agg(F.sum("cnt").alias("cnt"))
+
+
+def eh_quantiles(
+    buckets: DataFrame, quantiles_bp: list[int]
+) -> DataFrame:
+    """Quantile estimates from an EH bucket table: for each requested
+    quantile q (in basis points, e.g. 5000 / 9000 / 9900), the `lo` of
+    the first bucket (in value order) whose cumulative count reaches
+    rank ceil(q * N) — the standard sketch readout, and INTEGER-EXACT
+    end to end: rank = (q_bp * N + 9999) div 10000 is one BIGINT
+    expression, the cumulative walk is a window sum over the bounded
+    bucket table, and the estimate is the bucket's exact BIGINT lower
+    bound (true value < est * (1 + 2^-sub_bits) by construction).
+
+    Output: (q_bp INT, rank BIGINT, est BIGINT), one row per requested
+    quantile.  An EMPTY sketch yields zero rows (no distribution — the
+    documented contract; callers LEFT JOIN if they need NULL rows).
+
+    Scale: everything after the sketch is bounded by the cell count —
+    the single-partition window over <= a few hundred rows is the
+    bounded-aggregate tail, not a data-sized sort."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bkey").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "bkey", "lo", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    total = buckets.agg(F.sum("cnt").alias("n"))
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("int") for q in quantiles_bp])
+    ).alias("q_bp")
+    targets = total.select(qs, F.col("n")).select(
+        "q_bp",
+        F.expr("CAST((CAST(q_bp AS BIGINT) * n + 9999) div 10000 AS BIGINT)")
+        .alias("rank"),
+    )
+    hit = (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("rank"))
+        .groupBy("q_bp", "rank")
+        .agg(F.min("lo").alias("est"))
+    )
+    return hit.select("q_bp", "rank", "est")

@@ -50,3 +50,20 @@ def hll_registers_stream(items: DataFrame, item_col: str) -> DataFrame:
     from pimdb_spark.operators.sketch import hll_registers
 
     return hll_registers(items, item_col)
+
+
+def eh_stream(items: DataFrame, value_col: str, sub_bits: int = 3) -> DataFrame:
+    """The continuously-maintained exponential-histogram bucket frame
+    over a streaming (or batch — same plan) positive-value source —
+    live quantile tracking with <= 64 x 2^sub_bits rows of state.
+    Counts are SUMS like the CMS (associative/commutative, NOT
+    idempotent): replays double-count, so the exactly-once-source
+    contract applies — the cms_stream contract, not the bloom/HLL one.
+    Use with ``outputMode("complete")``; feed the emitted frame to
+    operators/sketch.eh_quantiles for live percentiles.
+
+    Drained-batch equality across micro-batch splits is asserted in
+    tests/test_streaming_sketch.py."""
+    from pimdb_spark.operators.sketch import eh_buckets
+
+    return eh_buckets(items, value_col, sub_bits)

@@ -361,6 +361,13 @@ def main() -> None:
         "kcenter_coreset": lambda d: SEL.kcenter_greedy(
             emb(d).repartition(32), k=6
         ),
+        # EH quantile sketch: one map-side-combined groupBy bounded at
+        # the cell count — the flattest sketch shape (CMS economics)
+        "quantile_sketch": lambda d: __import__(
+            "pimdb_spark.operators.sketch", fromlist=["eh_buckets"]
+        ).eh_buckets(
+            docs(d).select(F.col("n_chars").cast("bigint").alias("v")), "v"
+        ),
     })
 
     def _quality_classifier(d):

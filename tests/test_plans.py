@@ -243,7 +243,13 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_knn_label_errors: the same q_int8_ann_topk brute shape feeding
       the vote stage — everything after the top-k is bounded by
       queries x k rows, and candidate generation composes with IVF/LSH
-      equi-joins at corpus scale."""
+      equi-joins at corpus scale.
+    - q_quantile_sketch: the readout joins the <=512-row bounded EH
+      bucket table against the 3-row quantile-target frame (non-equi
+      cum >= rank) — bounded x bounded, corpus-size-independent; the
+      sketch build itself is one map-side-combined groupBy (the CMS
+      shape), and the exact side is the quality-gate ground truth
+      (rank lookup via one full sort, the ann_recall discipline)."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -275,6 +281,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_dsir_importance",
         "q_hard_negatives",
         "q_knn_label_errors",
+        "q_quantile_sketch",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

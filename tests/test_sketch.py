@@ -244,3 +244,97 @@ def test_hll_estimate_empty_sketch_is_defined_constant(spark):
     assert row.raw_estimate is not None
     # same expression shape the operator evaluates: alpha * m^2 / (0 + m)
     assert row.raw_estimate == (0.7213 / (1.0 + 1.079 / m)) * m * m / m
+
+
+# ---------------------------------------------------------------- EH quantile
+
+
+def _eh_model(vals, sub_bits=3):
+    """Python replica of eh_buckets: (bkey, lo) -> cnt."""
+    cells = {}
+    for v in vals:
+        assert v > 0
+        bl = v.bit_length()
+        shift = max(bl - (sub_bits + 1), 0)
+        s = v >> shift
+        key = (bl * (2 ** (sub_bits + 1)) + s, s << shift)
+        cells[key] = cells.get(key, 0) + 1
+    return cells
+
+
+def test_eh_buckets_match_python_model(spark):
+    import random
+
+    from pimdb_spark.operators.sketch import eh_buckets
+
+    rng = random.Random(13)
+    vals = [rng.randint(1, 10**9) for _ in range(500)] + [1, 2, 15, 16, 17]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {(r.bkey, r.lo): r.cnt for r in eh_buckets(df, "v").collect()}
+    assert got == _eh_model(vals)
+    # hard-bounded cells: <= 64 octaves x 2^sub_bits sub-buckets
+    assert len(got) <= 64 * 16
+
+
+def test_eh_quantiles_bounds_and_exactness(spark):
+    """est <= exact < est * (1 + 2^-sub_bits) for every quantile; small
+    values (singleton buckets) read back EXACT."""
+    import random
+
+    from pimdb_spark.operators.sketch import eh_buckets, eh_quantiles
+
+    rng = random.Random(17)
+    vals = [rng.randint(1, 10**7) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [1000, 5000, 9000, 9900]
+    got = {
+        r.q_bp: r for r in eh_quantiles(eh_buckets(df, "v"), qs).collect()
+    }
+    sv = sorted(vals)
+    n = len(vals)
+    for q in qs:
+        rank = (q * n + 9999) // 10000
+        exact = sv[rank - 1]
+        r = got[q]
+        assert r.rank == rank
+        assert r.est <= exact < r.est + max(r.est >> 3, 1) + 1, (q, r, exact)
+    # estimates are monotone in the quantile
+    ests = [got[q].est for q in qs]
+    assert all(a <= b for a, b in zip(ests, ests[1:]))
+    # singleton-bucket regime: values < 16 are exact
+    small = spark.createDataFrame([(v % 15 + 1,) for v in vals], "v long")
+    gs = {
+        r.q_bp: r
+        for r in eh_quantiles(eh_buckets(small, "v"), [5000]).collect()
+    }
+    ssv = sorted(v % 15 + 1 for v in vals)
+    assert gs[5000].est == ssv[(5000 * n + 9999) // 10000 - 1]
+
+
+def test_eh_merge_disjoint_slices_equal_union(spark):
+    from pimdb_spark.operators.sketch import eh_buckets, eh_merge
+
+    vals = list(range(1, 401))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    a = eh_buckets(df.filter(F.col("v") % 2 == 0), "v")
+    b = eh_buckets(df.filter(F.col("v") % 2 == 1), "v")
+    merged = {(r.bkey, r.lo): r.cnt for r in eh_merge(a, b).collect()}
+    union = {(r.bkey, r.lo): r.cnt for r in eh_buckets(df, "v").collect()}
+    assert merged == union
+
+
+def test_eh_rejects_nonpositive_values(spark):
+    import pytest as _pytest
+
+    from pimdb_spark.operators.sketch import eh_buckets
+
+    df = spark.createDataFrame([(5,), (0,)], "v long")
+    with _pytest.raises(Exception, match="positive"):
+        eh_buckets(df, "v").collect()
+
+
+def test_eh_empty_sketch_yields_no_quantiles(spark):
+    from pimdb_spark.operators.sketch import eh_buckets, eh_quantiles
+
+    df = spark.createDataFrame([], "v long")
+    assert eh_quantiles(eh_buckets(df, "v"), [5000]).collect() == []

@@ -137,3 +137,55 @@ def test_streaming_hll_matches_batch_exactly(spark, tmp_path):
         hll_registers(toks_of(docs), "item")
     ).collect()[0].raw_estimate
     assert e1 == e2
+
+
+def test_streaming_eh_matches_batch_exactly(spark, tmp_path):
+    """EH bucket counts over a 2-micro-batch stream equal the batch
+    sketch cell for cell (SUM state — the cms_stream exactly-once
+    contract), and stay hard-bounded."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.sketch import eh_buckets
+    from pimdb_spark.streaming.sketch import eh_stream
+
+    docs = load(spark, SF, "documents").select("doc_id", "n_chars")
+
+    src = tmp_path / "eh_stream_src"
+    src.mkdir()
+    for name, half in (("a", 0), ("b", 1)):
+        stage = tmp_path / f"eh_stage_{name}"
+        docs.filter(F.col("doc_id") % 2 == half).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        eh_stream(stream.select(F.col("n_chars").alias("v")), "v")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("eh_stream_q")
+        .option("checkpointLocation", str(tmp_path / "eh_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "expected the halves in separate micro-batches"
+
+    got = {
+        (r.bkey, r.lo): r.cnt
+        for r in spark.sql("SELECT * FROM eh_stream_q").collect()
+    }
+    want = {
+        (r.bkey, r.lo): r.cnt
+        for r in eh_buckets(
+            docs.select(F.col("n_chars").alias("v")), "v"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) <= 64 * 16
