@@ -1157,3 +1157,92 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("exact"),
         (F.col("v") - F.col("est")).cast("bigint").alias("abs_gap"),
     )
+
+
+# Bench-only (pytest-gated oracle) — the GROUPED quantile sketch, the
+# eh analogue of q_hll_group_distinct: percentile-per-source without a
+# per-group full sort.
+@register_bench_only(
+    "q_group_quantile_sketch",
+    oracle="""
+    WITH v AS (
+      SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents
+    ), k AS (
+      SELECT grp,
+             CAST(length(bin(v)) AS BIGINT) * 16
+               + (v >> greatest(length(bin(v)) - 4, 0)) AS bkey,
+             CAST((v >> greatest(length(bin(v)) - 4, 0))
+               << greatest(length(bin(v)) - 4, 0) AS BIGINT) AS lo
+      FROM v
+    ), b AS (
+      SELECT grp, bkey, lo, count(*) AS cnt FROM k GROUP BY grp, bkey, lo
+    ), cum AS (
+      SELECT grp, bkey, lo, cnt,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY bkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ), n AS (SELECT grp, count(*) AS n FROM v GROUP BY grp),
+    t AS (
+      SELECT n.grp, q.q_bp,
+             (CAST(q.q_bp AS BIGINT) * n.n + 9999) // 10000 AS rank
+      FROM (VALUES (5000), (9000)) AS q(q_bp), n
+    ), est AS (
+      SELECT t.grp, t.q_bp, t.rank, min(cum.lo) AS est
+      FROM cum JOIN t ON cum.grp = t.grp AND cum.cum >= t.rank
+      GROUP BY t.grp, t.q_bp, t.rank
+    ), sorted AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+      FROM v
+    )
+    SELECT est.grp AS source, CAST(est.q_bp AS INTEGER) AS q_bp,
+           CAST(est.rank AS BIGINT) AS rank,
+           CAST(est.est AS BIGINT) AS est,
+           CAST(s.v AS BIGINT) AS exact,
+           CAST(s.v - est.est AS BIGINT) AS abs_gap
+    FROM est JOIN sorted s ON s.grp = est.grp AND s.rn = est.rank
+    """,
+)
+def q_group_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90 of document length via the GROUPED
+    exponential-histogram sketch (operators/sketch.eh_group_buckets +
+    eh_group_quantiles) — the at-scale "percentile per source /
+    language / day" shape, exactly as hll_group_estimate is the at-scale
+    count-DISTINCT-GROUP-BY: one map-side-combined groupBy capped at
+    |groups| x cells rows per task, then a bounded per-group readout —
+    no per-group full sort ever happens.  The q_quantile_sketch
+    arithmetic with a group key: every step integer, est <= exact <
+    est * (1 + 2^-3) hash-gated row by row against the true per-group
+    rank values (the quality-gate discipline; the exact side's
+    per-group sort is calibration, not the production path).
+
+    Scale: the readout's cum >= rank pick rides as a post-filter on a
+    grp HASH equi-join of two bounded frames — no nested loop, no
+    allowlist slot needed."""
+    from pimdb_spark.operators.sketch import (
+        eh_group_buckets,
+        eh_group_quantiles,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("source").alias("grp"), F.col("n_chars").cast("bigint").alias("v")
+    )
+    est = eh_group_quantiles(eh_group_buckets(vals, "grp", "v"), [5000, 9000])
+    w = Window.partitionBy("grp").orderBy("v")
+    ranked = vals.select("grp", "v", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(
+            F.broadcast(est),
+            (ranked.grp == est.grp) & (F.col("rn") == F.col("rank")),
+        )
+        .select(
+            est.grp.alias("source"),
+            "q_bp",
+            "rank",
+            "est",
+            F.col("v").alias("exact"),
+            (F.col("v") - F.col("est")).cast("bigint").alias("abs_gap"),
+        )
+    )

@@ -419,3 +419,76 @@ def eh_quantiles(
         .agg(F.min("lo").alias("est"))
     )
     return hit.select("q_bp", "rank", "est")
+
+
+def eh_group_buckets(
+    items: DataFrame,
+    group_col: str,
+    value_col: str,
+    sub_bits: int = EH_SUB_BITS,
+) -> DataFrame:
+    """Per-group exponential-histogram bucket table: (grp, bkey, lo,
+    cnt) — the GROUPED form of eh_buckets, exactly as hll_group_estimate
+    is the grouped HLL: the at-scale shape of "percentile per source /
+    language / day" when a full sort per group is too wide.  Same
+    derivation, same portability, same loud non-positive reject; the
+    single map-side-combined groupBy caps at |groups| x cells rows per
+    task."""
+    v = F.col(value_col).cast("bigint")
+    checked = F.when(v <= 0, F.raise_error(
+        F.concat(F.lit("eh_group_buckets: value must be positive, got "),
+                 v.cast("string")))).otherwise(v)
+    width = sub_bits + 1
+    keyed = items.select(
+        F.col(group_col).alias("grp"), checked.alias("_v")
+    ).select(
+        "grp",
+        (F.length(F.bin(F.col("_v"))).cast("bigint") * F.lit(2 ** width)
+         + F.expr(f"shiftright(_v, greatest(length(bin(_v)) - {width}, 0))"))
+        .alias("bkey"),
+        F.expr(
+            f"shiftleft(shiftright(_v, greatest(length(bin(_v)) - {width}, 0)),"
+            f" greatest(length(bin(_v)) - {width}, 0))"
+        ).cast("bigint").alias("lo"),
+    )
+    return keyed.groupBy("grp", "bkey", "lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def eh_group_quantiles(
+    buckets: DataFrame, quantiles_bp: list[int]
+) -> DataFrame:
+    """Per-group quantile readout from an eh_group_buckets table:
+    (grp, q_bp, rank, est), one row per group per requested quantile —
+    the same integer-exact walk as eh_quantiles with every step keyed by
+    group.  The cum >= rank pick rides as a post-filter on the grp HASH
+    equi-join (never a nested loop over data), and both sides are
+    bounded: |groups| x cells and |groups| x |quantiles|."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = buckets.select(
+        "grp", "bkey", "lo", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    totals = buckets.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("int") for q in quantiles_bp])
+    ).alias("q_bp")
+    targets = totals.select("grp", qs, "n").select(
+        "grp",
+        "q_bp",
+        F.expr("CAST((CAST(q_bp AS BIGINT) * n + 9999) div 10000 AS BIGINT)")
+        .alias("rank"),
+    )
+    return (
+        cum.join(F.broadcast(targets), "grp")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("grp", "q_bp", "rank")
+        .agg(F.min("lo").alias("est"))
+        .select("grp", "q_bp", "rank", "est")
+    )

@@ -338,3 +338,36 @@ def test_eh_empty_sketch_yields_no_quantiles(spark):
 
     df = spark.createDataFrame([], "v long")
     assert eh_quantiles(eh_buckets(df, "v"), [5000]).collect() == []
+
+
+def test_eh_group_quantiles_match_per_group_global(spark):
+    """Group isolation: each group's quantiles equal the ungrouped
+    sketch run on that group's slice alone (the hll_group_estimate
+    bit-equality discipline)."""
+    import random
+
+    from pimdb_spark.operators.sketch import (
+        eh_buckets,
+        eh_group_buckets,
+        eh_group_quantiles,
+        eh_quantiles,
+    )
+
+    rng = random.Random(23)
+    rows = [(f"g{i % 3}", rng.randint(1, 10**6)) for i in range(600)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        (r.grp, r.q_bp): (r.rank, r.est)
+        for r in eh_group_quantiles(
+            eh_group_buckets(df, "grp", "v"), [5000, 9000]
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        lone = {
+            r.q_bp: (r.rank, r.est)
+            for r in eh_quantiles(
+                eh_buckets(df.filter(F.col("grp") == g), "v"), [5000, 9000]
+            ).collect()
+        }
+        for q in (5000, 9000):
+            assert got[(g, q)] == lone[q], (g, q)
