@@ -1246,7 +1246,6 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pytest-gated oracles) per the window-budget policy — the driver window
 # is full this round; these head the promotion line with the PQ entries.
 
-from pimdb_spark.catalog import register_bench_only  # noqa: E402
 from pimdb_spark.operators import selection as SEL  # noqa: E402
 
 # int8 quantization CTE carrying the label column (the selection family

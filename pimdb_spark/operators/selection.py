@@ -36,6 +36,40 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str, pfx: str, *extra: str) 
     )
 
 
+def _labeled_scored(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """Shared labeled scoring stage for the selection family — the
+    similarity._int8_brute pattern with label columns carried through:
+    broadcast the quantized query side, stream the candidates once,
+    exclude self-matches, emit (q_id, q_<label>, c_id, c_<label>, qcos)
+    with the round-4 discipline.  The query side is lazily
+    localCheckpoint-ed (the self-join HOF rebind guard)."""
+    q = _quantized(queries, id_col, vec_col, "q", label_col).localCheckpoint(
+        eager=False
+    )
+    c = _quantized(candidates, id_col, vec_col, "c", label_col)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            f"q_{label_col}",
+            "c_id",
+            f"c_{label_col}",
+            int8_score().alias("qcos"),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("qcos", F.round("qcos", round_digits))
+    return scored
+
+
 def hard_negative_mining(
     queries: DataFrame,
     candidates: DataFrame,
@@ -59,43 +93,29 @@ def hard_negative_mining(
     not a zero score).
 
     Scale: identical plan economics to int8_ann_topk — the query side
-    broadcasts, candidates stream through one pass (8x narrower than
-    float on the wire), WindowGroupLimit keeps k per query.  The label
-    filter is applied AFTER the broadcast join (it prunes rows, not
-    bytes); at corpus scale compose with the LSH/IVF candidate
-    generators exactly as the other quantized scorers do — mining
-    changes the predicate, not the join strategy.
+    broadcasts, candidates stream through ONE pass (8x narrower than
+    float on the wire; the scoring expressions evaluate once), then a
+    single q_id shuffle serves BOTH readouts: the positive best is a
+    whole-partition MAX window and the negative top-k a rank window
+    over the same exchange (no second scoring pass, no extra join).
+    The label predicates prune rows, not bytes; at corpus scale compose
+    with the LSH/IVF candidate generators exactly as the other
+    quantized scorers do — mining changes the predicate, not the join
+    strategy.
     """
-    q = _quantized(queries, id_col, vec_col, "q", label_col).localCheckpoint(
-        eager=False
+    scored = _labeled_scored(
+        queries, candidates, id_col, vec_col, label_col, round_digits
     )
-    c = _quantized(candidates, id_col, vec_col, "c", label_col)
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            f"q_{label_col}",
-            "c_id",
-            f"c_{label_col}",
-            int8_score().alias("qcos"),
-        )
+    same = F.col(f"c_{label_col}") == F.col(f"q_{label_col}")
+    wq = Window.partitionBy("q_id")
+    with_pos = scored.withColumn(
+        "pos_qcos", F.max(F.when(same, F.col("qcos"))).over(wq)
     )
-    if round_digits is not None:
-        scored = scored.withColumn("qcos", F.round("qcos", round_digits))
-    neg = scored.filter(F.col(f"c_{label_col}") != F.col(f"q_{label_col}"))
     w = Window.partitionBy("q_id").orderBy(F.desc("qcos"), "c_id")
-    neg_topk = (
-        neg.withColumn("neg_rank", F.row_number().over(w))
-        .filter(F.col("neg_rank") <= k)
-    )
-    pos_best = (
-        scored.filter(F.col(f"c_{label_col}") == F.col(f"q_{label_col}"))
-        .groupBy("q_id")
-        .agg(F.max("qcos").alias("pos_qcos"))
-    )
     return (
-        neg_topk.join(F.broadcast(pos_best), "q_id", "left")
+        with_pos.filter(~same)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
         .select(
             "q_id",
             F.col(f"q_{label_col}").alias("q_label"),
@@ -136,23 +156,9 @@ def knn_label_errors(
     not the corpus.  Compose with IVF/LSH candidate generation at
     corpus scale; the vote is oblivious to how candidates were found.
     """
-    q = _quantized(queries, id_col, vec_col, "q", label_col).localCheckpoint(
-        eager=False
+    scored = _labeled_scored(
+        queries, candidates, id_col, vec_col, label_col, round_digits
     )
-    c = _quantized(candidates, id_col, vec_col, "c", label_col)
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            f"q_{label_col}",
-            "c_id",
-            f"c_{label_col}",
-            int8_score().alias("qcos"),
-        )
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("qcos", F.round("qcos", round_digits))
     w = Window.partitionBy("q_id").orderBy(F.desc("qcos"), "c_id")
     knn = scored.withColumn("nn_rank", F.row_number().over(w)).filter(
         F.col("nn_rank") <= k

@@ -341,12 +341,17 @@ def eh_buckets(
     idempotent: merging follows the CMS contract (disjoint slices
     only), and the sketch streams exactly-once, not replay-safe.
 
-    Values <= 0 are rejected loudly (the log-domain bucketing is
-    undefined there); shift non-positive domains before sketching."""
+    Values <= 0 and NULL are rejected loudly (the log-domain bucketing
+    is undefined there; a silently-admitted NULL would inflate N and
+    shift every rank); shift non-positive domains and filter NULLs
+    before sketching."""
     v = F.col(value_col).cast("bigint")
-    checked = F.when(v <= 0, F.raise_error(
+    # when(v > 0) so NULL values fall to the raising branch too — the
+    # inverse predicate when(v <= 0) is NULL for NULL v and would pass
+    # the row through as a silent (NULL, NULL) bucket
+    checked = F.when(v > 0, v).otherwise(F.raise_error(
         F.concat(F.lit("eh_buckets: value must be positive, got "),
-                 v.cast("string")))).otherwise(v)
+                 F.coalesce(v.cast("string"), F.lit("NULL")))))
     items = items.select(checked.alias("_v"))
     bl = F.length(F.bin(F.col("_v"))).cast("int")
     width = sub_bits + 1
@@ -435,9 +440,10 @@ def eh_group_buckets(
     single map-side-combined groupBy caps at |groups| x cells rows per
     task."""
     v = F.col(value_col).cast("bigint")
-    checked = F.when(v <= 0, F.raise_error(
+    # when(v > 0): NULLs fall to the raising branch (see eh_buckets)
+    checked = F.when(v > 0, v).otherwise(F.raise_error(
         F.concat(F.lit("eh_group_buckets: value must be positive, got "),
-                 v.cast("string")))).otherwise(v)
+                 F.coalesce(v.cast("string"), F.lit("NULL")))))
     width = sub_bits + 1
     keyed = items.select(
         F.col(group_col).alias("grp"), checked.alias("_v")

@@ -371,3 +371,15 @@ def test_eh_group_quantiles_match_per_group_global(spark):
         }
         for q in (5000, 9000):
             assert got[(g, q)] == lone[q], (g, q)
+
+
+def test_eh_rejects_null_values(spark):
+    """NULL is rejected like non-positive values — a silently-admitted
+    NULL bucket would inflate N and shift every rank."""
+    import pytest as _pytest
+
+    from pimdb_spark.operators.sketch import eh_buckets
+
+    df = spark.createDataFrame([(5,), (None,)], "v long")
+    with _pytest.raises(Exception, match="positive"):
+        eh_buckets(df, "v").collect()
