@@ -280,118 +280,115 @@ _CHECK_FIRST: list[str] = [
     # every round by scripts/derive_rotation.py as (new entries) +
     # (changed entries) + (entries that failed last round) + (entries
     # outside last round's window, stalest attestation first, ties in
-    # registration order).  Round-12 derivation over the 149-entry
-    # registry (after promoting q_hll_distinct / q_ann_recall_lsh from
-    # bench-only into 2 of the 3 slots round 11's window freed — the
-    # third slot is consumed by q_lsh_multitable_topk, CHANGED this round
-    # by the n_tables*n_bits <= dim guard): 2 new + 1 changed + 0 failed
-    # + stalest-first; the 47 r9-attested names head the stale group, so
-    # the round-12 driver window is exactly 2 + 1 + 47 = 50 and
-    # derive_rotation.py verified registry \ (r10 ∪ r11 ∪ r12 windows)
-    # = ∅ — the three-round invariant holds at 149/150 capacity.
-    # -- new this round --
-    "q_hll_distinct",
-    "q_ann_recall_lsh",
+    # registration order).  Round-13 derivation over the 145-entry
+    # registry (after the r12-verdict-ordered consolidation demoted
+    # q_minhash_signatures / q_ngram_jaccard_pairs — two of the four
+    # word_shingles-changed entries — plus the literal twins
+    # q_multimodal_decode_pinned / q_bpe_apply to register_bench_only
+    # with their oracles kept in _EXTRA_BENCH_ORACLE): 0 new + 2 changed
+    # (q_minhash_lsh_pairs / q_simhash, the remaining word_shingles
+    # callers) + 0 failed + stalest-first; the 48 remaining r10-attested
+    # names head the stale group, so the round-13 driver window is
+    # exactly 2 + 48 = 50 and derive_rotation.py verified registry \
+    # (r11 ∪ r12 ∪ r13 windows) = ∅ — the three-round invariant holds at
+    # 145/150 capacity with 45 stale names carried to r14.
     # -- changed this round --
-    "q_lsh_multitable_topk",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
     # -- stalest attestation first --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q_filter_project_rename",
-    "q_conjunctive_isin",
-    "q_self_join_pairs",
-    "q_composite_key_join",
-    "q_multiway_distinct",
-    "q_topk_orders",
-    "q_lsh_ann_topk",
-    "q_ivf_ann_topk",
-    "q_embedding_dup_pairs",
-    "q_semdedup",
-    "q_time_window_agg",
-    "q_sessionize",
-    "q_multimodal_meta",
-    "q_jpeg_pixel_stats",
-    "q_asof_join",
-    "q_range_join",
-    "q_interval_join",
-    "q_grouping_analytics",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_pivot",
-    "q_percentile",
-    "q_partial_salted_join",
-    "q_full_outer",
-    "q_window_suite",
-    "q_scalar_functions",
-    "q_list_membership_join",
-    "q_bpe_pairs",
-    "q_bpe_train",
-    "q_inverted_index",
-    "q_inverted_index_capped",
-    "q_sorted_neighborhood",
-    "q_snm_multipass",
-    "q_group_auc",
-    "q_calibration_bins",
-    "q_cohort_retention",
-    "q_last_touch",
-    "q_session_paths",
-    "q_co_occurrence_edges",
-    "q_bfs_hops",
-    "q_funnel_steps",
-    "q_pagerank",
-    "q_triangle_count",
-    "q_linear_attribution",
-    "q_bm25_topk",  # last green r10
-    "q_kmeans_assignments",  # last green r10
-    "q_int8_ann_topk",  # last green r10
-    "q_ivf_int8_topk",  # last green r10
-    "q_pq_adc_topk",  # last green r10
-    "q_ivf_pq_topk",  # last green r10
-    "q_embedding_gram_int8",  # last green r10
-    "q_random_projection_int8",  # last green r10
-    "q_multimodal_decode",  # last green r10
-    "q_multimodal_decode_pinned",  # last green r10
-    "q_image_channel_stats",  # last green r10
-    "q_jpeg_color_stats",  # last green r10
-    "q13_order_distribution",  # last green r10
-    "q18_large_volume_customers",  # last green r10
-    "q6_forecast_revenue",  # last green r10
-    "q14_promo_revenue",  # last green r10
-    "q10_returned_items",  # last green r10
-    "q19_discounted_revenue",  # last green r10
-    "q17_small_quantity",  # last green r10
-    "q21_waiting_suppliers",  # last green r10
-    "q22_idle_customers",  # last green r10
-    "q16_supplier_parts",  # last green r10
-    "q_rolling_window",  # last green r10
-    "q4_priority_count",  # last green r10
-    "q8_market_share",  # last green r10
-    "q15_top_supplier",  # last green r10
-    "q9_product_profit",  # last green r10
-    "q_hash_split",  # last green r10
-    "q_domain_quota",  # last green r10
-    "q_seq_packing",  # last green r10
-    "q_quality_funnel",  # last green r10
-    "q_dup_clusters",  # last green r10
-    "q_stratified_sample",  # last green r10
-    "q_weighted_sample",  # last green r10
-    "q_snapshot_diff",  # last green r10
-    "q_snapshot_merge",  # last green r10
-    "q_scd2_intervals",  # last green r10
-    "q_token_df_idf",  # last green r10
-    "q_top_bigrams",  # last green r10
-    "q_decontaminate",  # last green r10
-    "q_priority_dedup",  # last green r10
-    "q_repetition_ratio",  # last green r10
-    "q_redact",  # last green r10
-    "q_corpus_divergence",  # last green r10
-    "q_bpe_apply",  # last green r10
-    "q_bpe_train_batched",  # last green r10
-    "q_ngram_lm_score",  # last green r10
-    "q_sparse_doc_sim",  # last green r10
-    "q_bloom_decontaminate",  # last green r10
-    "q_label_propagation",  # last green r10
+    "q_bm25_topk",
+    "q_kmeans_assignments",
+    "q_int8_ann_topk",
+    "q_ivf_int8_topk",
+    "q_pq_adc_topk",
+    "q_ivf_pq_topk",
+    "q_embedding_gram_int8",
+    "q_random_projection_int8",
+    "q_multimodal_decode",
+    "q_image_channel_stats",
+    "q_jpeg_color_stats",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "q17_small_quantity",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q16_supplier_parts",
+    "q_rolling_window",
+    "q4_priority_count",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q9_product_profit",
+    "q_hash_split",
+    "q_domain_quota",
+    "q_seq_packing",
+    "q_quality_funnel",
+    "q_dup_clusters",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    "q_snapshot_diff",
+    "q_snapshot_merge",
+    "q_scd2_intervals",
+    "q_token_df_idf",
+    "q_top_bigrams",
+    "q_decontaminate",
+    "q_priority_dedup",
+    "q_repetition_ratio",
+    "q_redact",
+    "q_corpus_divergence",
+    "q_bpe_train_batched",
+    "q_ngram_lm_score",
+    "q_sparse_doc_sim",
+    "q_bloom_decontaminate",
+    "q_label_propagation",
+    "q_dedup_keep_first",  # last green r11
+    "q_distinct_multi",  # last green r11
+    "q_key_table_tokens",  # last green r11
+    "q_left_join_coalesce",  # last green r11
+    "q_window_rank",  # last green r11
+    "q_count_star",  # last green r11
+    "q_set_ops",  # last green r11
+    "q_json_extract",  # last green r11
+    "q_sql_passthrough",  # last green r11
+    "q_posexplode_ordering",  # last green r11
+    "q_explode_resolve_renumber",  # last green r11
+    "q_token_decompose",  # last green r11
+    "q_text_stats",  # last green r11
+    "q_lang_id",  # last green r11
+    "q_token_counts",  # last green r11
+    "q_doc_fingerprint_dedup",  # last green r11
+    "q_cosine_topk",  # last green r11
+    "q_negative_sample",  # last green r11
+    "q_audio_stats",  # last green r11
+    "q_video_frame_stats",  # last green r11
+    "q_image_ahash",  # last green r11
+    "q_image_dup_pairs",  # last green r11
+    "q_audio_fingerprint",  # last green r11
+    "q_audio_dup_pairs",  # last green r11
+    "q7_nation_volume",  # last green r11
+    "q_approx_distinct",  # last green r11
+    "q_approx_percentile",  # last green r11
+    "q_table_profile",  # last green r11
+    "q2_min_cost_supplier",  # last green r11
+    "q11_important_stock",  # last green r11
+    "q12_late_shipments",  # last green r11
+    "q20_part_promotion",  # last green r11
+    "q_paragraph_dedup",  # last green r11
+    "q_ngram_decontaminate",  # last green r11
+    "q_chunk_documents",  # last green r11
+    "q_budget_take",  # last green r11
+    "q_heavy_hitters",  # last green r11
+    "q_histogram",  # last green r11
+    "q_robust_outliers",  # last green r11
+    "q_fuzzy_link",  # last green r11
+    "q_zorder_key",  # last green r11
+    "q_mixture_plan",  # last green r11
+    "q_validate_constraints",  # last green r11
+    "q_cms_heavy_hitters",  # last green r11
+    "q_hll_group_distinct",  # last green r11
 ]
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pimdb_spark.catalog import load, register
+from pimdb_spark.catalog import load, register, register_bench_only
 from pimdb_spark.operators import corpus as C
 
 _TOKS = "string_split(text, ' ')"
@@ -362,7 +362,19 @@ def _bpe_apply_oracle(n_merges: int) -> str:
     return "".join(parts)
 
 
-@register("q_bpe_apply", oracle=_bpe_apply_oracle(3))
+# Shared by q_bpe_apply and its production twin q_bpe_apply_fast — the
+# two entries carry the LITERAL same oracle (identical semantics,
+# different physical encoder).
+_BPE_APPLY_ORACLE = _bpe_apply_oracle(3)
+
+
+# Bench-only since the round-13 consolidation (r12 verdict item 1): the
+# fold-apply base and its Arrow rank-dict encoder twin q_bpe_apply_fast
+# now BOTH run as bench-only literal-oracle entries (the twin has been
+# bench-only since r10); BPE keeps driver-window representation through
+# q_bpe_train / q_bpe_train_batched / q_bpe_pairs.  The hash gate stays
+# via tests/test_catalog_oracle.py's bench-only sweep.
+@register_bench_only("q_bpe_apply", oracle=_BPE_APPLY_ORACLE)
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE train→apply loop closed (operators/corpus.bpe_apply): the
     3 merges learned by q_bpe_train are applied in rank order to every
@@ -487,15 +499,14 @@ def q_bpe_apply_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_lengths(docs, merges, n_merges=3)
 
 
-from pimdb_spark.catalog import _REGISTRY, register_bench_only  # noqa: E402
-
 # Bench-only since the round-10 consolidation: the encoder twin's oracle
 # is the LITERAL oracle of q_bpe_apply (identical semantics, Arrow
-# rank-dict encoder instead of the one-fold apply; the base was
-# hash-green in the r10 window).  Registering the duplicate oracle keeps
-# the twin under tests/test_catalog_oracle.py's pytest hash gate on top
-# of tests/test_corpus.py's twin-equality tests.
-register_bench_only("q_bpe_apply_fast", oracle=_REGISTRY["q_bpe_apply"].oracle)(
+# rank-dict encoder instead of the one-fold apply; the base — itself
+# bench-only since the r13 consolidation — was hash-green in the r10
+# window).  Registering the duplicate oracle keeps the twin under
+# tests/test_catalog_oracle.py's pytest hash gate on top of
+# tests/test_corpus.py's twin-equality tests.
+register_bench_only("q_bpe_apply_fast", oracle=_BPE_APPLY_ORACLE)(
     q_bpe_apply_fast
 )
 

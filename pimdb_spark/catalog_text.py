@@ -157,7 +157,12 @@ def q_doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.join(groups, "fp").select("doc_id", "fp", "keep_id", "n_dups", "rfp")
 
 
-@register(
+# Bench-only since the round-13 consolidation (r12 verdict item 1): the
+# blocked-pairs shape is duplicated by the exact_jaccard_pairs gate inside
+# q_dedup_recall_lsh (shared-shingle blocking, complete by construction),
+# so the driver-window slot moves to the rotation budget; the DuckDB hash
+# gate stays via tests/test_catalog_oracle.py's bench-only sweep.
+@register_bench_only(
     "q_ngram_jaccard_pairs",
     oracle="""
     WITH d AS (
@@ -214,7 +219,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+# Bench-only since the round-13 consolidation (r12 verdict item 1): the
+# signature projection is a strict sub-plan of q_minhash_lsh_pairs (which
+# keeps its registry slot and driver attestation); the hash gate stays via
+# tests/test_catalog_oracle.py's bench-only sweep.
+@register_bench_only(
     "q_minhash_signatures",
     oracle="""
     WITH d AS (
