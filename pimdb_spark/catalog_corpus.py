@@ -624,13 +624,20 @@ def q_ngram_lm_score_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical plan shape to q_ngram_lm_score plus one more
     reference-sized broadcast (unigram counts) and a one-row totals
     attach; the scoring pass stays shuffle-free until the per-doc
-    groupBy.  repartition(32) pins that CPU-bound pre-shuffle scoring
-    pass past the SF dir's 2-split scan (the jpeg/minhash single-core
-    trap; measured 3.4 s -> 1.6 s for identical rows) — a no-op at
-    production split counts."""
+    groupBy.  repartition(defaultParallelism) pins that CPU-bound
+    pre-shuffle scoring pass past the SF dir's 2-split scan (the
+    jpeg/minhash single-core trap; measured 3.4 s -> 1.6 s for identical
+    rows).  defaultParallelism — never a literal constant: on local[32]
+    both equal 32, but at production a literal would COLLAPSE thousands
+    of input splits to a fixed task count (a parallelism ceiling plus a
+    corpus-sized text shuffle), whereas defaultParallelism follows the
+    cluster's total core count (the operators/dedup.minhash_lsh_pairs
+    form)."""
     from pimdb_spark.operators.lm import ngram_lm_score_interpolated
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ref = docs.filter(F.col("lang") == "en")
     return ngram_lm_score_interpolated(docs, ref)
 
@@ -697,12 +704,19 @@ def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct bounded at n_tokens rows — the span hash is the blocking
     key, no all-pairs stage exists.  The 128-bit key is also ~10x
     narrower on the wire than a raw production-sized (50-token) span.
-    repartition(32) pins the CPU-bound span-hash explode past the SF
-    dir's 2-split scan (measured 2.2 s -> 1.5 s; the jpeg/minhash
-    single-core trap) — a no-op at production split counts."""
+    repartition(defaultParallelism) pins the CPU-bound span-hash explode
+    past the SF dir's 2-split scan (measured 2.2 s -> 1.5 s; the
+    jpeg/minhash single-core trap).  defaultParallelism — never a
+    literal constant: on local[32] both equal 32, but at production a
+    literal would COLLAPSE thousands of input splits to a fixed task
+    count (a parallelism ceiling plus a corpus-sized text shuffle),
+    whereas defaultParallelism follows the cluster's total core count
+    (the operators/dedup.minhash_lsh_pairs form)."""
     from pimdb_spark.operators.dedup import dup_span_excise
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dup_span_excise(docs, n=5, min_count=2)
 
 

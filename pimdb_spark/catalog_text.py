@@ -510,15 +510,19 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-verified.  Counts are exact integers; the two ratios are
     terminal double divisions.
 
-    The repartition(32) pins minhash/shingle parallelism past the SF
-    dir's 2-split parquet scan (the jpeg_color_stats single-core trap;
-    see q_cross_neardup_filter) — a no-op at production scale where the
-    scan arrives with thousands of splits."""
+    The repartition(defaultParallelism) pins minhash/shingle parallelism
+    past the SF dir's 2-split parquet scan (the jpeg_color_stats
+    single-core trap; see q_cross_neardup_filter).  defaultParallelism —
+    never a literal constant: on local[32] both equal 32, but at
+    production a literal would COLLAPSE thousands of input splits to a
+    fixed task count (a parallelism ceiling plus a corpus-sized text
+    shuffle), whereas defaultParallelism follows the cluster's total
+    core count (the operators/dedup.minhash_lsh_pairs form)."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 3 == 0)
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = F.split("text", " ")
     trunc = docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -643,11 +647,16 @@ def q_cross_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates are new x ref band collisions only (never new x
     new); the reference banded frame builds once and serves every
     shard; verification re-joins shingle sets for candidates alone.
-    The repartition(32) pins signature parallelism past the SF dir's
-    2-split parquet scan (the jpeg_color_stats single-core trap: the
-    per-doc minhash chain is CPU-bound, measured 38 s on 2 partitions
-    vs 5.7 s on 32 for identical rows) — at production scale the scan
-    arrives with thousands of splits and the shuffle is unnecessary."""
+    The repartition(defaultParallelism) pins signature parallelism past
+    the SF dir's 2-split parquet scan (the jpeg_color_stats single-core
+    trap: the per-doc minhash chain is CPU-bound, measured 38 s on 2
+    partitions vs 5.7 s on 32 for identical rows).  defaultParallelism —
+    never a literal constant: on local[32] both equal 32, but at
+    production a literal would COLLAPSE thousands of input splits to a
+    fixed task count (a parallelism ceiling plus a corpus-sized text
+    shuffle), whereas defaultParallelism follows the cluster's total
+    core count (the operators/dedup.minhash_lsh_pairs form)."""
+    par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     ref = docs.filter(F.col("doc_id") % 7 == 0)
     toks = F.split("text", " ")
@@ -658,7 +667,7 @@ def q_cross_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
         ).alias("text"),
     )
-    new = docs.filter(F.col("doc_id") % 7 != 0).union(trunc).repartition(32)
+    new = docs.filter(F.col("doc_id") % 7 != 0).union(trunc).repartition(par)
     return D.cross_neardup_filter(
-        new, ref.repartition(32), k=3, num_hashes=16, bands=8, threshold=0.5
+        new, ref.repartition(par), k=3, num_hashes=16, bands=8, threshold=0.5
     )
