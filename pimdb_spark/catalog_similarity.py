@@ -1240,6 +1240,183 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_cte_res(s: int, sub: int, n_centroids: int) -> str:
+    """One per-subspace one-update Lloyd's chain over the RESIDUAL
+    training table ``train`` (vec_id, res) — _km_cte re-targeted from
+    raw embeddings to residual slices (res elements are already DOUBLE,
+    so no cast)."""
+    lo = (s - 1) * sub + 1
+    assign_sqd = (
+        f"list_reduce(list_transform(range(1, {sub + 1}), "
+        f"i -> (t.res[{lo} - 1 + i] - c.cvec[i]) * "
+        f"(t.res[{lo} - 1 + i] - c.cvec[i])), (x, y) -> x + y)"
+    )
+    return f"""rinit{s} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             list_transform(range({lo}, {lo + sub}), i -> res[i]) AS cvec
+      FROM (SELECT vec_id, res FROM train ORDER BY vec_id LIMIT {n_centroids})
+    ), ra{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {assign_sqd}, c.cid) AS rn
+        FROM train t CROSS JOIN rinit{s} c)
+      WHERE rn = 1
+    ), rs{s} AS (
+      SELECT a.cid, count(*) AS n,
+             list_reduce(
+               list(list_transform(range({lo}, {lo + sub}), i -> t.res[i])
+                    ORDER BY t.vec_id),
+               (x, y) -> list_transform(range(1, {sub + 1}), i -> x[i] + y[i]))
+               AS summed
+      FROM ra{s} a JOIN train t USING (vec_id) GROUP BY a.cid
+    ), rcb{s} AS (
+      SELECT list(cvec ORDER BY cid) AS cvecs FROM (
+        SELECT i.cid,
+               CASE WHEN t.cid IS NULL THEN i.cvec
+                    ELSE list_transform(t.summed, x -> x / t.n) END AS cvec
+        FROM rinit{s} i LEFT JOIN rs{s} t ON i.cid = t.cid)
+    )"""
+
+
+def _ivf_pq_residual_trained_oracle(
+    m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3,
+    n_cells: int = 8, nprobe: int = 2, n_q: int = 16,
+) -> str:
+    """Oracle for trained-residual IVF-PQ: _ivf_pq_residual_oracle's
+    coarse/residualize/probe/ADC chain with the id-window codebook
+    replaced by m per-subspace Lloyd's chains over the residual training
+    table (_km_cte_res; training excludes the n_cells coarse-centroid
+    rows, whose residuals are identically zero).  The trained codebook
+    entries are SUB-dim vectors (rcb{s}.cvecs elements), so the
+    sub-distance indexes cv[i] directly instead of slicing a full-dim
+    residual."""
+
+    def subsqd(side: str, s: int) -> str:
+        lo = (s - 1) * sub + 1
+        return (
+            f"list_reduce(list_transform(range(1, {sub + 1}), "
+            f"i -> ({side}.res[{lo} - 1 + i] - cv[i]) * "
+            f"({side}.res[{lo} - 1 + i] - cv[i])), (x, y) -> x + y)"
+        )
+
+    rkms = ", ".join(_km_cte_res(s, sub, n_centroids) for s in range(1, m + 1))
+    dls_c = ", ".join(
+        f"list_transform((SELECT cvecs FROM rcb{s}), cv -> {subsqd('d', s)})"
+        for s in range(1, m + 1)
+    )
+    dls_q = ", ".join(
+        f"list_transform((SELECT cvecs FROM rcb{s}), cv -> {subsqd('p', s)})"
+        for s in range(1, m + 1)
+    )
+    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
+    return f"""
+    WITH coarse AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_cells})
+    ), dc AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform((SELECT cvecs FROM coarse),
+               c -> {_SQD.format(v='e.embedding')}) AS cdists
+      FROM embeddings e
+    ), cellq AS (
+      SELECT d.vec_id, d.embedding, co.cvecs, d.cdists,
+             list_position(d.cdists, list_min(d.cdists))::BIGINT AS cell
+      FROM dc d, coarse co
+    ), dcr AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65),
+               i -> embedding[i]::DOUBLE - cvecs[cell][i]::DOUBLE) AS res
+      FROM cellq
+    ), thr AS (
+      SELECT max(vec_id) AS mx FROM (SELECT vec_id FROM embeddings
+                                     ORDER BY vec_id LIMIT {n_cells})
+    ), train AS (
+      SELECT d.vec_id, d.res FROM dcr d, thr WHERE d.vec_id > thr.mx
+    ), {rkms}, coded AS (
+      SELECT d.vec_id, d.cell,
+             list_transform([{dls_c}],
+               t -> list_position(t, list_min(t))) AS codes
+      FROM dcr d
+    ), probes AS (
+      SELECT q_id, cell, embedding, cvecs FROM (
+        SELECT c.vec_id AS q_id, c.embedding, c.cvecs,
+               unnest(range(1, len(c.cdists) + 1)) AS cell,
+               unnest(c.cdists) AS dist
+        FROM cellq c WHERE c.vec_id < {n_q}
+      ) x QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, cell)
+             <= {nprobe}
+    ), probe_res AS (
+      SELECT q_id, cell,
+             list_transform(range(1, 65),
+               i -> embedding[i]::DOUBLE - cvecs[cell][i]::DOUBLE) AS res
+      FROM probes
+    ), pdt AS (
+      SELECT p.q_id, p.cell, [{dls_q}] AS dtab FROM probe_res p
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS c_id, round({adc}, 4) AS adc
+      FROM coded c JOIN pdt q ON c.cell = q.cell
+      WHERE q.q_id <> c.vec_id
+    )
+    SELECT q_id, rank, c_id, adc FROM (
+      SELECT q_id, c_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r12
+# verdict's stretch A: trained codebooks fitted to the RESIDUAL
+# distribution, closing the codebook-quality bind the residual entry's
+# honest negative measured.
+@register_bench_only(
+    "q_ivf_pq_residual_trained_topk", oracle=_ivf_pq_residual_trained_oracle()
+)
+def q_ivf_pq_residual_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ with TRAINED residual codebooks
+    (operators/similarity.ivf_pq_residual_topk_trained =
+    train_pq_codebooks composed over the residuals vec -
+    coarse_centroid[cell]): the follow-up q_ivf_pq_residual_topk's
+    honest negative calls for — its 0.104 recall (≈ raw training-free
+    0.109) is a codebook-quality bind, since the literature's residual
+    gains (Jegou et al. 2011) assume codebooks fitted to the
+    low-variance residual distribution.  Training excludes the 8
+    coarse-centroid rows (identically-zero residuals would seed dead
+    centroids); every candidate still gets coded.  The ENTIRE chain —
+    coarse assign -> residualize -> 8 per-subspace Lloyd's chains over
+    residuals -> code -> per-probe tables -> ADC — sits under one hash
+    gate (the oracle unrolls all of it; _km_cte_res).
+
+    Measured recall@3 vs exact L2 (scripts/pq_recall.py, sf0.01, 64
+    queries): 0.089 at n_iter=2 (this entry's config, matching the
+    other trained entries), 0.115 converged at n_iter=3/4 — ABOVE the
+    training-free residual (0.104) but still below trained RAW IVF-PQ
+    (0.167).  A second honest negative, sharper than the first: the
+    bind is not codebook quality alone but the residual decomposition
+    itself on this corpus — the synthetic embeddings have no cluster
+    structure, so the coarse quantizer explains almost no variance
+    (residuals ~= raw vectors) while the residual layout still pays
+    per-probe table mismatch across cells.  Residual PQ earns its keep
+    only where coarse cells are tight; measure before adopting.
+
+    Scale: identical join shapes to q_ivf_pq_residual_topk (two one-row
+    broadcasts, cell hash equi-join, m lookups per surviving pair);
+    training adds m bounded k-means passes over the residual projection,
+    paid once per index build (quantize-on-write), books collapse to one
+    localCheckpoint-ed broadcast row."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    return S.ivf_pq_residual_topk_trained(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, n_iter=2, k=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-level data selection (operators/selection.py): hard-negative
 # mining, kNN label-error detection, k-center greedy coreset.  Bench-only

@@ -1576,3 +1576,210 @@ def ivf_pq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "adc")
     )
+
+
+def ivf_pq_residual_topk_trained(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    k: int = 3,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Residual IVF-PQ with TRAINED residual codebooks — the composition
+    ivf_pq_residual_topk's honest-negative docstring calls for: its
+    measured no-lift result (recall 0.104 ~= raw training-free 0.109)
+    is a codebook-quality bind, because residual gains in the literature
+    (Jegou et al. 2011) assume codebooks FITTED to the low-variance
+    residual distribution.  Here train_pq_codebooks runs over the
+    residuals themselves (vec - coarse_centroid[cell], each vs the
+    row's own nearest cell), so the m x n_centroids budget is spent by
+    per-subspace Lloyd's on exactly the distribution being quantized.
+
+    Training set = every candidate EXCEPT the n_cells lowest ids (they
+    ARE the coarse centroids, so their residuals are identically zero —
+    including them would seed and pull centroids toward a zero point
+    that represents no real residual mass; the same rationale as the
+    training-free form's id-window skip, extended to training).  The
+    excluded rows still get CODED like everyone else.  Everything stays
+    bit-deterministic: residuals are exact double subtractions, training
+    is the clustering module's ordered-fold machinery per subspace, so
+    the full chain — coarse assign -> residualize -> m k-means chains ->
+    code -> per-probe tables -> ADC — remains DuckDB-oracle-checkable.
+
+    The query side pays the classic residual price (one sub-distance
+    table per probed cell, O(queries x nprobe x m x n_centroids) —
+    corpus-size-independent).
+
+    Scale: identical join shapes to ivf_pq_residual_topk (two one-row
+    broadcasts, cell hash equi-join, m lookups per surviving pair);
+    training adds m bounded k-means passes over the residual projection,
+    paid once per index build (quantize-on-write), and the trained books
+    collapse to ONE localCheckpoint-ed broadcast row so the scoring plan
+    is as shallow as the training-free form's."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(
+            f"ivf_pq_residual_topk_trained: dim {dim} not divisible by m {m}"
+        )
+    coarse = (
+        candidates.orderBy(cand_id)
+        .limit(n_cells)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(cand_id).alias("cid"),
+                            F.col(vec_col).alias("cvec"),
+                        )
+                    )
+                ),
+                lambda s: s.cvec,
+            ).alias("coarse_vecs")
+        )
+    )
+
+    def resid(vec: Column) -> Column:
+        # residual vs the row's own `cell` (requires coarse_vecs in scope)
+        return F.zip_with(
+            vec,
+            F.element_at(F.col("coarse_vecs"), F.col("cell").cast("int")),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        )
+
+    def with_cell(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(cand_id if id_alias == "c_id" else query_id).alias(id_alias),
+                F.col(vec_col).alias("_vec"),
+            )
+            .crossJoin(F.broadcast(coarse))
+            .withColumn(
+                "cdists",
+                F.transform(
+                    F.col("coarse_vecs"), lambda cv: sqdist(F.col("_vec"), cv)
+                ),
+            )
+            .withColumn(
+                "cell", F.array_position("cdists", F.array_min("cdists"))
+            )
+        )
+
+    # one residual pass serves training AND coding; localCheckpoint cuts
+    # the coarse-attach lineage so the m-subspace training loop and the
+    # scoring plan both start from a flat frame (the self-join HOF-rebind
+    # discipline — see embedding_dup_pairs)
+    res_all = (
+        with_cell(candidates, "c_id")
+        .select("c_id", F.col("cell").alias("c_cell"), resid(F.col("_vec")).alias("rvec"))
+        .localCheckpoint(eager=False)
+    )
+    # exclude the zero-residual coarse-centroid rows from TRAINING only:
+    # the threshold is the max of the n_cells lowest ids, a one-row
+    # broadcast (never collected)
+    thresh = (
+        candidates.orderBy(cand_id)
+        .limit(n_cells)
+        .agg(F.max(F.col(cand_id)).alias("_mx"))
+    )
+    train = (
+        res_all.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_id") > F.col("_mx"))
+        .select("c_id", "rvec")
+    )
+    books = train_pq_codebooks(
+        train, "c_id", "rvec", m=m, dim=dim, n_centroids=n_centroids, n_iter=n_iter
+    ).localCheckpoint(eager=False)
+
+    def sub_sqd(res_name: str, cb, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(res_name), s * sub + 1, sub),
+                cb,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sub_dists(res_name: str, s: int):
+        # factory closure — see pq_topk: a 2-arg lambda would bind s to
+        # the element index
+        return F.transform(
+            F.element_at(F.col("books"), s + 1),
+            lambda cb: sub_sqd(res_name, cb, s),
+        )
+
+    c = (
+        res_all.withColumnRenamed("rvec", "c_res")
+        .crossJoin(F.broadcast(books))
+        .select(
+            "c_id",
+            "c_cell",
+            F.array(*[sub_dists("c_res", s) for s in range(m)]).alias("_dtabs"),
+        )
+        .select(
+            "c_id",
+            "c_cell",
+            F.transform(
+                F.col("_dtabs"),
+                lambda d: F.array_position(d, F.array_min(d)).cast("int"),
+            ).alias("codes"),
+        )
+    )
+    q = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("_vec"))
+        .localCheckpoint(eager=False)
+        .crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "cdists",
+            F.transform(F.col("coarse_vecs"), lambda cv: sqdist(F.col("_vec"), cv)),
+        )
+        .select(
+            "q_id", "_vec", "coarse_vecs",
+            F.posexplode("cdists").alias("pos", "dist"),
+        )
+        .withColumn("cell", (F.col("pos") + 1).cast("bigint"))
+        .withColumn("probe_rank", F.row_number().over(
+            Window.partitionBy("q_id").orderBy("dist", "cell")
+        ))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            "q_id",
+            F.col("cell").alias("q_cell"),
+            resid(F.col("_vec")).alias("q_res"),
+        )
+        .crossJoin(F.broadcast(books))
+        .select(
+            "q_id",
+            "q_cell",
+            F.array(*[sub_dists("q_res", s) for s in range(m)]).alias("dtab"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(F.col("dtab"), s), F.element_at(F.col("codes"), s)),
+    )
+    scored = (
+        c.join(q, F.col("c_cell").eqNullSafe(F.col("q_cell")))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", adc.alias("adc"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("adc", F.round("adc", round_digits))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "adc")
+    )

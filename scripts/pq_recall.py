@@ -87,6 +87,14 @@ def main() -> None:
             qs(), emb(), "vec_id", "vec_id", "embedding",
             n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k,
         ),
+        "ivf_pq_residual_trained_2iter": S.ivf_pq_residual_topk_trained(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k, n_iter=2,
+        ),
+        "ivf_pq_residual_trained_3iter": S.ivf_pq_residual_topk_trained(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k, n_iter=3,
+        ),
     }
     for name, approx in variants.items():
         r = (

@@ -244,6 +244,13 @@ def test_no_plan_red_flags(spark, name, entry):
       the vote stage — everything after the top-k is bounded by
       queries x k rows, and candidate generation composes with IVF/LSH
       equi-joins at corpus scale.
+    - q_ivf_pq_residual_trained_topk: the same two one-row broadcast
+      attaches as q_ivf_pq_residual_topk (coarse centroids, trained
+      books — both bounded aggregates collapsed to single rows) plus
+      the one-row training threshold; scoring proper is the cell hash
+      equi-join.  Training adds m bounded k-means chains whose only
+      joins are broadcast centroid attaches (the q_kmeans_assignments
+      shape).
     - q_quantile_sketch: the readout joins the <=512-row bounded EH
       bucket table against the 3-row quantile-target frame (non-equi
       cum >= rank) — bounded x bounded, corpus-size-independent; the
@@ -263,6 +270,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_pq_trained_topk",
         "q_ivf_pq_trained_topk",
         "q_ivf_pq_residual_topk",
+        "q_ivf_pq_residual_trained_topk",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

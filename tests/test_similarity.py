@@ -497,3 +497,89 @@ def test_books_plumbing_reduces_to_training_free_at_n_iter_1(spark):
         ).collect()
     }
     assert via_books_ivf == base_ivfpq
+
+
+def test_residual_trained_reduces_to_training_free_at_n_iter_1(spark):
+    """n_iter=1 residual training = zero Lloyd's updates = the init
+    centroids = the residuals of the n_centroids lowest-id TRAINING rows
+    (ids ranked n_cells+1..n_cells+n_centroids, since training excludes
+    the n_cells coarse-centroid rows) — EXACTLY the training-free
+    residual convention of ivf_pq_residual_topk.  So the trained form at
+    n_iter=1 must reproduce it row-for-row: the k-means plumbing changes
+    nothing but the codebook source."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+
+    def emb():
+        return load(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def qs():
+        return emb().filter(F.col("vec_id") < 16)
+
+    base = {
+        tuple(r) for r in S.ivf_pq_residual_topk(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=3,
+        ).collect()
+    }
+    trained_init_only = {
+        tuple(r) for r in S.ivf_pq_residual_topk_trained(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, n_iter=1, k=3,
+        ).collect()
+    }
+    assert trained_init_only == base
+    assert len(base) == 16 * 3
+
+
+def test_residual_trained_books_exclude_zero_residuals(spark):
+    """The residual training set must exclude the n_cells coarse-centroid
+    rows: their residuals are identically zero, and a zero vector seeded
+    into the codebook would represent no real residual mass.  At
+    n_iter=1 the books ARE the init rows, so assert none of them is the
+    zero sub-vector."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators import similarity as S
+    from pimdb_spark.operators.similarity import train_pq_codebooks
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    coarse_ids = [r[0] for r in emb.orderBy("vec_id").limit(8).select("vec_id").collect()]
+    thresh = max(coarse_ids)
+    # replicate the operator's residual + training-set construction
+    coarse = emb.orderBy("vec_id").limit(8).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("vec_id").alias("cid"),
+                                                 F.col("embedding").alias("cvec")))),
+            lambda s: s.cvec,
+        ).alias("coarse_vecs")
+    )
+    withc = (
+        emb.crossJoin(F.broadcast(coarse))
+        .withColumn("cdists", F.transform(
+            F.col("coarse_vecs"),
+            lambda cv: F.aggregate(
+                F.zip_with(F.col("embedding"), cv,
+                           lambda x, y: (x.cast("double") - y.cast("double"))
+                                        * (x.cast("double") - y.cast("double"))),
+                F.lit(0.0), lambda a, v: a + v),
+        ))
+        .withColumn("cell", F.array_position("cdists", F.array_min("cdists")))
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(F.col("coarse_vecs"), F.col("cell").cast("int")),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rvec"),
+        )
+        .filter(F.col("vec_id") > thresh)
+    )
+    books = train_pq_codebooks(
+        withc, "vec_id", "rvec", m=8, dim=64, n_centroids=16, n_iter=1
+    ).first()["books"]
+    for sub_books in books:
+        for cb in sub_books:
+            assert any(abs(x) > 0 for x in cb), "zero residual seeded a codeword"
