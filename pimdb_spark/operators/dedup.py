@@ -309,7 +309,16 @@ def dup_span_excise(
     count) + one hash equi-join of spans against the >=min_count set +
     one bounded per-doc coverage distinct.  No all-pairs stage at any
     point — the span hash IS the blocking key.  dup_frac is an exact
-    integer ratio in one double division."""
+    integer ratio in one double division.
+
+    Long-doc guard (r12 verdict watch item): the clean-text rebuild is
+    ``array_except(sequence(1, n_tokens), covered)`` — Spark evaluates
+    ArrayExcept with a hash set over the right operand, so the per-doc
+    cost is O(n_tokens + |covered|), not the O(n_tokens x |covered|) a
+    per-token membership probe would pay; kept positions come out in
+    original order because the left operand is the ascending position
+    sequence.  Per-doc work is therefore linear in document length with
+    no doc-length contract needed."""
     arr = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col).alias("_id"), arr.alias("toks")
@@ -357,9 +366,11 @@ def dup_span_excise(
         ).alias("dup_frac"),
         F.concat_ws(
             " ",
-            F.filter(
-                F.col("toks"),
-                lambda x, i: ~F.array_contains(F.col("_cov"), i + F.lit(1)),
+            F.transform(
+                F.array_except(
+                    F.sequence(F.lit(1), F.col("n_tokens")), F.col("_cov")
+                ),
+                lambda p: F.element_at(F.col("toks"), p),
             ),
         ).alias("clean_text"),
     )
