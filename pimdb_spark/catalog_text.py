@@ -185,8 +185,22 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, first token) to bound the pair count (the blocking key is the
     operator parameter; LSH banding in q_minhash_lsh_pairs is the
     principled scale path).  Scale: equi-join on the block key — pair count
-    is sum of per-block squares, not n^2."""
-    docs = load(spark, sf_dir, "documents")
+    is sum of per-block squares, not n^2.
+
+    The repartition(defaultParallelism) pins the pre-exchange shingle
+    projection past the SF dir's single-split parquet scan (the CPU-bound
+    chain runs on BOTH join sides before their exchanges; measured 16 s
+    -> 5.1 s at sf0.1 for identical rows).  defaultParallelism — never a
+    literal constant: at production a literal would collapse thousands
+    of input splits to a fixed task count, whereas defaultParallelism
+    follows the cluster's total core count (the
+    operators/dedup.minhash_lsh_pairs form).  Applied when the entry
+    left the driver registry for bench-only in the r13 consolidation —
+    registry entries cannot take entry edits while the rotation window
+    is full."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split("text", " ")
     sh = docs.select(
         "doc_id",
