@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pimdb_spark.catalog import load, register, register_bench_only
+from pimdb_spark.operators import curation as CU
 from pimdb_spark.operators import dedup as D
 from pimdb_spark.operators import text as T
 
@@ -335,6 +336,107 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.union(copies)
     return D.minhash_lsh_pairs(
         base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    )
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r13
+# end-to-end composition: the canonical "dedup the corpus" pipeline under
+# ONE hash gate.
+@register_bench_only(
+    "q_neardup_dedup_pipeline",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM base
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM d WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, s,
+             unnest(range(0, 4)) AS band,
+             unnest(list_transform(range(0, 4),
+                    b -> md5(array_to_string(sg[b*4+1:b*4+4], ',')))) AS band_hash
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS s_a, b.s AS s_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+              / (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, count(*) AS n_members FROM comp GROUP BY component
+    )
+    SELECT c.id AS doc_id,
+           CAST(c.component AS BIGINT) AS component,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           c.id = c.component AS keep
+    FROM comp c JOIN sizes s USING (component)
+    """,
+)
+def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-duplicate corpus deduplication — the composition a
+    production pipeline actually runs, under ONE hash gate: MinHash+LSH
+    candidate pairs (operators/dedup.minhash_lsh_pairs: banding equi-join,
+    Jaccard >= 0.8 verification, on the corpus augmented with exact copies
+    of every 5th doc so the expected duplicate structure is known) ->
+    connected components (operators/curation.connected_components:
+    hash-min label propagation, every doc labeled with the min reachable
+    id) -> the keep-lowest-id policy (keep = doc_id == component) plus the
+    component size.  One row per doc in the augmented corpus: a downstream
+    filter on `keep` IS the deduplicated corpus; n_members is the audit
+    column (how much each kept doc represents).  The oracle replays
+    shingling, signatures, banding, verification, the transitive closure
+    (recursive CTE), sizes, and the keep rule.
+
+    Scale: every stage is the already-audited shape — banding equi-join
+    (never all-pairs), O(diameter) label-propagation rounds with
+    localCheckpoint lineage cuts (near-dup components are quasi-cliques,
+    diameter 2-3; the star-contraction twin swaps in for adversarial
+    topologies), one component-keyed size groupBy.  Text never moves past
+    the shingle stage; CC shuffles (id, label) pairs only."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    base = docs.union(copies)
+    pairs = D.minhash_lsh_pairs(
+        base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    cc = CU.connected_components(
+        pairs, "id_a", "id_b", nodes=base.select("doc_id")
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("n_members").cast("long").alias("n_members"),
+        (F.col("id") == F.col("component")).alias("keep"),
     )
 
 
