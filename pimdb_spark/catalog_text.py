@@ -328,7 +328,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     5th document (id + 1,000,000) so the expected duplicate pairs are known;
     banding (4 bands x 4 rows) buckets candidates, true Jaccard >= 0.8
     verifies.  Scale: see operators/dedup docstring — the all-pairs problem
-    becomes an equi-join on band hashes."""
+    becomes an equi-join on band hashes.  (Fixture contract: the literal
+    +1,000,000 copy-id offset assumes this testdata's id range; the
+    OPERATOR never offsets ids — q_neardup_dedup_pipeline shows the
+    max-derived collision-free form.)"""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -345,10 +348,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_bench_only(
     "q_neardup_dedup_pipeline",
     oracle="""
-    WITH RECURSIVE base AS (
+    WITH RECURSIVE off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + off.o AS doc_id, text FROM documents, off WHERE doc_id % 5 = 0
     ), d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM base
     ), sh AS (
@@ -412,7 +417,11 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on `keep` IS the deduplicated corpus; n_members is the audit
     column (how much each kept doc represents).  The oracle replays
     shingling, signatures, banding, verification, the transitive closure
-    (recursive CTE), sizes, and the keep rule.
+    (recursive CTE), sizes, and the keep rule.  The copy-id offset is
+    DERIVED as 1 + max(doc_id) (a one-row broadcast, never collected) so
+    the planted ids are collision-free on ANY id range — unlike a
+    literal offset, which would silently merge a copy with a real doc on
+    a corpus whose ids exceed it.
 
     Scale: every stage is the already-audited shape — banding equi-join
     (never all-pairs), O(diameter) label-propagation rounds with
@@ -421,8 +430,11 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     topologies), one component-keyed size groupBy.  Text never moves past
     the shingle stage; CC shuffles (id, label) pairs only."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("_o")).alias("doc_id"), "text")
     )
     base = docs.union(copies)
     pairs = D.minhash_lsh_pairs(
@@ -626,6 +638,10 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-verified.  Counts are exact integers; the two ratios are
     terminal double divisions.
 
+    Fixture contract: the literal +1,000,000 truncated-copy id offset
+    assumes this testdata's id range; the OPERATOR never offsets ids —
+    q_neardup_dedup_pipeline shows the max-derived collision-free form.
+
     The repartition(defaultParallelism) pins minhash/shingle parallelism
     past the SF dir's 2-split parquet scan (the jpeg_color_stats
     single-core trap; see q_cross_neardup_filter).  defaultParallelism —
@@ -763,6 +779,10 @@ def q_cross_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates are new x ref band collisions only (never new x
     new); the reference banded frame builds once and serves every
     shard; verification re-joins shingle sets for candidates alone.
+    Fixture contract: the literal +2,000,000 truncated-copy id offset
+    assumes this testdata's id range; the OPERATOR never offsets ids —
+    q_neardup_dedup_pipeline shows the max-derived collision-free form.
+
     The repartition(defaultParallelism) pins signature parallelism past
     the SF dir's 2-split parquet scan (the jpeg_color_stats single-core
     trap: the per-doc minhash chain is CPU-bound, measured 38 s on 2

@@ -1629,7 +1629,11 @@ def ivf_pq_residual_topk_trained(
         raise ValueError(
             f"ivf_pq_residual_topk_trained: dim {dim} not divisible by m {m}"
         )
-    coarse = (
+    # ONE TakeOrdered pass yields both the coarse centroids and the
+    # training-exclusion threshold (max of the n_cells lowest ids);
+    # localCheckpoint materializes the one-row frame once so the two
+    # projections below never re-run the corpus pass
+    head = (
         candidates.orderBy(cand_id)
         .limit(n_cells)
         .agg(
@@ -1643,9 +1647,13 @@ def ivf_pq_residual_topk_trained(
                     )
                 ),
                 lambda s: s.cvec,
-            ).alias("coarse_vecs")
+            ).alias("coarse_vecs"),
+            F.max(F.col(cand_id)).alias("_mx"),
         )
+        .localCheckpoint(eager=False)
     )
+    coarse = head.select("coarse_vecs")
+    thresh = head.select("_mx")
 
     def resid(vec: Column) -> Column:
         # residual vs the row's own `cell` (requires coarse_vecs in scope)
@@ -1655,10 +1663,10 @@ def ivf_pq_residual_topk_trained(
             lambda x, y: x.cast("double") - y.cast("double"),
         )
 
-    def with_cell(df: DataFrame, id_alias: str) -> DataFrame:
+    def with_cell_c(df: DataFrame) -> DataFrame:
         return (
             df.select(
-                F.col(cand_id if id_alias == "c_id" else query_id).alias(id_alias),
+                F.col(cand_id).alias("c_id"),
                 F.col(vec_col).alias("_vec"),
             )
             .crossJoin(F.broadcast(coarse))
@@ -1678,18 +1686,12 @@ def ivf_pq_residual_topk_trained(
     # scoring plan both start from a flat frame (the self-join HOF-rebind
     # discipline — see embedding_dup_pairs)
     res_all = (
-        with_cell(candidates, "c_id")
+        with_cell_c(candidates)
         .select("c_id", F.col("cell").alias("c_cell"), resid(F.col("_vec")).alias("rvec"))
         .localCheckpoint(eager=False)
     )
-    # exclude the zero-residual coarse-centroid rows from TRAINING only:
-    # the threshold is the max of the n_cells lowest ids, a one-row
-    # broadcast (never collected)
-    thresh = (
-        candidates.orderBy(cand_id)
-        .limit(n_cells)
-        .agg(F.max(F.col(cand_id)).alias("_mx"))
-    )
+    # exclude the zero-residual coarse-centroid rows from TRAINING only
+    # (thresh is a one-row broadcast, never collected)
     train = (
         res_all.crossJoin(F.broadcast(thresh))
         .filter(F.col("c_id") > F.col("_mx"))

@@ -95,6 +95,10 @@ def main() -> None:
             qs(), emb(), "vec_id", "vec_id", "embedding",
             n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k, n_iter=3,
         ),
+        "ivf_pq_residual_trained_4iter": S.ivf_pq_residual_topk_trained(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k, n_iter=4,
+        ),
     }
     for name, approx in variants.items():
         r = (

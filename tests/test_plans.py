@@ -244,6 +244,10 @@ def test_no_plan_red_flags(spark, name, entry):
       the vote stage — everything after the top-k is bounded by
       queries x k rows, and candidate generation composes with IVF/LSH
       equi-joins at corpus scale.
+    - q_neardup_dedup_pipeline: ONE one-row broadcast attach — the
+      1 + max(doc_id) copy-offset row cross-joined onto the planted-copy
+      fixture slice (collision-free on any id range, never collected);
+      the pipeline proper is the banding equi-join + CC label joins.
     - q_ivf_pq_residual_trained_topk: the same two one-row broadcast
       attaches as q_ivf_pq_residual_topk (coarse centroids, trained
       books — both bounded aggregates collapsed to single rows) plus
@@ -271,6 +275,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_pq_trained_topk",
         "q_ivf_pq_residual_topk",
         "q_ivf_pq_residual_trained_topk",
+        "q_neardup_dedup_pipeline",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",
