@@ -275,120 +275,123 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # queries().  Entries listed here are emitted FIRST so new/changed entries
 # and the stalest attestations land inside that window; the rest follows in
 # registration order (attestation already on recent record).
+#
+# Rotation invariant (COVERAGE.md "Attestation rotation"): re-derived
+# every round by scripts/derive_rotation.py as (new entries) + (changed
+# entries) + (entries that failed last round) + (entries outside last
+# round's window, stalest attestation first, ties in registration
+# order).  Round-14 derivation over the 148-entry registry (145 + the 3
+# r13-verdict-ordered promotions q_ngram_lm_score_jm / q_pq_trained_topk
+# / q_jpeg_color_stats_420): 3 new + 2 changed (q_sparse_doc_sim /
+# q_ngram_lm_score, the defaultParallelism pin edits) + 0 failed +
+# stalest-first; the 45 remaining r11-attested names head the stale
+# group, so the round-14 driver window is exactly 3 + 2 + 45 = 50 and
+# derive_rotation.py verified registry \ (r12 ∪ r13 ∪ r14 windows) = ∅
+# — the three-round invariant holds at 148/150 capacity.
 _CHECK_FIRST: list[str] = [
-    # Rotation invariant (COVERAGE.md "Attestation rotation"): re-derived
-    # every round by scripts/derive_rotation.py as (new entries) +
-    # (changed entries) + (entries that failed last round) + (entries
-    # outside last round's window, stalest attestation first, ties in
-    # registration order).  Round-13 derivation over the 145-entry
-    # registry (after the r12-verdict-ordered consolidation demoted
-    # q_minhash_signatures / q_ngram_jaccard_pairs — two of the four
-    # word_shingles-changed entries — plus the literal twins
-    # q_multimodal_decode_pinned / q_bpe_apply to register_bench_only
-    # with their oracles kept in _EXTRA_BENCH_ORACLE): 0 new + 2 changed
-    # (q_minhash_lsh_pairs / q_simhash, the remaining word_shingles
-    # callers) + 0 failed + stalest-first; the 48 remaining r10-attested
-    # names head the stale group, so the round-13 driver window is
-    # exactly 2 + 48 = 50 and derive_rotation.py verified registry \
-    # (r11 ∪ r12 ∪ r13 windows) = ∅ — the three-round invariant holds at
-    # 145/150 capacity with 45 stale names carried to r14.
+    # -- new this round --
+    "q_ngram_lm_score_jm",
+    "q_pq_trained_topk",
+    "q_jpeg_color_stats_420",
     # -- changed this round --
-    "q_minhash_lsh_pairs",
-    "q_simhash",
-    # -- stalest attestation first --
-    "q_bm25_topk",
-    "q_kmeans_assignments",
-    "q_int8_ann_topk",
-    "q_ivf_int8_topk",
-    "q_pq_adc_topk",
-    "q_ivf_pq_topk",
-    "q_embedding_gram_int8",
-    "q_random_projection_int8",
-    "q_multimodal_decode",
-    "q_image_channel_stats",
-    "q_jpeg_color_stats",
-    "q13_order_distribution",
-    "q18_large_volume_customers",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q19_discounted_revenue",
-    "q17_small_quantity",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q16_supplier_parts",
-    "q_rolling_window",
-    "q4_priority_count",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q9_product_profit",
-    "q_hash_split",
-    "q_domain_quota",
-    "q_seq_packing",
-    "q_quality_funnel",
-    "q_dup_clusters",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    "q_snapshot_diff",
-    "q_snapshot_merge",
-    "q_scd2_intervals",
-    "q_token_df_idf",
-    "q_top_bigrams",
-    "q_decontaminate",
-    "q_priority_dedup",
-    "q_repetition_ratio",
-    "q_redact",
-    "q_corpus_divergence",
-    "q_bpe_train_batched",
-    "q_ngram_lm_score",
     "q_sparse_doc_sim",
-    "q_bloom_decontaminate",
-    "q_label_propagation",
-    "q_dedup_keep_first",  # last green r11
-    "q_distinct_multi",  # last green r11
-    "q_key_table_tokens",  # last green r11
-    "q_left_join_coalesce",  # last green r11
-    "q_window_rank",  # last green r11
-    "q_count_star",  # last green r11
-    "q_set_ops",  # last green r11
-    "q_json_extract",  # last green r11
-    "q_sql_passthrough",  # last green r11
-    "q_posexplode_ordering",  # last green r11
-    "q_explode_resolve_renumber",  # last green r11
-    "q_token_decompose",  # last green r11
-    "q_text_stats",  # last green r11
-    "q_lang_id",  # last green r11
-    "q_token_counts",  # last green r11
-    "q_doc_fingerprint_dedup",  # last green r11
-    "q_cosine_topk",  # last green r11
-    "q_negative_sample",  # last green r11
-    "q_audio_stats",  # last green r11
-    "q_video_frame_stats",  # last green r11
-    "q_image_ahash",  # last green r11
-    "q_image_dup_pairs",  # last green r11
-    "q_audio_fingerprint",  # last green r11
-    "q_audio_dup_pairs",  # last green r11
-    "q7_nation_volume",  # last green r11
-    "q_approx_distinct",  # last green r11
-    "q_approx_percentile",  # last green r11
-    "q_table_profile",  # last green r11
-    "q2_min_cost_supplier",  # last green r11
-    "q11_important_stock",  # last green r11
-    "q12_late_shipments",  # last green r11
-    "q20_part_promotion",  # last green r11
-    "q_paragraph_dedup",  # last green r11
-    "q_ngram_decontaminate",  # last green r11
-    "q_chunk_documents",  # last green r11
-    "q_budget_take",  # last green r11
-    "q_heavy_hitters",  # last green r11
-    "q_histogram",  # last green r11
-    "q_robust_outliers",  # last green r11
-    "q_fuzzy_link",  # last green r11
-    "q_zorder_key",  # last green r11
-    "q_mixture_plan",  # last green r11
-    "q_validate_constraints",  # last green r11
-    "q_cms_heavy_hitters",  # last green r11
-    "q_hll_group_distinct",  # last green r11
+    "q_ngram_lm_score",
+    # -- stalest attestation first --
+    "q_dedup_keep_first",
+    "q_distinct_multi",
+    "q_key_table_tokens",
+    "q_left_join_coalesce",
+    "q_window_rank",
+    "q_count_star",
+    "q_set_ops",
+    "q_json_extract",
+    "q_sql_passthrough",
+    "q_posexplode_ordering",
+    "q_explode_resolve_renumber",
+    "q_token_decompose",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_counts",
+    "q_doc_fingerprint_dedup",
+    "q_cosine_topk",
+    "q_negative_sample",
+    "q_audio_stats",
+    "q_video_frame_stats",
+    "q_image_ahash",
+    "q_image_dup_pairs",
+    "q_audio_fingerprint",
+    "q_audio_dup_pairs",
+    "q7_nation_volume",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_table_profile",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q20_part_promotion",
+    "q_paragraph_dedup",
+    "q_ngram_decontaminate",
+    "q_chunk_documents",
+    "q_budget_take",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_robust_outliers",
+    "q_fuzzy_link",
+    "q_zorder_key",
+    "q_mixture_plan",
+    "q_validate_constraints",
+    "q_cms_heavy_hitters",
+    "q_hll_group_distinct",
+    "q1_pricing_summary",  # last green r12
+    "q3_shipping_priority",  # last green r12
+    "q5_region_revenue",  # last green r12
+    "q_filter_project_rename",  # last green r12
+    "q_conjunctive_isin",  # last green r12
+    "q_self_join_pairs",  # last green r12
+    "q_composite_key_join",  # last green r12
+    "q_multiway_distinct",  # last green r12
+    "q_topk_orders",  # last green r12
+    "q_lsh_ann_topk",  # last green r12
+    "q_ivf_ann_topk",  # last green r12
+    "q_embedding_dup_pairs",  # last green r12
+    "q_semdedup",  # last green r12
+    "q_ann_recall_lsh",  # last green r12
+    "q_lsh_multitable_topk",  # last green r12
+    "q_time_window_agg",  # last green r12
+    "q_sessionize",  # last green r12
+    "q_multimodal_meta",  # last green r12
+    "q_jpeg_pixel_stats",  # last green r12
+    "q_asof_join",  # last green r12
+    "q_range_join",  # last green r12
+    "q_interval_join",  # last green r12
+    "q_grouping_analytics",  # last green r12
+    "q_exists_subquery",  # last green r12
+    "q_scalar_subquery",  # last green r12
+    "q_pivot",  # last green r12
+    "q_percentile",  # last green r12
+    "q_partial_salted_join",  # last green r12
+    "q_full_outer",  # last green r12
+    "q_window_suite",  # last green r12
+    "q_scalar_functions",  # last green r12
+    "q_list_membership_join",  # last green r12
+    "q_bpe_pairs",  # last green r12
+    "q_bpe_train",  # last green r12
+    "q_inverted_index",  # last green r12
+    "q_inverted_index_capped",  # last green r12
+    "q_sorted_neighborhood",  # last green r12
+    "q_snm_multipass",  # last green r12
+    "q_group_auc",  # last green r12
+    "q_calibration_bins",  # last green r12
+    "q_hll_distinct",  # last green r12
+    "q_cohort_retention",  # last green r12
+    "q_last_touch",  # last green r12
+    "q_session_paths",  # last green r12
+    "q_co_occurrence_edges",  # last green r12
+    "q_bfs_hops",  # last green r12
+    "q_funnel_steps",  # last green r12
+    "q_pagerank",  # last green r12
+    "q_triangle_count",  # last green r12
+    "q_linear_attribution",  # last green r12
 ]
 
 

@@ -560,21 +560,35 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both model tables are proportional to the curated REFERENCE
     corpus and broadcast; the scoring pass is shuffle-free until the
-    per-doc groupBy, whose BIGINT partial sums combine freely."""
+    per-doc groupBy, whose BIGINT partial sums combine freely.
+    repartition(defaultParallelism) pins that CPU-bound pre-shuffle
+    scoring pass past the SF dir's 2-split scan (measured 3.05 s ->
+    1.32 s at sf0.1 for identical rows; the session-knob alternative is
+    physically inert on single-row-group files — SCALE.md).
+    defaultParallelism — never a literal constant: on local[32] both
+    equal 32, but at production a literal would COLLAPSE thousands of
+    input splits to a fixed task count, whereas defaultParallelism
+    follows the cluster's total core count (the
+    operators/dedup.minhash_lsh_pairs form).  Applied in r14 when the
+    rotation window first had head slots free (changed registry entries
+    are forced into the driver window)."""
     from pimdb_spark.operators.lm import ngram_lm_score
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ref = docs.filter(F.col("lang") == "en")
     return ngram_lm_score(docs, ref)
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
-# r10 verdict's item 3: the JM-interpolated scorer had python-model
-# bit-parity tests but no DuckDB oracle; both floor divisions are
+# Promoted to the driver registry in round 14 (one of the 3 freed
+# rotation slots, per the r13 verdict's promotion line); bench-only with
+# a pytest-gated oracle through rounds 10-13.  Both floor divisions are
 # integer-exact, so the oracle is the base q_ngram_lm_score chain with
 # the two-term interpolation spliced into the term expression.
-@register_bench_only(
+@register(
     "q_ngram_lm_score_jm",
+    bench=True,
     oracle=f"""
     WITH bi AS (
       SELECT gram, count(*) AS c2 FROM ({_BIGRAMS} WHERE lang = 'en')

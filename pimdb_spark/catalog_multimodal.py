@@ -525,11 +525,13 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pimdb_spark.catalog import register_bench_only  # noqa: E402
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
-# round-12 stretch item: 4:2:0 chroma subsampling, previously a
-# documented NON-GOAL of the 4:4:4 decoder.
-@register_bench_only(
+# Promoted to the driver registry in round 14 (one of the 3 freed
+# rotation slots, per the r13 verdict's promotion line); bench-only with
+# a pytest-gated oracle through rounds 12-13.  4:2:0 chroma subsampling,
+# previously a documented NON-GOAL of the 4:4:4 decoder.
+@register(
     "q_jpeg_color_stats_420",
+    bench=True,
     oracle="""
     WITH d AS (
       SELECT doc_id,

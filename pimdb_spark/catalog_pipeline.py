@@ -681,8 +681,22 @@ def q_sparse_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds so every cosine is engine-exact.
 
     Scale: one gram shuffle for tf, capped-gram pair join keyed on gram,
-    pair groupBy on (doc_a, doc_b); max_df is the cost dial."""
-    docs = load(spark, sf_dir, "documents")
+    pair groupBy on (doc_a, doc_b); max_df is the cost dial.
+
+    The repartition(defaultParallelism) pins the CPU-bound pre-exchange
+    tokenize/shingle/tf chain past the SF dir's single-split parquet
+    scan (measured 4.38 s -> 1.62 s at sf0.1 for identical rows; the
+    session-knob alternative is physically inert on single-row-group
+    files — SCALE.md).  defaultParallelism — never a literal constant:
+    on local[32] both equal 32, but at production a literal would
+    COLLAPSE thousands of input splits to a fixed task count, whereas
+    defaultParallelism follows the cluster's total core count (the
+    operators/dedup.minhash_lsh_pairs form).  Applied in r14 when the
+    rotation window first had head slots free (changed registry entries
+    are forced into the driver window)."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return R.sparse_doc_similarity(docs, max_df=40, threshold=0.5, n=2)
 
 

@@ -993,10 +993,12 @@ def _pq_trained_oracle(
     """
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the r12
-# verdict's item 1: trained codebooks through pq_topk's plan shape, with
-# the training-free q_pq_adc_topk kept as the oracle-simple registry form.
-@register_bench_only("q_pq_trained_topk", oracle=_pq_trained_oracle())
+# Promoted to the driver registry in round 14 (one of the 3 freed
+# rotation slots, per the r13 verdict's promotion line); bench-only with
+# a pytest-gated oracle through rounds 12-13.  Trained codebooks through
+# pq_topk's plan shape, with the training-free q_pq_adc_topk kept as the
+# oracle-simple base form.
+@register("q_pq_trained_topk", bench=True, oracle=_pq_trained_oracle())
 def q_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-3 with TRAINED per-subspace k-means
     codebooks (operators/similarity.pq_topk_trained = train_pq_codebooks

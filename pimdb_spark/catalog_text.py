@@ -428,7 +428,17 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint lineage cuts (near-dup components are quasi-cliques,
     diameter 2-3; the star-contraction twin swaps in for adversarial
     topologies), one component-keyed size groupBy.  Text never moves past
-    the shingle stage; CC shuffles (id, label) pairs only."""
+    the shingle stage; CC shuffles (id, label) pairs only.
+
+    max_iter=100 is EXPLICIT (r13 ADVICE): the oracle computes the exact
+    transitive closure via a recursive CTE, so a hash-min run that exits
+    its round loop before converging would diverge silently on chain-like
+    duplicate topologies.  The operator early-exits the round a pass
+    changes nothing (rounds = diameter; ~3 on this fixture's
+    exact-copy quasi-cliques), so the generous cap costs nothing when
+    converged and buys diameter-100 safety when it doesn't; a topology
+    past THAT belongs to connected_components_star (O(log n) rounds on
+    any graph)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
     copies = (
@@ -441,7 +451,7 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
     )
     cc = CU.connected_components(
-        pairs, "id_a", "id_b", nodes=base.select("doc_id")
+        pairs, "id_a", "id_b", nodes=base.select("doc_id"), max_iter=100
     )
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     return cc.join(sizes, "component").select(
@@ -677,16 +687,18 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_bench_only(
     "q_cross_neardup_filter",
     oracle="""
-    WITH refd AS (
+    WITH off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), refd AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
     ), newd AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
       UNION ALL
-      SELECT doc_id + 2000000 AS doc_id,
+      SELECT doc_id + off.o AS doc_id,
              array_to_string(
                (string_split(text, ' '))
                  [1 : (3 * len(string_split(text, ' '))) // 5], ' ') AS text
-      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+      FROM documents, off WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
     ), nsh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(t) - 1),
@@ -779,9 +791,11 @@ def q_cross_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates are new x ref band collisions only (never new x
     new); the reference banded frame builds once and serves every
     shard; verification re-joins shingle sets for candidates alone.
-    Fixture contract: the literal +2,000,000 truncated-copy id offset
-    assumes this testdata's id range; the OPERATOR never offsets ids —
-    q_neardup_dedup_pipeline shows the max-derived collision-free form.
+    The truncated-copy id offset is DERIVED as 1 + max(doc_id) (a
+    one-row broadcast, never collected — the q_neardup_dedup_pipeline
+    form), so the planted ids are collision-free on ANY id range;
+    the r13 literal +2,000,000 and its fixture id-range contract are
+    retired (r13 verdict item 4).
 
     The repartition(defaultParallelism) pins signature parallelism past
     the SF dir's 2-split parquet scan (the jpeg_color_stats single-core
@@ -796,12 +810,17 @@ def q_cross_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     ref = docs.filter(F.col("doc_id") % 7 == 0)
     toks = F.split("text", " ")
-    trunc = ref.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
-        ).alias("text"),
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    trunc = (
+        ref.filter(F.col("doc_id") % 3 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_o")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
+            ).alias("text"),
+        )
     )
     new = docs.filter(F.col("doc_id") % 7 != 0).union(trunc).repartition(par)
     return D.cross_neardup_filter(

@@ -159,3 +159,63 @@ def neardup_pairs_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cross_neardup_stream(
+    doc_stream: DataFrame,
+    ref_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """Streaming twin of the END-TO-END incremental-ingest dedup gate —
+    each arriving micro-batch of NEW documents is screened against the
+    STATIC reference corpus by the exact batch operator
+    (operators/dedup.cross_neardup_filter: two-sided banding, new x ref
+    candidates only, exact-Jaccard verification, deterministic best
+    match), and per-doc verdicts append to the sink.  This is the
+    r13-verdict stretch: the continuous form of the dedup PIPELINE
+    (q_neardup_dedup_pipeline covers the batch composition; this covers
+    arrival-time gating), complementing minhash_lsh_stream above, which
+    carries bucket STATE for new-vs-new pairs.
+
+    Why foreachBatch and not a stateful operator: a verdict depends only
+    on the new document's own shingles and the static reference — never
+    on other stream rows — so the batch plan IS the streaming plan (the
+    streaming/decontam.py recipe), and batch parity is structural: each
+    document lands in exactly one micro-batch.
+
+    Sink contract: AT-LEAST-ONCE, stated not hidden (the decontam twin's
+    taxonomy).  A replayed epoch re-writes IDENTICAL rows (verdicts are
+    deterministic per doc_id), so any keep-one-row-per-doc_id reader
+    sees exactly-once results; aggregating readers must dedup on doc_id
+    first.  Exactly-once upgrade path: epoch-keyed overwrite
+    subdirectories or a transactional table format.
+
+    Scale: per micro-batch the reference side reduces to its banded
+    frame (projections + one equi-join — the batch operator's own plan);
+    on a real cluster localCheckpoint the banded reference ONCE outside
+    the handler, since the static side never changes between batches."""
+    from pimdb_spark.operators.dedup import cross_neardup_filter
+
+    def handle(batch_df: DataFrame, _epoch: int) -> None:
+        out = cross_neardup_filter(
+            batch_df,
+            ref_docs,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -5,7 +5,18 @@ cosine — is the honest ground truth).  Prints one JSON line per variant —
 the source of the trained-PQ rows in SCALE.md's ANN ladder and the
 operator docstrings.
 
-Usage: python scripts/pq_recall.py [sf_dir] [n_queries] [k]
+Usage: python scripts/pq_recall.py [--clustered] [sf_dir] [n_queries] [k]
+
+--clustered swaps the corpus for a deterministic Gaussian-mixture-like
+fixture derived from the same vec_ids (8 well-separated integer centers
+keyed by vec_id % 8, plus +-0.5 xxhash64-seeded uniform noise) — the
+regime where the coarse quantizer explains most of the variance, so the
+residual-PQ layout can show when it pays.  The testdata's embeddings are
+unstructured (coarse cells explain ~no variance), which is why raw
+trained IVF-PQ beat both residual variants there (the two honest
+negatives in SCALE.md); this mode is the discriminating experiment the
+r13 verdict ordered (item 5).  Note vec_id % 8 makes the training-free
+lowest-id coarse seeds (vec_ids 0..7) land one per true cluster.
 """
 
 from __future__ import annotations
@@ -48,15 +59,63 @@ def exact_l2_topk(queries, candidates, k: int):
     )
 
 
+def clustered_embeddings(base, dim: int = 64, n_clusters: int = 8):
+    """Deterministic clustered fixture over the SAME vec_ids, built so the
+    residual layout CAN pay: three discrete levels, every one of them
+    integer-derived (reproducible, no RNG).
+
+    - coarse: cluster c = vec_id % 8, integer centers in [-6, 6] varied
+      per (c, dim) — separation ~sqrt(1800), dwarfs everything below, so
+      true neighbors share c and the training-free lowest-id coarse seeds
+      (vec_ids 0..7, one per c) assign cells correctly;
+    - sub-offset: s = (vec_id // 8) % 4, amplitude +-1.2 — the signal
+      exact L2 ranks on within a cell;
+    - per-subspace pattern: p = xxhash64(vec_id, subspace) % 4,
+      amplitude +-0.3 — the fine-ranking signal.
+
+    The point: per 8-dim subspace the RESIDUAL takes exactly 4 x 4 = 16
+    distinct values — precisely n_centroids, so trained per-cell-free
+    residual codebooks can represent the within-cell signal EXACTLY —
+    while the RAW subvector takes 8 x 4 x 4 = 128 distinct values, 8x the
+    codebook, forcing collisions for any raw-vector PQ.  On the testdata's
+    unstructured embeddings the opposite holds (residuals are noise,
+    coarse explains nothing) — which is why trained raw IVF-PQ won there
+    (SCALE.md's two honest negatives)."""
+    c = F.col("vec_id") % n_clusters
+    s = (F.col("vec_id") / n_clusters).cast("long") % 4
+    js = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def coord(j):
+        center = ((c * 37 + j * 11 + (c * j) % 7) % 13 - 6).cast("double")
+        off = (((s * 23 + j * 7) % 5 - 2) * 0.6).cast("double")
+        p = F.pmod(
+            F.xxhash64(F.col("vec_id"), (j / 8).cast("long"), F.lit("pqpat")),
+            F.lit(4),
+        )
+        pat = (((p * 19 + j * 13) % 7 - 3) * 0.1).cast("double")
+        return (center + off + pat).cast("float")
+
+    return base.select(
+        "vec_id", F.transform(js, coord).alias("embedding")
+    )
+
+
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    args = list(sys.argv[1:])
+    clustered = "--clustered" in args
+    if clustered:
+        args.remove("--clustered")
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    n_q = int(args[1]) if len(args) > 1 else 16
+    k = int(args[2]) if len(args) > 2 else 3
     spark = get_spark("pq-recall")
     spark.sparkContext.setLogLevel("ERROR")
 
     def emb():
-        return load(spark, sf, "embeddings").select("vec_id", "embedding")
+        base = load(spark, sf, "embeddings").select("vec_id", "embedding")
+        if clustered:
+            return clustered_embeddings(base)
+        return base
 
     def qs():
         return emb().filter(F.col("vec_id") < n_q)
@@ -107,7 +166,8 @@ def main() -> None:
             .first()[0]
         )
         print(json.dumps({"variant": name, "sf": sf, "n_queries": n_q,
-                          "k": k, "mean_recall": round(r, 4)}))
+                          "k": k, "clustered": clustered,
+                          "mean_recall": round(r, 4)}))
 
 
 if __name__ == "__main__":

@@ -248,6 +248,10 @@ def test_no_plan_red_flags(spark, name, entry):
       1 + max(doc_id) copy-offset row cross-joined onto the planted-copy
       fixture slice (collision-free on any id range, never collected);
       the pipeline proper is the banding equi-join + CC label joins.
+    - q_cross_neardup_filter: the same ONE one-row broadcast attach
+      (the 1 + max(doc_id) truncated-copy offset, r14 — retired the
+      literal +2,000,000 fixture offset); the gate proper is the
+      two-sided banding equi-join + candidate-only verification.
     - q_ivf_pq_residual_trained_topk: the same two one-row broadcast
       attaches as q_ivf_pq_residual_topk (coarse centroids, trained
       books — both bounded aggregates collapsed to single rows) plus
@@ -276,6 +280,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_pq_residual_topk",
         "q_ivf_pq_residual_trained_topk",
         "q_neardup_dedup_pipeline",
+        "q_cross_neardup_filter",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

@@ -160,3 +160,69 @@ def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
     assert pairs == expected
     cross = {(a, b) for a, b in pairs if (a % 2 == 0) != (b % 2 == 0)}
     assert cross  # found by the SECOND query -> state came from checkpoint
+
+
+def test_cross_neardup_stream_matches_batch_across_splits(spark, tmp_path):
+    """Drained-batch parity for the incremental-ingest gate twin: the new
+    corpus arrives in two micro-batch files, every per-doc verdict must
+    equal the batch cross_neardup_filter over the whole new corpus (a
+    verdict depends only on the doc itself vs the static reference, so
+    parity is structural — this asserts it anyway), and the fixture
+    plants truncated copies so matched and unmatched rows both occur."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.dedup import cross_neardup_filter
+    from pimdb_spark.streaming.neardup import cross_neardup_stream
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    toks = F.split("text", " ")
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    trunc = (
+        ref.filter(F.col("doc_id") % 3 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_o")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
+            ).alias("text"),
+        )
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).union(trunc)
+
+    src = tmp_path / "new_stream"
+    src.mkdir()
+    for name, half in (("a", 0), ("b", 1)):
+        stage = tmp_path / f"stage_{name}"
+        new.filter(F.col("doc_id") % 2 == half).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    out_path = str(tmp_path / "verdicts")
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    q = cross_neardup_stream(
+        stream, ref, out_path, str(tmp_path / "chk"), threshold=0.5
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+
+    got = {
+        r.doc_id: (r.n_ref_matches, r.best_ref, r.best_jacc, r.matched)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    expected = {
+        r.doc_id: (r.n_ref_matches, r.best_ref, r.best_jacc, r.matched)
+        for r in cross_neardup_filter(new, ref, threshold=0.5).collect()
+    }
+    assert got == expected
+    assert len(got) == new.count()
+    assert any(v[3] == 1 for v in got.values())  # planted copies caught
+    assert any(v[3] == 0 for v in got.values())  # organic docs pass
