@@ -992,3 +992,62 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     return dsir_importance(docs, target)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r14
+# boilerplate-removal addition: the CCNet/RefinedWeb template pass, the
+# frequency-based group-scoped complement of q_paragraph_dedup's
+# corpus-wide keep-first policy.
+@register_bench_only(
+    "q_boilerplate_strip",
+    oracle=f"""
+    WITH seg AS (
+      SELECT doc_id, source,
+             unnest(range(1, greatest(len({_TOKS}), 1) + 1, 5)) AS start,
+             {_TOKS} AS toks
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, source, CAST((start - 1) / 5 AS BIGINT) AS pos,
+             array_to_string(list_slice(toks, start, start + 4), ' ') AS seg
+      FROM seg
+    ), boiler AS (
+      SELECT source, seg FROM segs GROUP BY source, seg
+      HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+      SELECT s.doc_id, s.source, s.pos, s.seg,
+             b.seg IS NOT NULL AS is_boiler
+      FROM segs s LEFT JOIN boiler b
+        ON b.source = s.source AND b.seg = s.seg
+    )
+    SELECT doc_id,
+           any_value(source) AS source,
+           coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+                               ' ' ORDER BY pos), '') AS text,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal (operators/corpus.boilerplate_strip,
+    block=5, min_df=2): a 5-token segment occurring in >= 2 distinct
+    documents of the SAME source is template furniture and every
+    occurrence is stripped; documents re-assemble in order with strip
+    counts.  The policy difference from q_paragraph_dedup is the point:
+    keep-first preserves one copy of repeated content corpus-wide, the
+    template pass keeps NONE and scopes frequency to the source, because
+    a site's own repeated header says machine, not information.  This
+    corpus has organic within-source repeats at both SFs (30 / 18
+    segments at sf0.001 / sf0.01), so strip counts are non-trivially
+    exercised without a planted fixture.
+
+    Scale: df-count groupBy on (source, md5(segment)) — digest rows
+    only, map-side partial aggregation; verdict hash equi-join on the
+    same key; one doc-keyed re-assembly groupBy.  Skew ceiling = the
+    most-repeated template's occurrence count, the paragraph_dedup
+    bound."""
+    from pimdb_spark.operators.corpus import boilerplate_strip
+
+    docs = load(spark, sf_dir, "documents")
+    return boilerplate_strip(docs, block=5, min_df=2)

@@ -826,3 +826,101 @@ def q_cross_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cross_neardup_filter(
         new, ref.repartition(par), k=3, num_hashes=16, bands=8, threshold=0.5
     )
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r14
+# asymmetric-containment addition: quote/excerpt detection, the directed
+# complement of the symmetric Jaccard dedup family.
+@register_bench_only(
+    "q_containment_pairs",
+    oracle="""
+    WITH off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + off.o AS doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '),
+                          (3 * len(string_split(text, ' '))) // 10 + 1,
+                          (3 * len(string_split(text, ' '))) // 10
+                            + (2 * len(string_split(text, ' '))) // 5),
+               ' ') AS text
+      FROM documents, off WHERE doc_id % 4 = 0
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 3),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM base)
+      WHERE len(t) >= 5
+    ), grams AS (
+      SELECT doc_id AS doc, unnest(s) AS g FROM sh
+    ), rare AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) <= 40
+    ), capped AS (
+      SELECT doc, g FROM grams JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc <> b.doc
+    ), ver AS (
+      SELECT id_a, id_b,
+             CAST(len(sa.s) AS BIGINT) AS n_a,
+             CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS shared
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, n_a, shared,
+           CAST(shared AS DOUBLE) / n_a AS containment
+    FROM ver
+    WHERE CAST(shared AS DOUBLE) / n_a >= 0.8::DOUBLE
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-subset detection (operators/dedup.containment_pairs,
+    k=5, max_df=40, threshold 0.8) on the corpus augmented with planted
+    EXCERPTS — the middle 40% of every 4th doc's tokens under a derived
+    1 + max(doc_id) id offset (the collision-free one-row-broadcast
+    form).  An excerpt's containment in its source is ~1 while its
+    Jaccard is ~0.4 — below every symmetric near-dup threshold in this
+    catalog — which is exactly the quote-level duplication the
+    asymmetric measure exists to catch (LSH Ensemble, Zhu et al. VLDB
+    2016, is the banding upgrade path).  Directed output: (id_a, id_b,
+    n_a, shared, containment); containment = shared/n_a is one exact
+    integer division, bit-identical cross-engine.
+
+    Scale: candidates from an equi-join on shared under-the-cap
+    shingles (Σ df² bound, cap = cost dial — the sparse_doc_sim
+    discipline); verification re-joins full distinct shingle sets for
+    candidates alone.  k=5 is the measured blocking point on this
+    small-vocabulary corpus: 3-shingles collide so broadly that Σ df²
+    hits 2.8M pairs (14.6 s), 5-shingles cut it to 278k (6.7 s warm)
+    with identical planted-pair recall — and longer shingles are the
+    quote-detection norm anyway.  The repartition(defaultParallelism)
+    pins the CPU-bound shingle projection past the SF dir's 1-2-split
+    scan (the minhash single-core trap); never a literal constant — at
+    production a literal would COLLAPSE thousands of input splits,
+    while defaultParallelism follows the cluster's core count."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    excerpts = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_o")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    F.expr("(3 * size(split(text, ' '))) div 10 + 1"),
+                    F.expr("(2 * size(split(text, ' '))) div 5"),
+                ),
+            ).alias("text"),
+        )
+    )
+    base = docs.union(excerpts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return D.containment_pairs(base, k=5, max_df=40, threshold=0.8)

@@ -775,3 +775,79 @@ def bpe_train_batched(
         "rhs",
         "cnt",
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 5,
+    min_df: int = 2,
+    segments: Column | None = None,
+) -> DataFrame:
+    """Group-scoped boilerplate removal (the CCNet / RefinedWeb template
+    pass): a segment whose exact text occurs in >= ``min_df`` DISTINCT
+    documents of the same group (domain/source) is template furniture —
+    headers, footers, nav menus, cookie banners — and EVERY occurrence is
+    stripped; unique content survives.  This differs from
+    ``paragraph_dedup`` (keep the corpus-wide FIRST occurrence) in both
+    policy and scope: boilerplate keeps NO occurrence, and the document
+    frequency is counted within the group, because a template is only
+    evidence of machine generation relative to its own site.
+
+    Returns (id, group, text, n_segments, n_boiler) — one row per doc,
+    text re-assembled in order (empty string when everything was
+    template), n_boiler = stripped segment occurrences.
+
+    `segments` defaults to fixed `block`-token windows (token_blocks);
+    corpora with real structure pass e.g. ``F.split("text", "\\n\\n")``.
+
+    Scale: two keyed shuffles, both inherent — the df count groupBy on
+    (group, md5(segment)) moves digest rows only and partial-aggregates
+    map-side (count_distinct over doc ids partial-merges as a set per
+    digest — bounded by min_df in practice since counting stops
+    mattering past it); the verdict join back onto occurrences is a
+    hash equi-join on the same key, so AQE co-locates it with the
+    count's output partitioning; the re-assembly groupBy on the doc id
+    moves surviving segments once.  Skew ceiling = the occurrence count
+    of the single most-repeated template, the same bound as
+    paragraph_dedup's window."""
+    segs = segments if segments is not None else token_blocks(text_col, block)
+    exploded = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(segs).alias("pos", "seg"),
+    ).withColumn("_h", F.md5(F.col("seg")))
+    df_tab = (
+        exploded.groupBy("_grp", "_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_grp", "_h", F.lit(True).alias("_boiler"))
+    )
+    marked = exploded.join(df_tab, ["_grp", "_h"], "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.first("_grp").alias(group_col),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(id_col, group_col, "text", "n_segments", "n_boiler")
+    )

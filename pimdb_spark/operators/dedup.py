@@ -748,3 +748,84 @@ def cross_neardup_filter(
             .alias("matched"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int = 40,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTED near-subset detection by shingle containment
+    C(A, B) = |S(A) ∩ S(B)| / |S(A)| — the asymmetric complement of the
+    Jaccard dedup family (Zhu et al., "LSH Ensemble", VLDB 2016, frame
+    the problem; this is the exact blocked form).  A short excerpt,
+    quote, or syndicated fragment inside a much longer document has
+    containment ~1 while its Jaccard drowns in the denominator
+    (|A∪B| ≈ |B|), so symmetric near-dup passes never see it; this
+    operator is the pipeline step that catches quote-level duplication
+    and excerpt spam.
+
+    Returns (id_a, id_b, n_a, shared, containment) — directed rows, A's
+    shingles covered by B's, containment >= threshold, A != B.  Note
+    (a, b) and (b, a) can BOTH appear (exact duplicates contain each
+    other); consumers wanting the symmetric form take GREATEST of the
+    two directions.
+
+    Scale: candidates come from an equi-join on shared UNDER-THE-CAP
+    shingles (the sparse_doc_similarity discipline — a shingle in more
+    than ``max_df`` docs is stopword-like furniture and generates no
+    candidates; Σ df² over surviving shingles bounds the pair count, and
+    the cap is the cost dial).  Verification re-joins the full distinct
+    shingle sets for candidate pairs alone (array_intersect on two
+    in-row arrays — no second shuffle family), so the cap can only
+    lose candidates whose EVERY shared shingle is super-cap-frequent —
+    at that point the pair is boilerplate, not a quote, and belongs to
+    boilerplate_strip.  LSH-Ensemble banding (minhash partitioned by
+    set size) is the sub-linear upgrade path when the candidate join
+    itself dominates."""
+    toks = F.split(F.col(text_col), " ")
+    # One lineage cut: the CPU-bound shingle projection feeds the gram
+    # explode AND both verification sides — without it the chain re-runs
+    # per consumer (measured 14.6 -> 4.5 s at sf0.1 for identical rows).
+    sh = (
+        docs.select(F.col(id_col).alias("doc"), word_shingles(toks, k).alias("s"))
+        .filter(F.size("s") > 0)
+        .localCheckpoint(eager=False)
+    )
+    # 64-bit gram keys narrow the candidate join's wire (the dup-span
+    # md5-key convention); the shingle STRINGS never shuffle here.
+    grams = sh.select(
+        "doc", F.explode(F.transform("s", lambda x: F.xxhash64(x))).alias("g")
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("g")
+    )
+    capped = grams.join(rare, "g").localCheckpoint(eager=False)
+    cand = (
+        capped.select(F.col("doc").alias("id_a"), "g")
+        .join(capped.select(F.col("doc").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("s").alias("s_b"))
+    shared = F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("s_a").cast("bigint").alias("n_a"),
+            shared.cast("bigint").alias("shared"),
+            (shared.cast("double") / F.size("s_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -375,3 +375,50 @@ def test_gopher_repetition_matches_python_model(spark):
     assert got[1]["dup5_cov_tokens"] == 10
     # clean doc: zero coverage everywhere
     assert got[4]["dup5_cov_tokens"] == 0 and got[4]["dup5_token_frac"] == 0.0
+
+
+def test_boilerplate_strip_group_scoped_frequency(spark):
+    """A segment repeated across >= min_df docs of the SAME source is
+    stripped from every doc; the identical segment in a DIFFERENT source
+    (below that source's df threshold) survives — and unlike
+    paragraph_dedup, no occurrence of a template is kept."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            # source s1: 'foot er' is a 2-doc template; content differs
+            Row(doc_id=1, text="alpha beta foot er", source="s1"),
+            Row(doc_id=2, text="gamma delta foot er", source="s1"),
+            # source s2: same 'foot er' segment but only ONE doc has it
+            Row(doc_id=3, text="other text foot er", source="s2"),
+            # all-template doc collapses to empty, row preserved
+            Row(doc_id=4, text="foot er", source="s1"),
+        ]
+    )
+    got = {
+        r.doc_id: (r.text, r.n_segments, r.n_boiler)
+        for r in C.boilerplate_strip(docs, block=2, min_df=2).collect()
+    }
+    assert got[1] == ("alpha beta", 2, 1)
+    assert got[2] == ("gamma delta", 2, 1)
+    assert got[3] == ("other text foot er", 2, 0)  # other group: kept
+    assert got[4] == ("", 1, 1)  # empty string, not a missing row
+
+
+def test_boilerplate_strip_order_preserved(spark):
+    """Survivor segments re-assemble in original position order even when
+    a template sits between them."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two tpl tpl three four", source="s"),
+            Row(doc_id=2, text="five six tpl tpl seven eight", source="s"),
+        ]
+    )
+    got = {
+        r.doc_id: r.text
+        for r in C.boilerplate_strip(docs, block=2, min_df=2).collect()
+    }
+    assert got[1] == "one two three four"
+    assert got[2] == "five six seven eight"

@@ -252,6 +252,11 @@ def test_no_plan_red_flags(spark, name, entry):
       (the 1 + max(doc_id) truncated-copy offset, r14 — retired the
       literal +2,000,000 fixture offset); the gate proper is the
       two-sided banding equi-join + candidate-only verification.
+    - q_containment_pairs: ONE one-row broadcast attach (the
+      1 + max(doc_id) planted-excerpt offset, the pipeline entry's
+      form); candidates are the capped-shingle equi-join (Σ df²
+      bounded) and verification re-joins shingle sets for candidates
+      alone — never all-pairs.
     - q_ivf_pq_residual_trained_topk: the same two one-row broadcast
       attaches as q_ivf_pq_residual_topk (coarse centroids, trained
       books — both bounded aggregates collapsed to single rows) plus
@@ -281,6 +286,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_pq_residual_trained_topk",
         "q_neardup_dedup_pipeline",
         "q_cross_neardup_filter",
+        "q_containment_pairs",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

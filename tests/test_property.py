@@ -824,3 +824,60 @@ def test_cross_neardup_filter_matches_python_model(spark):
     assert got[100][3] == 1      # exact copy caught
     assert got[102] == (0, None, None, 0)
     assert got[103] == (0, None, None, 0)  # too short: no shingles, no crash
+
+
+def test_containment_pairs_matches_python_model(spark):
+    """containment_pairs vs a direct python replay: distinct k-shingles,
+    capped-df candidate blocking, |A∩B|/|A| — directed, both directions
+    possible, threshold-gated.  Includes an excerpt (containment ~1 in
+    its source, Jaccard well below symmetric thresholds), an exact dup
+    pair (mutual containment), and an unrelated doc."""
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.dedup import containment_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "quick brown fox jumps over",  # excerpt of 1
+        3: "completely different words here nothing shared at all",
+        4: "completely different words here nothing shared at all",  # dup of 3
+        5: "unrelated tokens entirely separate vocabulary usage",
+    }
+    k, max_df, threshold = 3, 40, 0.8
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    df = {}
+    for s in sh.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    rare = {g for g, c in df.items() if c <= max_df}
+    expected = {}
+    for a in texts:
+        for b in texts:
+            if a == b or not sh[a]:
+                continue
+            if not (sh[a] & sh[b] & rare):
+                continue  # no under-cap shared shingle -> no candidate
+            cont = len(sh[a] & sh[b]) / len(sh[a])
+            if cont >= threshold:
+                expected[(a, b)] = (len(sh[a]), len(sh[a] & sh[b]), cont)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.shared, r.containment)
+        for r in containment_pairs(
+            docs, k=k, max_df=max_df, threshold=threshold
+        ).collect()
+    }
+    assert got == expected
+    assert (2, 1) in got and got[(2, 1)][2] == 1.0  # excerpt contained
+    assert (1, 2) not in got  # asymmetric: the long side is NOT contained
+    assert (3, 4) in got and (4, 3) in got  # exact dups contain each other
