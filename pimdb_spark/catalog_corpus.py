@@ -1051,3 +1051,111 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return boilerplate_strip(docs, block=5, min_df=2)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r14
+# span-level decontamination addition: the cross-corpus form of
+# q_dup_span_excise (excise leaked EVAL spans from training docs instead
+# of dropping the whole document).
+@register_bench_only(
+    "q_eval_span_excise",
+    oracle=f"""
+    WITH snip AS (
+      SELECT array_to_string(
+               list_slice(string_split(arg_min(text, doc_id), ' '), 1, 5),
+               ' ') AS s
+      FROM documents WHERE doc_id % 11 = 0
+    ), tk AS (
+      SELECT doc_id,
+             string_split(
+               CASE WHEN doc_id % 10 = 3 THEN text || ' ' || snip.s
+                    ELSE text END, ' ') AS t
+      FROM documents, snip WHERE doc_id % 11 <> 0
+    ), ek AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 11 = 0
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n_tokens FROM tk
+    ), grams AS (
+      SELECT doc_id, i AS gpos,
+             md5(array_to_string(t[i:i+4], ' ')) AS gh
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+            FROM base WHERE len(t) >= 5) x
+    ), eval_set AS (
+      SELECT DISTINCT md5(array_to_string(t[i:i+4], ' ')) AS gh
+      FROM (SELECT t, unnest(range(1, len(t) - 3)) AS i
+            FROM ek WHERE len(t) >= 5) y
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT g.doc_id, unnest(range(g.gpos, g.gpos + 5)) AS pos
+        FROM grams g JOIN eval_set USING (gh))
+    ), cov AS (
+      SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM base
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.t[k.pos] AS tok
+      FROM toks k LEFT JOIN covered c
+        ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.pos IS NULL
+    ), clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.n_dup, 0) AS BIGINT) AS n_eval_tokens,
+           CAST(coalesce(cov.n_dup, 0) AS DOUBLE)
+             / CAST(b.n_tokens AS DOUBLE) AS eval_frac,
+           coalesce(clean.clean_text, '') AS clean_text
+    FROM base b
+    LEFT JOIN cov USING (doc_id)
+    LEFT JOIN clean USING (doc_id)
+    """,
+)
+def q_eval_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination (operators/dedup.
+    eval_span_excise, n=5): train docs (doc_id % 11 != 0) have every
+    position covered by a 5-token span that appears anywhere in the
+    eval slice (doc_id % 11 == 0) excised, keeping the rest — the
+    surgical alternative to q_decontaminate / q_ngram_decontaminate's
+    whole-document drop when the leak is a quoted benchmark question
+    inside an otherwise-fine document.  Fixture: every train doc with
+    doc_id % 10 == 3 is contaminated by appending the first 5 tokens of
+    the LOWEST-id eval doc (a one-row broadcast snippet attach —
+    min_by, so both engines pick the identical doc), guaranteeing
+    planted hits at every SF on top of the organic cross-slice span
+    collisions; excision must strip exactly the appended snippet from
+    the planted docs.
+
+    Scale: the eval side reduces to distinct span md5s (benchmark-sized
+    -> broadcast, the decontaminate economics); the train side is the
+    audited dup_span_excise shape — posexplode + span-hash equi-join +
+    bounded per-doc coverage, no all-pairs stage.  The
+    repartition(defaultParallelism) pins the CPU-bound span-hash
+    projection past the SF dir's 1-2-split scan; never a literal
+    constant — at production a literal would COLLAPSE thousands of
+    input splits, while defaultParallelism follows the cluster's core
+    count."""
+    from pimdb_spark.operators.dedup import eval_span_excise
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    snip = ev.agg(
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.expr("min_by(text, doc_id)"), " "), 1, 5),
+        ).alias("_snip")
+    )
+    planted = (
+        train.filter(F.col("doc_id") % 10 == 3)
+        .crossJoin(F.broadcast(snip))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("_snip")).alias("text"),
+        )
+    )
+    train_aug = train.filter(F.col("doc_id") % 10 != 3).union(planted)
+    return eval_span_excise(train_aug, ev, n=5)

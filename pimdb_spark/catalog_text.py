@@ -924,3 +924,110 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return D.containment_pairs(base, k=5, max_df=40, threshold=0.8)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r14
+# sub-linear containment twin: same planted-excerpt fixture and verified
+# contract as q_containment_pairs, candidates from single-row minhash
+# bands instead of the Σ df² shingle join.
+@register_bench_only(
+    "q_containment_lsh_pairs",
+    oracle="""
+    WITH off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + off.o AS doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '),
+                          (3 * len(string_split(text, ' '))) // 10 + 1,
+                          (3 * len(string_split(text, ' '))) // 10
+                            + (2 * len(string_split(text, ' '))) // 5),
+               ' ') AS text
+      FROM documents, off WHERE doc_id % 4 = 0
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 3),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM base)
+      WHERE len(t) >= 5
+    ), sig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM sh
+    ), b AS (
+      SELECT doc_id, unnest(range(0, 16)) AS band, unnest(sg) AS v
+      FROM sig
+    ), flood AS (
+      SELECT band, v FROM b GROUP BY band, v HAVING count(*) > 64
+    ), b2 AS (
+      SELECT b.doc_id, b.band, b.v
+      FROM b LEFT JOIN flood f ON f.band = b.band AND f.v = b.v
+      WHERE f.v IS NULL
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM b2 x JOIN b2 y ON x.band = y.band AND x.v = y.v
+                         AND x.doc_id <> y.doc_id
+    ), ver AS (
+      SELECT id_a, id_b,
+             CAST(len(sa.s) AS BIGINT) AS n_a,
+             CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS shared
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, n_a, shared,
+           CAST(shared AS DOUBLE) / n_a AS containment
+    FROM ver
+    WHERE CAST(shared AS DOUBLE) / n_a >= 0.8::DOUBLE
+    """,
+)
+def q_containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded containment detection (operators/dedup.
+    containment_lsh_pairs, k=5, 16 hashes, single-row bands, flood cap
+    64, threshold 0.8) on the SAME planted-excerpt fixture as
+    q_containment_pairs, so the two entries measure candidate-generation
+    recall against each other directly: the brute twin's candidates are
+    complete by construction (any shared under-cap shingle), this one's
+    come from 16 single-hash minhash probes — the LSH-Ensemble
+    high-recall endpoint, p = 1-(1-j)^16 at signature Jaccard j, which
+    is what survives when the corpus is too big for the Σ df² shingle
+    join.  Verification is exact containment either way, so banding
+    moves recall and cost, never precision.
+
+    Scale: the minhash chain is the audited one-exchange row-oriented
+    pipeline (the repartition keys text ONCE; shingle window + 16 min
+    aggregates reuse that exchange; md5 in whole-stage codegen); the
+    bucket join shuffles (doc, band, min) triples; flood buckets above
+    the cap are excluded by a broadcast anti-join (the one bucket every
+    spam template lands in is exactly the bucket the join must not
+    square)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    excerpts = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_o")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    F.expr("(3 * size(split(text, ' '))) div 10 + 1"),
+                    F.expr("(2 * size(split(text, ' '))) div 5"),
+                ),
+            ).alias("text"),
+        )
+    )
+    base = docs.union(excerpts)
+    return D.containment_lsh_pairs(
+        base, k=5, num_hashes=16, threshold=0.8, max_bucket_size=64
+    )

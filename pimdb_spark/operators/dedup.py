@@ -319,6 +319,23 @@ def dup_span_excise(
     original order because the left operand is the ascending position
     sequence.  Per-doc work is therefore linear in document length with
     no doc-length contract needed."""
+    base, grams = _span_grams(docs, id_col, text_col, n)
+    dup_set = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    return _excise_spans(
+        base, grams, dup_set, id_col, n, "n_dup_tokens", "dup_frac"
+    )
+
+
+def _span_grams(docs, id_col, text_col, n):
+    """(base, grams) for the span-excision family: base = (id, toks,
+    n_tokens); grams = one (id, gpos, md5-span-hash) row per n-token
+    span start (md5 keys — 128-bit, engine-identical, ~10x narrower on
+    the wire than a raw n-token span)."""
     arr = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col).alias("_id"), arr.alias("toks")
@@ -333,14 +350,15 @@ def dup_span_excise(
     grams = base.select(
         "_id", F.posexplode(gram_arr).alias("gidx", "gh")
     ).withColumn("gpos", F.col("gidx") + 1)
-    dup_set = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= min_count)
-        .select("gh")
-    )
+    return base, grams
+
+
+def _excise_spans(base, grams, span_set, id_col, n, cnt_name, frac_name):
+    """Cut every position covered by a span whose hash is in `span_set`
+    from each doc; one row per doc with coverage counts and the in-order
+    clean text (the array_except hash-set rebuild — O(n + |cov|))."""
     covered = (
-        grams.join(dup_set, "gh")
+        grams.join(span_set, "gh")
         .select(
             "_id",
             F.explode(
@@ -359,11 +377,11 @@ def dup_span_excise(
     return joined.select(
         F.col("_id").alias(id_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias(cnt_name),
         (
             F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
             / F.col("n_tokens").cast("double")
-        ).alias("dup_frac"),
+        ).alias(frac_name),
         F.concat_ws(
             " ",
             F.transform(
@@ -373,6 +391,39 @@ def dup_span_excise(
                 lambda p: F.element_at(F.col("toks"), p),
             ),
         ).alias("clean_text"),
+    )
+
+
+def eval_span_excise(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level EVAL-SET decontamination — the cross-corpus form of
+    dup_span_excise (Lee et al. 2022 applied to contamination instead of
+    duplication): every position of a TRAINING document covered by an
+    n-token span that appears ANYWHERE in the eval set is cut out, and
+    the unique remainder survives.  Document-level decontamination
+    (ngram_decontaminate / bloom_decontaminate) DROPS a contaminated doc
+    wholesale; this keeps the doc and removes only the leaked spans —
+    the right trade when contamination is a quoted benchmark question
+    inside an otherwise-fine document.
+
+    Returns one row per train doc: (id, n_tokens, n_eval_tokens,
+    eval_frac, clean_text).
+
+    Scale: the eval side reduces to DISTINCT span md5s (eval sets are
+    benchmark-sized — the hash join Spark plans here becomes a broadcast
+    exactly when that table is small, the decontaminate economics); the
+    train side is the same single posexplode + hash equi-join + bounded
+    per-doc coverage shape as dup_span_excise, no all-pairs stage."""
+    base, grams = _span_grams(train_docs, id_col, text_col, n)
+    _, eval_grams = _span_grams(eval_docs, id_col, text_col, n)
+    span_set = eval_grams.select("gh").distinct()
+    return _excise_spans(
+        base, grams, span_set, id_col, n, "n_eval_tokens", "eval_frac"
     )
 
 
@@ -816,6 +867,107 @@ def containment_pairs(
     )
     a = sh.select(F.col("doc").alias("id_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("s").alias("s_b"))
+    shared = F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("s_a").cast("bigint").alias("n_a"),
+            shared.cast("bigint").alias("shared"),
+            (shared.cast("double") / F.size("s_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Banded containment candidates — the SUB-LINEAR path for
+    containment_pairs (the LSH-Ensemble direction, Zhu et al. VLDB 2016,
+    reduced to its high-recall endpoint): minhash signatures banded at
+    ONE ROW PER BAND, so two documents become a candidate pair when ANY
+    of the ``num_hashes`` minimums agree.  Single-row bands are the
+    right end of the (b, r) dial for the asymmetric problem: an excerpt
+    A inside a 10x larger B has Jaccard ~|A|/|B| ~0.1, which r=2 bands
+    catch with p = 1-(1-j^2)^8 ~ 0.08 (useless) while r=1 bands catch
+    with p = 1-(1-j)^16 ~ 0.81; at equal sizes (j ~ t) both are ~1.
+    The full LSH Ensemble adds size-partitioned indexes with per
+    partition (b, r) tuning — worth it when even 16 single-hash probes
+    over-generate; this endpoint form is exact-verified, so tuning only
+    moves COST, never correctness.  Candidates verify EXACT containment
+    |S(A) ∩ S(B)| / |S(A)| >= threshold — same contract and columns as
+    containment_pairs (directed; mutual containment for exact dups).
+
+    Scale: the minhash chain is the audited minhash_lsh_pairs
+    row-oriented one-exchange pipeline (posexplode → window shingles →
+    codegen md5/min — no interpreted HOF in the hot path); the bucket
+    join shuffles (doc, i, min_i) triples only; ``max_bucket_size``
+    drops flood buckets (a minimum shared by m docs emits m² candidate
+    rows; the flooded set is tiny by definition, so exclusion is a
+    broadcast anti-join).  Unlike containment_pairs' capped-shingle
+    blocking — whose candidate volume is Σ df² over ALL surviving
+    shingles — the candidate bound here is num_hashes x Σ bucket² with
+    buckets capped, independent of document length."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    sh = (
+        tok.select("doc", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .select("doc", "sh")
+    )
+    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint")
+    hashed = sh.select("doc", "sh", x.alias("x"))
+
+    def _a(i: int) -> int:
+        return ((i * _A_MUL + _A_ADD) & _A_MASK) | 1
+
+    mins = [
+        F.min((F.lit(_a(i)) * F.col("x") + F.lit(i * _B_MUL)) % MINHASH_P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        hashed.groupBy("doc")
+        .agg(*mins, F.collect_set("sh").alias("shingles"))
+        .persist()
+    )
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+        ).alias("band", "v"),
+    )
+    if max_bucket_size is not None:
+        flooded = (
+            banded.groupBy("band", "v")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("band", "v")
+        )
+        banded = banded.join(F.broadcast(flooded), ["band", "v"], "left_anti")
+    left = banded.select(F.col("doc").alias("id_a"), "band", "v")
+    right = banded.select(F.col("doc").alias("id_b"), "band", "v")
+    cand = (
+        left.join(right, ["band", "v"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc").alias("id_a"), F.col("shingles").alias("s_a"))
+    b = sig.select(F.col("doc").alias("id_b"), F.col("shingles").alias("s_b"))
     shared = F.size(F.array_intersect("s_a", "s_b"))
     return (
         cand.join(a, "id_a")

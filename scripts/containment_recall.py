@@ -1,0 +1,47 @@
+"""Measure the banded containment twin's candidate-generation recall
+against the brute capped-shingle form on the shared planted-excerpt
+fixture: both entries verify EXACT containment, so the banded pair set
+is a subset of the brute one by construction and the interesting number
+is how much of it the 16 single-hash probes keep (the LSH-Ensemble
+high-recall endpoint, p = 1-(1-j)^16).  Prints one JSON line per entry
+plus the recall line — the source of SCALE.md's containment row.
+
+Usage: python scripts/containment_recall.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pimdb_spark import entrypoints  # noqa: E402,F401
+from pimdb_spark.catalog import _EXTRA_BENCH  # noqa: E402
+from pimdb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("containment-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    sets, times = {}, {}
+    for name in ("q_containment_pairs", "q_containment_lsh_pairs"):
+        t0 = time.time()
+        rows = _EXTRA_BENCH[name](spark, sf).select("id_a", "id_b").collect()
+        times[name] = round(time.time() - t0, 2)
+        sets[name] = {(r.id_a, r.id_b) for r in rows}
+        print(json.dumps({"entry": name, "sf": sf, "pairs": len(sets[name]),
+                          "sec": times[name]}))
+    brute, lsh = sets["q_containment_pairs"], sets["q_containment_lsh_pairs"]
+    print(json.dumps({
+        "sf": sf,
+        "recall": round(len(brute & lsh) / len(brute), 4) if brute else None,
+        "lsh_only": len(lsh - brute),  # 0 expected: exact verification
+    }))
+
+
+if __name__ == "__main__":
+    main()

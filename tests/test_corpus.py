@@ -422,3 +422,37 @@ def test_boilerplate_strip_order_preserved(spark):
     }
     assert got[1] == "one two three four"
     assert got[2] == "five six seven eight"
+
+
+def test_eval_span_excise_strips_exactly_the_leaked_span(spark):
+    """Cross-corpus span excision: a train doc quoting an eval 5-span
+    loses exactly those positions (clean text = its own words, order
+    kept); overlapping leaked spans union their coverage; an untouched
+    doc passes through with eval_frac 0; eval-side-internal duplication
+    does not excise anything by itself."""
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.dedup import eval_span_excise
+
+    ev = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the exam question is this one here"),
+            Row(doc_id=101, text="the exam question is this one here"),
+        ]
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes eval tokens 1-6 -> two overlapping 5-spans, union = 6 positions
+            Row(doc_id=1, text="intro words the exam question is this one outro"),
+            Row(doc_id=2, text="completely original content with no leak at all"),
+            # shorter than n -> zero spans, passes through
+            Row(doc_id=3, text="tiny doc"),
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_eval_tokens, r.clean_text)
+        for r in eval_span_excise(train, ev, n=5).collect()
+    }
+    assert got[1] == (9, 6, "intro words outro")
+    assert got[2] == (8, 0, "completely original content with no leak at all")
+    assert got[3] == (2, 0, "tiny doc")

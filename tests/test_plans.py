@@ -257,6 +257,14 @@ def test_no_plan_red_flags(spark, name, entry):
       form); candidates are the capped-shingle equi-join (Σ df²
       bounded) and verification re-joins shingle sets for candidates
       alone — never all-pairs.
+    - q_eval_span_excise: ONE one-row broadcast attach (the min_by
+      eval-snippet row cross-joined onto the planted contamination
+      slice — a bounded aggregate, never collected); the excision
+      proper is the audited dup_span_excise span-hash equi-join.
+    - q_containment_lsh_pairs: the same ONE one-row broadcast attach
+      as q_containment_pairs (the shared planted-excerpt fixture);
+      candidates are the (band, min) equi-join with the flood-cap
+      broadcast anti-join — never all-pairs.
     - q_ivf_pq_residual_trained_topk: the same two one-row broadcast
       attaches as q_ivf_pq_residual_topk (coarse centroids, trained
       books — both bounded aggregates collapsed to single rows) plus
@@ -287,6 +295,8 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_neardup_dedup_pipeline",
         "q_cross_neardup_filter",
         "q_containment_pairs",
+        "q_containment_lsh_pairs",
+        "q_eval_span_excise",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",

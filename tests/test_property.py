@@ -881,3 +881,76 @@ def test_containment_pairs_matches_python_model(spark):
     assert (2, 1) in got and got[(2, 1)][2] == 1.0  # excerpt contained
     assert (1, 2) not in got  # asymmetric: the long side is NOT contained
     assert (3, 4) in got and (4, 3) in got  # exact dups contain each other
+
+
+def test_containment_lsh_pairs_matches_python_model(spark):
+    """containment_lsh_pairs vs a direct python replay of the minhash
+    banding: candidates = pairs agreeing on ANY of the 16 minimums
+    (flood-capped), verification = exact |A∩B|/|A|.  The excerpt/dup
+    fixture from the brute twin's test, so the two models also agree on
+    what exact verification must produce for shared candidates."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from pimdb_spark.operators.dedup import containment_lsh_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "quick brown fox jumps over",  # 5-token excerpt of 1
+        3: "completely different words here nothing shared at all",
+        4: "completely different words here nothing shared at all",  # dup
+        5: "unrelated tokens entirely separate vocabulary usage",
+    }
+    k, num_hashes, threshold, cap = 3, 16, 0.8, 64
+    P, A_MUL, A_ADD, A_MASK, B_MUL = (
+        4294967311, 1103515245, 12345, (1 << 30) - 1, 1000003
+    )
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+
+    def mh(s):
+        xs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in s]
+        return [
+            min(((((i * A_MUL + A_ADD) & A_MASK) | 1) * x + i * B_MUL) % P
+                for x in xs)
+            for i in range(num_hashes)
+        ]
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    sig = {i: mh(s) for i, s in sh.items() if s}
+    buckets = {}
+    for d, sg in sig.items():
+        for i, v in enumerate(sg):
+            buckets.setdefault((i, v), []).append(d)
+    expected = {}
+    for members in buckets.values():
+        if len(members) > cap:
+            continue
+        for a in members:
+            for b in members:
+                if a == b:
+                    continue
+                cont = len(sh[a] & sh[b]) / len(sh[a])
+                if cont >= threshold:
+                    expected[(a, b)] = (len(sh[a]), len(sh[a] & sh[b]), cont)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.shared, r.containment)
+        for r in containment_lsh_pairs(
+            docs, k=k, num_hashes=num_hashes,
+            threshold=threshold, max_bucket_size=cap,
+        ).collect()
+    }
+    assert got == expected
+    assert (2, 1) in got and got[(2, 1)][2] == 1.0  # excerpt caught: its
+    # minimum over any h_i comes from ITS shingles, all present in doc 1,
+    # and doc 1's min can only be <= over a superset -> equal mins exist
+    assert (3, 4) in got and (4, 3) in got  # exact dups: identical sigs
