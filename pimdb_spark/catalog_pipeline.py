@@ -1260,3 +1260,51 @@ def q_group_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v") - F.col("est")).cast("bigint").alias("abs_gap"),
         )
     )
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r14
+# temperature-sampling twin of q_mixture_plan: weights DERIVED from the
+# inventory as floor(sqrt(T)) instead of caller-fixed integers.
+@register_bench_only(
+    "q_mixture_plan_temp",
+    oracle="""
+    WITH inv AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS available,
+             CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT)
+               AS weight
+      FROM documents GROUP BY source
+    ), keyed AS (
+      SELECT *, CAST(available AS DOUBLE) / CAST(weight AS DOUBLE)
+                  AS sort_key
+      FROM inv
+    ), binding AS (
+      SELECT available AS b_avail, weight AS b_weight
+      FROM keyed ORDER BY sort_key, source LIMIT 1
+    ), ws AS (
+      SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM inv
+    )
+    SELECT source, available, weight,
+           (b_avail * weight) // b_weight AS allocation,
+           CAST((b_avail * weight) // b_weight AS DOUBLE) / available
+               AS utilization,
+           CAST(weight AS DOUBLE) / wsum AS sample_prob
+    FROM keyed, binding, ws
+    """,
+)
+def q_mixture_plan_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling training mix (operators/curation.
+    mixture_plan_temperature, alpha = 1/2 — the UniMax / multilingual
+    alpha-sampling policy): per-source weights derived from the token
+    inventory itself as floor(sqrt(T)), up-sampling tail sources
+    relative to proportional mixing; allocations and the weight-sum
+    sampling probabilities come out of mixture_plan's exact machinery.
+    alpha = 1/2 is the one engine-exact temperature (IEEE sqrt is
+    correctly rounded; general pow goes through libm exp/ln and drifts
+    in the last ulp — the rational-surrogate rule).
+
+    Scale: one map-side-combined groupBy(source); planning arithmetic
+    on a |sources|-row frame with two one-row broadcast attaches."""
+    from pimdb_spark.operators.curation import mixture_plan_temperature
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_plan_temperature(docs, "source", "n_chars")

@@ -538,3 +538,73 @@ def mixture_plan(
         )
         .select("source", "available", "weight", "allocation", "utilization")
     )
+
+
+def mixture_plan_temperature(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Temperature-based training-mix allocation (the UniMax / multilingual
+    alpha-sampling policy at alpha = 1/2, Chung et al. 2023 / Arivazhagan
+    et al. 2019): instead of caller-fixed weights, each source's weight is
+    derived FROM its inventory as floor(sqrt(T_i)) — up-sampling the tail
+    relative to proportional mixing while never letting a head source
+    dominate by its raw size.  Everything downstream is mixture_plan's
+    exact machinery: the binding source caps the mix, allocations are
+    integer multiply-floor-divide, sample_prob is each weight over the
+    exact integer weight sum.
+
+    alpha = 1/2 specifically because it is the one temperature that is
+    engine-exact: IEEE-754 sqrt is correctly rounded (so
+    floor(sqrt(bigint)) is identical in Spark and DuckDB), while a
+    general pow(T, alpha) goes through exp/ln and differs in the last
+    ulp across libm implementations — the same reason the IDF and LM
+    entries use rational surrogates.  Other temperatures belong to a
+    driver-side plan built from this frame's exact integer inventory.
+
+    Scale: one map-side-combined groupBy(source), then arithmetic on a
+    |sources|-row frame; the binding row and the weight-sum row attach
+    as one-row broadcasts — corpus-size-independent planning."""
+    inv = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(tokens_col).cast("bigint").alias("available"))
+        .withColumn(
+            "weight", F.floor(F.sqrt(F.col("available"))).cast("bigint")
+        )
+        # one IEEE division per row — bit-identical cross-engine; ties on
+        # the key break by source name for a deterministic binding row
+        .withColumn(
+            "sort_key",
+            F.col("available").cast("double") / F.col("weight").cast("double"),
+        )
+    )
+    binding = (
+        inv.orderBy("sort_key", "source")
+        .limit(1)
+        .select(
+            F.col("available").alias("_bind_avail"),
+            F.col("weight").alias("_bind_weight"),
+        )
+    )
+    wsum = inv.agg(F.sum("weight").cast("bigint").alias("_wsum"))
+    return (
+        inv.crossJoin(F.broadcast(binding))
+        .crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "allocation",
+            F.expr("(_bind_avail * weight) DIV _bind_weight"),
+        )
+        .withColumn(
+            "utilization",
+            F.col("allocation").cast("double") / F.col("available"),
+        )
+        .withColumn(
+            "sample_prob",
+            F.col("weight").cast("double") / F.col("_wsum").cast("double"),
+        )
+        .select(
+            "source", "available", "weight", "allocation",
+            "utilization", "sample_prob",
+        )
+    )

@@ -320,3 +320,37 @@ def test_ngram_weights_relative_cap_and_required_cap(spark):
     assert all(g not in ("shared next",) for g in both)
     with _pytest.raises(ValueError, match="cap"):
         R.ngram_weights(docs)
+
+
+def test_mixture_plan_temperature_upsamples_tail(spark):
+    """alpha = 1/2 weights: weight_i = floor(sqrt(T_i)); the tail source's
+    sampling probability exceeds its proportional share while the head's
+    shrinks; allocations keep mixture_plan's exact integer arithmetic
+    off the binding row; sample probabilities sum to 1 exactly when the
+    weight sum divides cleanly (checked via the integer weights)."""
+    from math import isqrt
+
+    from pimdb_spark.operators.curation import mixture_plan_temperature
+
+    rows = [("head", 10000), ("mid", 2500), ("tail", 100)]
+    df = spark.createDataFrame(rows, ["src", "tokens"])
+    out = {
+        r.source: r
+        for r in mixture_plan_temperature(df, "src", "tokens").collect()
+    }
+    # weights are integer sqrt of the inventory
+    for src, t in rows:
+        assert out[src].weight == isqrt(t)
+    wsum = sum(isqrt(t) for _, t in rows)  # 100 + 50 + 10 = 160
+    total = sum(t for _, t in rows)
+    for src, t in rows:
+        assert out[src].sample_prob == isqrt(t) / wsum
+    # temperature flattens: tail gets > proportional share, head gets less
+    assert out["tail"].sample_prob > 100 / total
+    assert out["head"].sample_prob < 10000 / total
+    # binding source: argmin T/w = argmin ~sqrt(T) -> tail (100/10 = 10)
+    assert out["tail"].allocation == 100 and out["tail"].utilization == 1.0
+    assert out["head"].allocation == (100 * 100) // 10   # b_avail*w DIV b_w
+    assert out["mid"].allocation == (100 * 50) // 10
+    for r in out.values():
+        assert r.allocation <= r.available

@@ -265,6 +265,10 @@ def test_no_plan_red_flags(spark, name, entry):
       as q_containment_pairs (the shared planted-excerpt fixture);
       candidates are the (band, min) equi-join with the flood-cap
       broadcast anti-join — never all-pairs.
+    - q_mixture_plan_temp: q_mixture_plan's planning shape with TWO
+      one-row broadcast attaches (the binding row and the exact integer
+      weight-sum row) onto the |sources|-row inventory frame —
+      corpus-size-independent, nothing data-sized crosses.
     - q_ivf_pq_residual_trained_topk: the same two one-row broadcast
       attaches as q_ivf_pq_residual_topk (coarse centroids, trained
       books — both bounded aggregates collapsed to single rows) plus
@@ -304,6 +308,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q11_important_stock",
         "q_heavy_hitters",
         "q_mixture_plan",
+        "q_mixture_plan_temp",
         "q_ngram_lm_score",
         "q_ngram_lm_score_jm",
         "q_bloom_decontaminate",
