@@ -1284,9 +1284,9 @@ def q_group_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM inv
     )
     SELECT source, available, weight,
-           (b_avail * weight) // b_weight AS allocation,
-           CAST((b_avail * weight) // b_weight AS DOUBLE) / available
-               AS utilization,
+           least((b_avail * weight) // b_weight, available) AS allocation,
+           CAST(least((b_avail * weight) // b_weight, available) AS DOUBLE)
+               / available AS utilization,
            CAST(weight AS DOUBLE) / wsum AS sample_prob
     FROM keyed, binding, ws
     """,

@@ -563,6 +563,17 @@ def mixture_plan_temperature(
     entries use rational surrogates.  Other temperatures belong to a
     driver-side plan built from this frame's exact integer inventory.
 
+    Binding-selection honesty (r14 self-review): unlike mixture_plan,
+    whose caller-fixed weights admit an exact lcm integer sort key, the
+    data-derived weights here would need an lcm over |sources| arbitrary
+    integers (overflow-unbounded), so the binding argmin uses the IEEE
+    double T/w — deterministic and bit-identical cross-engine, but a
+    sub-ulp near-tie between two sources' exact rationals can select
+    the not-quite-scarcest one.  The least(allocation, available) clamp
+    below makes every allocation FEASIBLE regardless (utilization <= 1
+    always); what a mis-tied binding costs is a marginally smaller
+    total mix, never an over-allocation.
+
     Scale: one map-side-combined groupBy(source), then arithmetic on a
     |sources|-row frame; the binding row and the weight-sum row attach
     as one-row broadcasts — corpus-size-independent planning."""
@@ -593,7 +604,10 @@ def mixture_plan_temperature(
         .crossJoin(F.broadcast(wsum))
         .withColumn(
             "allocation",
-            F.expr("(_bind_avail * weight) DIV _bind_weight"),
+            F.least(
+                F.expr("(_bind_avail * weight) DIV _bind_weight"),
+                F.col("available"),
+            ),
         )
         .withColumn(
             "utilization",

@@ -865,8 +865,18 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = sh.select(F.col("doc").alias("id_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc").alias("id_b"), F.col("s").alias("s_b"))
+    return _verify_containment(cand, sh, threshold)
+
+
+
+def _verify_containment(cand, shingle_df, threshold):
+    """Shared exact-verification tail of the containment family: join the
+    (id_a, id_b) candidates back to the (doc, s) distinct-shingle frame
+    on both sides and keep directed pairs with |S(A) ∩ S(B)| / |S(A)| >=
+    threshold — one integer intersection + one IEEE division per pair,
+    bit-identical cross-engine."""
+    a = shingle_df.select(F.col("doc").alias("id_a"), F.col("s").alias("s_a"))
+    b = shingle_df.select(F.col("doc").alias("id_b"), F.col("s").alias("s_b"))
     shared = F.size(F.array_intersect("s_a", "s_b"))
     return (
         cand.join(a, "id_a")
@@ -966,18 +976,6 @@ def containment_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = sig.select(F.col("doc").alias("id_a"), F.col("shingles").alias("s_a"))
-    b = sig.select(F.col("doc").alias("id_b"), F.col("shingles").alias("s_b"))
-    shared = F.size(F.array_intersect("s_a", "s_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size("s_a").cast("bigint").alias("n_a"),
-            shared.cast("bigint").alias("shared"),
-            (shared.cast("double") / F.size("s_a")).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
+    return _verify_containment(
+        cand, sig.select("doc", F.col("shingles").alias("s")), threshold
     )

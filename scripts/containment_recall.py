@@ -1,10 +1,18 @@
 """Measure the banded containment twin's candidate-generation recall
 against the brute capped-shingle form on the shared planted-excerpt
-fixture: both entries verify EXACT containment, so the banded pair set
-is a subset of the brute one by construction and the interesting number
-is how much of it the 16 single-hash probes keep (the LSH-Ensemble
-high-recall endpoint, p = 1-(1-j)^16).  Prints one JSON line per entry
-plus the recall line — the source of SCALE.md's containment row.
+fixture.  Both entries verify EXACT containment, so each output is a
+subset of the TRUE pair set; the brute twin's candidates are complete
+for any pair sharing an under-cap shingle, which on this fixture is
+every true pair (max shingle df 4 << cap 40), so here brute is the
+ground truth and the interesting number is how much of it the 16
+single-hash probes keep (the LSH-Ensemble high-recall endpoint,
+p = 1-(1-j)^16).  NOTE the subset direction is empirical, not
+structural: a pair whose every shared shingle exceeds the cap gets no
+brute candidate yet can still collide in a band — on a corpus with
+heavy cross-source boilerplate lsh_only can be positive, and such
+pairs are real (the banded form catching what the cap dropped).
+Prints one JSON line per entry plus the recall line — the source of
+SCALE.md's containment row.
 
 Usage: python scripts/containment_recall.py [sf_dir]
 """
@@ -39,7 +47,7 @@ def main() -> None:
     print(json.dumps({
         "sf": sf,
         "recall": round(len(brute & lsh) / len(brute), 4) if brute else None,
-        "lsh_only": len(lsh - brute),  # 0 expected: exact verification
+        "lsh_only": len(lsh - brute),  # 0 here (cap never binds); see module docstring
     }))
 
 

@@ -7,11 +7,13 @@ operator docstrings.
 
 Usage: python scripts/pq_recall.py [--clustered] [sf_dir] [n_queries] [k]
 
---clustered swaps the corpus for a deterministic Gaussian-mixture-like
-fixture derived from the same vec_ids (8 well-separated integer centers
-keyed by vec_id % 8, plus +-0.5 xxhash64-seeded uniform noise) — the
-regime where the coarse quantizer explains most of the variance, so the
-residual-PQ layout can show when it pays.  The testdata's embeddings are
+--clustered swaps the corpus for a deterministic 3-level mixture derived
+from the same vec_ids: 8 well-separated integer coarse centers (vec_id %
+8), +-1.2 sub-offsets ((vec_id // 8) % 4), and +-0.3 per-subspace
+patterns (xxhash64-keyed, 4 per subspace) — built so each 8-dim RESIDUAL
+subvector takes exactly 16 = n_centroids distinct values while the raw
+subvector takes 128, the regime where the residual layout can show when
+it pays (see clustered_embeddings below for the full construction).  The testdata's embeddings are
 unstructured (coarse cells explain ~no variance), which is why raw
 trained IVF-PQ beat both residual variants there (the two honest
 negatives in SCALE.md); this mode is the discriminating experiment the
