@@ -555,14 +555,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_bench_only(
     "q_dedup_recall_lsh",
     oracle="""
-    WITH raw AS (
+    WITH off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), raw AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
+      SELECT doc_id + off.o AS doc_id,
              array_to_string(
                (string_split(text, ' '))
                  [1 : (3 * len(string_split(text, ' '))) // 5], ' ') AS text
-      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+      FROM documents, off WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
     ), d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM raw
     ), sh AS (
@@ -648,9 +650,11 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-verified.  Counts are exact integers; the two ratios are
     terminal double divisions.
 
-    Fixture contract: the literal +1,000,000 truncated-copy id offset
-    assumes this testdata's id range; the OPERATOR never offsets ids —
-    q_neardup_dedup_pipeline shows the max-derived collision-free form.
+    The truncated-copy id offset is DERIVED as 1 + max(doc_id) (a
+    one-row broadcast, never collected — the q_neardup_dedup_pipeline /
+    q_cross_neardup_filter form), so the planted ids are collision-free
+    on ANY id range; the r12 literal +1,000,000 and its fixture
+    id-range contract are retired (r13 verdict item 4).
 
     The repartition(defaultParallelism) pins minhash/shingle parallelism
     past the SF dir's 2-split parquet scan (the jpeg_color_stats
@@ -660,19 +664,23 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed task count (a parallelism ceiling plus a corpus-sized text
     shuffle), whereas defaultParallelism follows the cluster's total
     core count (the operators/dedup.minhash_lsh_pairs form)."""
+    full = load(spark, sf_dir, "documents").select("doc_id", "text")
+    off = full.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
     docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") % 3 == 0)
+        full.filter(F.col("doc_id") % 3 == 0)
         .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = F.split("text", " ")
-    trunc = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
-        ).alias("text"),
+    trunc = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_o")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(toks, 1, F.expr("(3 * size(split(text, ' '))) div 5")),
+            ).alias("text"),
+        )
     )
     base = docs.union(trunc)
     exact = D.exact_jaccard_pairs(base, k=3, t_num=1, t_den=2)

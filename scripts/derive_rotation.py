@@ -59,11 +59,18 @@ def main() -> int:
             print(f"ERROR: {n} not in registry")
             return 1
 
-    rounds = []
-    r = 1
-    while os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")):
-        rounds.append(r)
-        r += 1
+    # Glob rather than a consecutive scan: a round whose driver artifacts
+    # never landed (r14) must not hide every LATER round's file from the
+    # derivation — the lookback is over rounds that actually recorded a
+    # window, in order.
+    import glob as _glob
+    import re as _re
+
+    rounds = sorted(
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
     # The K-round invariant generalizes with registry size: the union of
     # K consecutive 50-entry windows must cover the registry, so
     # K = ceil(N / WINDOW).  Because stale entries are ordered oldest

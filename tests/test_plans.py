@@ -252,6 +252,10 @@ def test_no_plan_red_flags(spark, name, entry):
       (the 1 + max(doc_id) truncated-copy offset, r14 — retired the
       literal +2,000,000 fixture offset); the gate proper is the
       two-sided banding equi-join + candidate-only verification.
+    - q_dedup_recall_lsh: the same ONE one-row broadcast attach (the
+      1 + max(doc_id) truncated-copy offset, r15 — retired the literal
+      +1,000,000 fixture offset); the evaluation proper is the banding
+      equi-join vs the shared-shingle ground-truth equi-join.
     - q_containment_pairs: ONE one-row broadcast attach (the
       1 + max(doc_id) planted-excerpt offset, the pipeline entry's
       form); candidates are the capped-shingle equi-join (Σ df²
@@ -298,6 +302,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_pq_residual_trained_topk",
         "q_neardup_dedup_pipeline",
         "q_cross_neardup_filter",
+        "q_dedup_recall_lsh",
         "q_containment_pairs",
         "q_containment_lsh_pairs",
         "q_eval_span_excise",
