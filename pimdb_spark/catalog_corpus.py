@@ -1159,3 +1159,76 @@ def q_eval_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_aug = train.filter(F.col("doc_id") % 10 != 3).union(planted)
     return eval_span_excise(train_aug, ev, n=5)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# CCNet quality-bucketing step the LM-score family feeds (r15).
+@register_bench_only(
+    "q_perplexity_buckets",
+    oracle=f"""
+    WITH bi AS (
+      SELECT gram, count(*) AS c2 FROM ({_BIGRAMS} WHERE lang = 'en')
+      GROUP BY gram
+    ), ctx AS (
+      SELECT string_split(gram, ' ')[1] AS w1, sum(c2) AS c1
+      FROM bi GROUP BY 1
+    ), voc AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE lang = 'en')
+    ), dg AS (
+      SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
+      FROM ({_BIGRAMS})
+    ), terms AS (
+      SELECT doc_id,
+             (coalesce(bi.c2, 0) + 1) * 1000000000 // (coalesce(ctx.c1, 0) + voc.v) AS t
+      FROM dg LEFT JOIN bi USING (gram) LEFT JOIN ctx USING (w1), voc
+    ), pd AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(t) AS s FROM terms GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(pd.s AS DOUBLE) / CAST(pd.n_bigrams * 1000000000 AS DOUBLE)
+               AS lm_score
+      FROM documents d LEFT JOIN pd USING (doc_id)
+    )
+    SELECT doc_id, lang, n_bigrams, lm_score,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY lm_score DESC NULLS LAST, doc_id)
+                AS INT) AS bucket,
+           (['head', 'middle', 'tail'])[
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY lm_score DESC NULLS LAST, doc_id)
+           ] AS bucket_label
+    FROM scored
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (operators/lm
+    .perplexity_buckets — Wenzek et al. 2020 §4.3): every document is
+    scored by the English-reference bigram LM (the q_ngram_lm_score
+    integer-exact rational chain), then each LANGUAGE's population is
+    split into three equal-frequency buckets by score rank via ntile —
+    bucket 1 ("head") is closest to the reference distribution, CCNet's
+    keep set is head+middle, and the tail is the drop/down-weight set.
+    Scores are identical IEEE doubles in both engines (exact BIGINT
+    numerator and denominator, one terminal division), so the ORDER BY
+    is engine-identical and the doc_id tie-break makes bucket
+    assignment deterministic.
+
+    Scale: scoring is the broadcast-model projection; the one added
+    shuffle is the per-language hash exchange feeding ntile (exact
+    equal-frequency form).  The production variant under language skew
+    — sampled or EH-sketch per-group thresholds broadcast as a range
+    filter — is stated in the operator docstring; this entry is the
+    exact form that calibration is judged against.
+    repartition(defaultParallelism) pins the CPU-bound scoring pass
+    past the SF dir's 1-2-split scan; never a literal constant — at
+    production a literal would COLLAPSE thousands of input splits,
+    while defaultParallelism follows the cluster's core count."""
+    from pimdb_spark.operators.lm import perplexity_buckets
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ref = docs.filter(F.col("lang") == "en")
+    return perplexity_buckets(docs, ref, n_buckets=3)

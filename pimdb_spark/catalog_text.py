@@ -1039,3 +1039,223 @@ def q_containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_lsh_pairs(
         base, k=5, num_hashes=16, threshold=0.8, max_bucket_size=64
     )
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# C4/RefinedWeb PII scrub step (r15).
+@register_bench_only(
+    "q_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                  THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                       || ' logged' ELSE '' END
+             || CASE WHEN doc_id % 4 = 2
+                  THEN ' call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' today' ELSE '' END
+             || CASE WHEN doc_id % 8 = 0
+                  THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                       || '@mail.org' ELSE '' END
+             AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
+             AS n_ip,
+           CAST(len(regexp_extract_all(text, '\\+1-555-\\d{4}')) AS INT)
+             AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+1-555-\\d{4}', '<PHONE>', 'g') AS clean_text
+    FROM aug
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + typed-mask redaction (operators/text.pii_counts /
+    pii_redact — the C4/RefinedWeb scrub that runs BEFORE hashing,
+    shingling, or tokenization so masks rather than raw identifiers flow
+    into every downstream dedup/index key).  The corpus carries no
+    organic PII (lowercase word soup), so known quantities are PLANTED
+    deterministically from doc_id: an email on the %4==0 slice, an IPv4
+    on %4==1, a phone on %4==2, and a SECOND email on %8==0 (multi-hit
+    docs); %4==3 stays clean — the false-positive guard, since any
+    spurious match flips its count and text hash.  Patterns use only
+    character classes, bounded repetition, and word boundaries so Java
+    regex (Spark) and RE2 (DuckDB) agree exactly; they are mutually
+    non-overlapping, so the redaction chain is order-independent.
+
+    Scale: counts and redaction are ONE whole-stage-codegen projection —
+    no shuffle, no UDF, linear in corpus bytes.
+    repartition(defaultParallelism) pins the CPU-bound regex pass past
+    the SF dir's 1-2-split scan; never a literal constant — at
+    production a literal would COLLAPSE thousands of input splits,
+    while defaultParallelism follows the cluster's core count."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0,
+                F.concat(F.lit(" contact user"), s(did), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 1,
+                F.concat(
+                    F.lit(" from 10."), s(did % 256), F.lit(".0."),
+                    s(did % 250), F.lit(" logged"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 2,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad(s(did % 10000), 4, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 8 == 0,
+                F.concat(F.lit(" cc admin"), s(did), F.lit("@mail.org")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = T.pii_counts("text")
+    return aug.select(
+        "doc_id",
+        counts["n_email"].cast("int").alias("n_email"),
+        counts["n_ip"].cast("int").alias("n_ip"),
+        counts["n_phone"].cast("int").alias("n_phone"),
+        T.pii_redact("text").alias("clean_text"),
+    )
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# CCNet normalize-before-hash dedup step (r15).
+@register_bench_only(
+    "q_normalize_dedup",
+    oracle="""
+    WITH off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + off.o AS doc_id,
+             '  ' || replace(upper(text), ' ', '  ') || ' !!!' AS text
+      FROM documents, off WHERE doc_id % 5 = 0
+    ), keyed AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               '[0-9]+', '0', 'g'),
+               ' +', ' ', 'g')) AS norm
+      FROM base
+    ), raw_g AS (
+      SELECT md5(text) AS k, count(*) AS c, sum(length(text)) AS ch
+      FROM keyed GROUP BY 1
+    ), norm_g AS (
+      SELECT md5(norm) AS k, count(*) AS c, sum(length(norm)) AS ch
+      FROM keyed GROUP BY 1
+    )
+    SELECT 'raw' AS kind,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(sum(ch) AS BIGINT) AS n_chars
+    FROM raw_g
+    UNION ALL
+    SELECT 'norm' AS kind,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+           CAST(sum(ch) AS BIGINT)
+    FROM norm_g
+    """,
+)
+def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (operators/text.normalize_text —
+    the CCNet §3 hash-form: lowercase, non-alphanumerics to spaces,
+    digit runs to '0', whitespace collapsed): the corpus is augmented
+    with NOISY copies of every 5th document (doubled spaces, uppercase,
+    trailing punctuation; ids derived as 1 + max(doc_id) via a one-row
+    broadcast, collision-free on any id range) and exact-dup group
+    statistics are computed on BOTH the raw md5 key and the normalized
+    md5 key.  Raw hashing finds none of the planted pairs; normalized
+    hashing collapses every one — the measured delta IS the operator's
+    value, and the n_chars column gates the normalization output
+    corpus-wide (any per-doc deviation shifts the sum).
+
+    Scale: normalization is one codegen projection; each dedup side is
+    a digest-only groupBy (16-byte keys on the wire, the
+    boilerplate_strip discipline) followed by a one-row aggregate; the
+    two summary rows UNION — no join anywhere, so corpus size only
+    enters through the two hash exchanges.
+    repartition(defaultParallelism) pins the CPU-bound normalize+digest
+    pass past the SF dir's 1-2-split scan; never a literal constant —
+    at production a literal would COLLAPSE thousands of input splits,
+    while defaultParallelism follows the cluster's core count."""
+    full = load(spark, sf_dir, "documents").select("doc_id", "text")
+    off = full.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    noisy = (
+        full.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_o")).alias("doc_id"),
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.upper("text"), " ", "  "),
+                F.lit(" !!!"),
+            ).alias("text"),
+        )
+    )
+    base = full.union(noisy).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    keyed = base.select(
+        F.md5(F.col("text").cast("binary")).alias("raw_key"),
+        F.length("text").alias("raw_len"),
+        T.normalize_text("text").alias("norm"),
+    ).select(
+        "raw_key",
+        "raw_len",
+        F.md5(F.col("norm").cast("binary")).alias("norm_key"),
+        F.length("norm").alias("norm_len"),
+    )
+
+    def side(kind: str, key: str, ln: str) -> DataFrame:
+        g = keyed.groupBy(key).agg(
+            F.count("*").alias("c"), F.sum(ln).alias("ch")
+        )
+        return g.agg(
+            F.lit(kind).alias("kind"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum("ch").cast("bigint").alias("n_chars"),
+        )
+
+    return side("raw", "raw_key", "raw_len").union(
+        side("norm", "norm_key", "norm_len")
+    )

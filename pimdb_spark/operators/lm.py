@@ -316,3 +316,61 @@ def dsir_importance(
             F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020, §4.3): score every document with the reference bigram LM
+    (ngram_lm_score — the integer-exact rational surrogate for
+    perplexity) and split each language's population into `n_buckets`
+    equal-frequency buckets by score rank, best scores first.  Bucket 1
+    is "head" (closest to the reference distribution), bucket
+    `n_buckets` is "tail"; CCNet trains on head+middle and drops or
+    down-weights tail.
+
+    Output: (id, group, n_bigrams, lm_score, bucket INT, bucket_label)
+    for every input document.  Unscorable documents (< 2 tokens, NULL
+    score) sort last within their group and land in the tail bucket —
+    the conservative CCNet disposition.
+
+    Scale: scoring is ngram_lm_score's broadcast-model projection; the
+    ONLY added shuffle is one hash exchange on the group column feeding
+    the per-group rank (ntile) — a per-language sort, the exact form.
+    At production, a dominant language makes that sort the skew
+    bottleneck; the production variant computes per-group score
+    THRESHOLDS on a sample (or via the constant-size exponential-
+    histogram sketch, operators/sketch.eh_quantiles) and broadcasts
+    them as a range filter, trading exact equal-frequency splits for a
+    shuffle-free scoring pass — the same calibrate-on-a-sample contract
+    as dedup_recall.  This operator is the exact/oracle form both are
+    judged against."""
+    from pyspark.sql import Window
+
+    scored = ngram_lm_score(docs, ref_docs, id_col, text_col)
+    meta = docs.select(id_col, group_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("lm_score").desc_nulls_last(), F.col(id_col))
+    )
+    labels = ["head", "middle", "tail"] if n_buckets == 3 else [
+        f"b{i + 1}" for i in range(n_buckets)
+    ]
+    label_arr = F.array(*[F.lit(s) for s in labels])
+    return (
+        meta.join(scored, id_col)
+        .select(
+            id_col,
+            group_col,
+            "n_bigrams",
+            "lm_score",
+            F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+        )
+        .withColumn("bucket_label", F.element_at(label_arr, F.col("bucket")))
+    )

@@ -108,3 +108,53 @@ def rolling_fingerprint(
         F.substring(F.md5(F.substring(text, i, k)), 1, 8), 16, 10
     ).cast("bigint")
     return F.array_min(F.transform(positions, gram_hash))
+
+
+# PII patterns (C4 / RefinedWeb scrub step).  Chosen to compile and match
+# IDENTICALLY under Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, and \b word boundaries only — no
+# lookaround, no backreferences.  Patterns are mutually non-overlapping
+# (an email cannot contain an IP match's word-boundary context and vice
+# versa), so redaction order does not change the result.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+1-555-\d{4}", "<PHONE>"),
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts as pure column expressions (JVM regex,
+    whole-stage codegen — one projection, no shuffle)."""
+    col = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for kind, (pat, _) in PII_PATTERNS.items():
+        out[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(col, F.lit(pat), F.lit(0))
+        )
+    return out
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace every PII match with its typed mask token.  A chain of
+    regexp_replace projections — shuffle-free, linear, and embarrassingly
+    parallel; the scrub step that runs BEFORE text is hashed, shingled,
+    or tokenized so masks (not raw identifiers) flow into every
+    downstream dedup/index key."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat, mask in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pat, mask)
+    return col
+
+
+# CCNet-style normalization (Wenzek et al. 2020 §3: the text form used
+# for dedup hashing, not the form that is trained on): lowercase, every
+# non-alphanumeric to a space, digit runs to '0', whitespace collapsed.
+# ASCII-only transforms, so Spark and DuckDB agree byte-for-byte.
+def normalize_text(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    col = F.lower(col)
+    col = F.regexp_replace(col, r"[^a-z0-9 ]", " ")
+    col = F.regexp_replace(col, r"[0-9]+", "0")
+    col = F.regexp_replace(col, r" +", " ")
+    return F.trim(col)

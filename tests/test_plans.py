@@ -210,6 +210,14 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_ngram_lm_score_jm: the same ONE-ROW attach carrying (T, V) —
       the interpolated scorer adds a reference-sized unigram broadcast
       HASH join, not a second nested-loop shape.
+    - q_perplexity_buckets: q_ngram_lm_score's ONE-ROW vocabulary-size
+      attach (the bucketing entry scores with the identical LM chain);
+      the bucketing itself adds one per-language window exchange, no
+      join shape at all.
+    - q_normalize_dedup: ONE one-row broadcast attach (the
+      1 + max(doc_id) noisy-copy offset, the pipeline entry's form);
+      the dedup proper is two digest-only groupBys and a two-row UNION
+      — no data-sized join anywhere.
     - q_bloom_decontaminate: the ONE-ROW bloom-bitmap map (<= m/32
       entries collapsed via map_from_entries — the bpe_apply pattern)
       broadcast-attaches to every (doc, gram) probe row; the unrolled
@@ -316,6 +324,8 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_mixture_plan_temp",
         "q_ngram_lm_score",
         "q_ngram_lm_score_jm",
+        "q_perplexity_buckets",
+        "q_normalize_dedup",
         "q_bloom_decontaminate",
         "q_cms_heavy_hitters",
         "q_ann_recall_lsh",
