@@ -374,3 +374,75 @@ def perplexity_buckets(
         )
         .withColumn("bucket_label", F.element_at(label_arr, F.col("bucket")))
     )
+
+
+def perplexity_gate_thresholds(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    n_buckets: int = 3,
+    keep_buckets: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """The curation-cycle batch product behind the streaming quality
+    gate: per-group LM-score thresholds at the keep/drop boundary,
+    derived from the exact bucketing — min lm_score over buckets
+    1..keep_buckets (CCNet keeps head+middle).  Output: (group,
+    thr DOUBLE), |groups| rows — broadcast-sized by construction.
+
+    Boundary contract (stated, not hidden): ntile splits equal scores
+    at the boundary by doc_id, so applying `score >= thr` keeps EVERY
+    doc tied at the boundary score while the exact bucketing tails
+    some of them — the threshold form trades that edge for a
+    shuffle-free gate.  On continuous scores the two agree exactly."""
+    b = perplexity_buckets(
+        docs, ref_docs, n_buckets, id_col, text_col, group_col
+    )
+    return (
+        b.filter(
+            (F.col("bucket") <= keep_buckets) & F.col("lm_score").isNotNull()
+        )
+        .groupBy(group_col)
+        .agg(F.min("lm_score").alias("thr"))
+    )
+
+
+def perplexity_gate_apply(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    thresholds: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Apply precomputed per-group thresholds to a document set: score
+    with the reference LM, broadcast-join the |groups|-row threshold
+    table, keep iff the score clears the group's bar.  Unscorable docs
+    (NULL score) and groups unseen at calibration (NULL thr) are
+    DROPPED — the conservative disposition, stated.  Shuffle-free past
+    the scoring groupBy: the threshold side is a broadcast, the verdict
+    a projection.  Used identically by the batch path and by every
+    micro-batch of streaming/quality.perplexity_gate_stream — the plan
+    IS the parity contract."""
+    scored = ngram_lm_score(docs, ref_docs, id_col, text_col)
+    return (
+        docs.select(id_col, group_col)
+        .join(scored, id_col)
+        .join(F.broadcast(thresholds), group_col, "left")
+        .select(
+            id_col,
+            group_col,
+            "n_bigrams",
+            "lm_score",
+            F.when(
+                F.col("lm_score").isNotNull()
+                & F.col("thr").isNotNull()
+                & (F.col("lm_score") >= F.col("thr")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
