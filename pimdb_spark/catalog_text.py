@@ -1041,14 +1041,45 @@ def q_containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
-# C4/RefinedWeb PII scrub step (r15).
-@register_bench_only(
-    "q_pii_redact",
-    oracle="""
-    WITH aug AS (
-      SELECT doc_id,
-             text
+# Shared r15 fixture builders (q_pii_redact / q_normalize_dedup /
+# q_curation_pipeline plant the SAME deterministic signal so the
+# composed pipeline is attested on the exact fixtures its stages are).
+def _pii_planted_text() -> F.Column:
+    """text + doc_id-derived PII: an email on %4==0, an IPv4 on %4==1, a
+    phone on %4==2, a SECOND email on %8==0; %4==3 stays clean (the
+    false-positive guard)."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" contact user"), s(did), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" from 10."), s(did % 256), F.lit(".0."),
+                s(did % 250), F.lit(" logged"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad(s(did % 10000), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 8 == 0,
+            F.concat(F.lit(" cc admin"), s(did), F.lit("@mail.org")),
+        ).otherwise(F.lit("")),
+    )
+
+
+# The matching oracle fragment (DuckDB side of _pii_planted_text).
+_PII_PLANT_SQL = """text
              || CASE WHEN doc_id % 4 = 0
                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
                        || '@example.com now' ELSE '' END
@@ -1062,7 +1093,38 @@ def q_containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        || ' today' ELSE '' END
              || CASE WHEN doc_id % 8 = 0
                   THEN ' cc admin' || CAST(doc_id AS VARCHAR)
-                       || '@mail.org' ELSE '' END
+                       || '@mail.org' ELSE '' END"""
+
+
+def _noisy_text(col: F.Column) -> F.Column:
+    """Surface noise normalization must erase: doubled spaces, uppercase,
+    trailing punctuation."""
+    return F.concat(
+        F.lit("  "), F.regexp_replace(F.upper(col), " ", "  "), F.lit(" !!!")
+    )
+
+
+_NOISY_SQL = "'  ' || replace(upper(text), ' ', '  ') || ' !!!'"
+
+_REDACT_SQL = """regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+1-555-\\d{4}', '<PHONE>', 'g')"""
+
+_NORMALIZE_SQL = """trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               '[0-9]+', '0', 'g'),
+               ' +', ' ', 'g'))"""
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# C4/RefinedWeb PII scrub step (r15).
+@register_bench_only(
+    "q_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             """ + _PII_PLANT_SQL + """
              AS text
       FROM documents
     )
@@ -1075,10 +1137,7 @@ def q_containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_ip,
            CAST(len(regexp_extract_all(text, '\\+1-555-\\d{4}')) AS INT)
              AS n_phone,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-             '\\+1-555-\\d{4}', '<PHONE>', 'g') AS clean_text
+           """ + _REDACT_SQL + """ AS clean_text
     FROM aug
     """,
 )
@@ -1107,37 +1166,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    did = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                did % 4 == 0,
-                F.concat(F.lit(" contact user"), s(did), F.lit("@example.com now")),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 4 == 1,
-                F.concat(
-                    F.lit(" from 10."), s(did % 256), F.lit(".0."),
-                    s(did % 250), F.lit(" logged"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 4 == 2,
-                F.concat(
-                    F.lit(" call +1-555-"),
-                    F.lpad(s(did % 10000), 4, "0"),
-                    F.lit(" today"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 8 == 0,
-                F.concat(F.lit(" cc admin"), s(did), F.lit("@mail.org")),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
+    aug = docs.select("doc_id", _pii_planted_text().alias("text"))
     counts = T.pii_counts("text")
     return aug.select(
         "doc_id",
@@ -1159,14 +1188,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + off.o AS doc_id,
-             '  ' || replace(upper(text), ' ', '  ') || ' !!!' AS text
+             """ + _NOISY_SQL + """ AS text
       FROM documents, off WHERE doc_id % 5 = 0
     ), keyed AS (
       SELECT doc_id, text,
-             trim(regexp_replace(regexp_replace(regexp_replace(
-               lower(text), '[^a-z0-9 ]', ' ', 'g'),
-               '[0-9]+', '0', 'g'),
-               ' +', ' ', 'g')) AS norm
+             """ + _NORMALIZE_SQL + """ AS norm
       FROM base
     ), raw_g AS (
       SELECT md5(text) AS k, count(*) AS c, sum(length(text)) AS ch
@@ -1219,11 +1245,7 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(off))
         .select(
             (F.col("doc_id") + F.col("_o")).alias("doc_id"),
-            F.concat(
-                F.lit("  "),
-                F.regexp_replace(F.upper("text"), " ", "  "),
-                F.lit(" !!!"),
-            ).alias("text"),
+            _noisy_text(F.col("text")).alias("text"),
         )
     )
     base = full.union(noisy).repartition(
@@ -1258,4 +1280,177 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return side("raw", "raw_key", "raw_len").union(
         side("norm", "norm_key", "norm_len")
+    )
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# r15 flagship composition: the full CCNet-style curation pipeline
+# (scrub -> normalize -> exact dedup -> LM quality gate) under ONE hash
+# gate, the quality-side sibling of q_neardup_dedup_pipeline.
+@register_bench_only(
+    "q_curation_pipeline",
+    oracle="""
+    WITH off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), aug AS (
+      SELECT doc_id,
+             """ + _PII_PLANT_SQL + """
+             AS text,
+             lang
+      FROM documents
+    ), base AS (
+      SELECT doc_id, text, lang FROM aug
+      UNION ALL
+      SELECT doc_id + off.o AS doc_id,
+             """ + _NOISY_SQL + """ AS text,
+             lang
+      FROM aug, off WHERE doc_id % 5 = 0
+    ), red AS (
+      SELECT doc_id, lang,
+             """ + _REDACT_SQL + """ AS text
+      FROM base
+    ), norm AS (
+      SELECT doc_id, lang,
+             """ + _NORMALIZE_SQL + """ AS text
+      FROM red
+    ), grp AS (
+      SELECT doc_id, lang, text,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM norm
+    ), canon AS (
+      SELECT doc_id, lang, text FROM grp WHERE doc_id = keep_id
+    ), ctoks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM canon
+    ), cg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM ctoks
+    ), bi AS (
+      SELECT gram, count(*) AS c2
+      FROM cg JOIN ctoks USING (doc_id) WHERE ctoks.lang = 'en'
+      GROUP BY gram
+    ), ctx AS (
+      SELECT string_split(gram, ' ')[1] AS w1, sum(c2) AS c1
+      FROM bi GROUP BY 1
+    ), voc AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(toks) AS w FROM ctoks WHERE lang = 'en')
+    ), dg AS (
+      SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM cg
+    ), terms AS (
+      SELECT doc_id,
+             (coalesce(bi.c2, 0) + 1) * 1000000000
+               // (coalesce(ctx.c1, 0) + voc.v) AS t
+      FROM dg LEFT JOIN bi USING (gram) LEFT JOIN ctx USING (w1), voc
+    ), pd AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(t) AS s
+      FROM terms GROUP BY doc_id
+    ), scored AS (
+      SELECT c.doc_id, c.lang,
+             CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(pd.s AS DOUBLE) / CAST(pd.n_bigrams * 1000000000 AS DOUBLE)
+               AS lm_score
+      FROM canon c LEFT JOIN pd USING (doc_id)
+    ), bucketed AS (
+      SELECT doc_id, n_bigrams, lm_score,
+             CAST(ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY lm_score DESC NULLS LAST, doc_id)
+                  AS INT) AS bucket
+      FROM scored
+    )
+    SELECT g.doc_id, g.lang, g.keep_id,
+           CAST(CASE WHEN g.doc_id = g.keep_id THEN 1 ELSE 0 END AS INT)
+             AS is_canonical,
+           b.n_bigrams, b.lm_score, b.bucket,
+           CAST(CASE WHEN b.bucket IS NOT NULL AND b.bucket <= 2
+                     THEN 1 ELSE 0 END AS INT) AS kept
+    FROM grp g LEFT JOIN bucketed b USING (doc_id)
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline under ONE hash gate — the
+    quality-side sibling of q_neardup_dedup_pipeline, composing this
+    round's scrub/normalize stages with exact dedup and the CCNet
+    quality gate in the canonical order a training-data pipeline runs
+    them:
+
+      plant PII + noisy copies (known signal, derived 1+max(doc_id)
+        copy ids)
+      -> operators/text.pii_redact        (masks, never raw identifiers,
+                                           reach the dedup keys)
+      -> operators/text.normalize_text    (the CCNet hash form)
+      -> operators/dedup.exact_dedup      (digest groupBy, keep lowest
+                                           id; the noisy copies collapse
+                                           HERE because redaction +
+                                           normalization made them
+                                           byte-identical to their
+                                           originals)
+      -> operators/lm.perplexity_buckets  (reference LM trained on the
+                                           pipeline's own canonical
+                                           English slice — standing in
+                                           for the external curated LM
+                                           corpus CCNet uses; scored on
+                                           the cleaned text)
+      -> verdict: kept = canonical AND bucket <= 2 (head+middle).
+
+    One row per INPUT doc (copies included): group key, canonical flag,
+    score, bucket, final verdict — so the gate attests every stage's
+    output, not just the survivor count.
+
+    Scale: every stage is the audited operator's own plan — regex/
+    normalize projections, ONE digest-only exchange for dedup, the
+    broadcast-model scoring pass, one per-language window exchange, and
+    bounded one-row attaches (offset, vocabulary).  Nothing all-pairs,
+    nothing data-sized on the driver.
+    repartition(defaultParallelism) pins the CPU-bound regex/digest
+    chain past the SF dir's 1-2-split scan; never a literal constant —
+    at production a literal would COLLAPSE thousands of input splits,
+    while defaultParallelism follows the cluster's core count."""
+    from pimdb_spark.operators.lm import perplexity_buckets
+
+    full = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    aug = full.select("doc_id", _pii_planted_text().alias("text"), "lang")
+    off = aug.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    noisy = (
+        aug.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_o")).alias("doc_id"),
+            _noisy_text(F.col("text")).alias("text"),
+            "lang",
+        )
+    )
+    base = aug.union(noisy).repartition(spark.sparkContext.defaultParallelism)
+    norm = base.select(
+        "doc_id",
+        "lang",
+        T.normalize_text(T.pii_redact("text")).alias("text"),
+    )
+    groups = D.exact_dedup(norm, "text", "doc_id").select("fp", "keep_id")
+    keyed = norm.withColumn("fp", F.md5(F.lower("text"))).join(groups, "fp")
+    canon = keyed.filter(F.col("doc_id") == F.col("keep_id")).select(
+        "doc_id", "lang", "text"
+    )
+    ref = canon.filter(F.col("lang") == "en")
+    buckets = perplexity_buckets(canon, ref).select(
+        "doc_id", "n_bigrams", "lm_score", "bucket"
+    )
+    return (
+        keyed.select("doc_id", "lang", "keep_id")
+        .join(buckets, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "keep_id",
+            (F.col("doc_id") == F.col("keep_id")).cast("int").alias(
+                "is_canonical"
+            ),
+            "n_bigrams",
+            "lm_score",
+            "bucket",
+            F.when(F.col("bucket").isNotNull() & (F.col("bucket") <= 2), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
     )

@@ -218,6 +218,10 @@ def test_no_plan_red_flags(spark, name, entry):
       1 + max(doc_id) noisy-copy offset, the pipeline entry's form);
       the dedup proper is two digest-only groupBys and a two-row UNION
       — no data-sized join anywhere.
+    - q_curation_pipeline: TWO one-row broadcast attaches (the
+      1 + max(doc_id) copy offset and q_ngram_lm_score's vocabulary
+      size); every data-sized join is an equi-join (fp dedup join,
+      gram/w1 model joins, the doc_id verdict join).
     - q_bloom_decontaminate: the ONE-ROW bloom-bitmap map (<= m/32
       entries collapsed via map_from_entries — the bpe_apply pattern)
       broadcast-attaches to every (doc, gram) probe row; the unrolled
@@ -326,6 +330,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ngram_lm_score_jm",
         "q_perplexity_buckets",
         "q_normalize_dedup",
+        "q_curation_pipeline",
         "q_bloom_decontaminate",
         "q_cms_heavy_hitters",
         "q_ann_recall_lsh",
