@@ -1421,15 +1421,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = aug.union(noisy).repartition(spark.sparkContext.defaultParallelism)
+    # The scrub+normalize chain feeds THREE consumers (the dedup digest
+    # groupBy, the fp join, the canonical scoring pass); Spark shares no
+    # common subplans within one action, so materialize once — a single
+    # regex pass over the corpus instead of one per consumer (measured
+    # 6.8 s -> 3.5 s at sf0.1, SCALE.md).  Same for canon, which the
+    # scoring stage references four times (docs/ref x two joins).
+    # persist() rather than localCheckpoint here: both cut the
+    # recompute, but eager=False checkpoints race the ContextCleaner on
+    # release (benign "non-existent accumulator" ERROR spam), while
+    # persisted frames unpersist cleanly; the session's LRU store
+    # reclaims them after the query (the operators/dedup.py:955 form).
     norm = base.select(
         "doc_id",
         "lang",
         T.normalize_text(T.pii_redact("text")).alias("text"),
-    )
+    ).persist()
     groups = D.exact_dedup(norm, "text", "doc_id").select("fp", "keep_id")
     keyed = norm.withColumn("fp", F.md5(F.lower("text"))).join(groups, "fp")
-    canon = keyed.filter(F.col("doc_id") == F.col("keep_id")).select(
-        "doc_id", "lang", "text"
+    canon = (
+        keyed.filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "text")
+        .persist()
     )
     ref = canon.filter(F.col("lang") == "en")
     buckets = perplexity_buckets(canon, ref).select(

@@ -411,6 +411,79 @@ def main() -> None:
             exact_jaccard_pairs(base, k=3, t_num=1, t_den=2),
         )
 
+    def _pii_redact(d):
+        from pimdb_spark.operators.text import pii_counts, pii_redact
+
+        # pin scan parallelism on BOTH sides (the SF dir is 1-2 parquet
+        # splits, the blow-up dir 32 — unpinned, the 1x side runs the
+        # regex pass on 2 cores and every ratio measures split counts,
+        # not the operator; the catalog entries carry the same pin)
+        par = spark.sparkContext.defaultParallelism
+        dd = docs(d).select("doc_id", "text").repartition(par)
+        c = pii_counts("text")
+        return dd.select(
+            "doc_id",
+            c["n_email"].alias("n_email"),
+            c["n_ip"].alias("n_ip"),
+            c["n_phone"].alias("n_phone"),
+            pii_redact("text").alias("clean_text"),
+        )
+
+    def _normalize_dedup(d):
+        from pimdb_spark.operators.text import normalize_text
+
+        keyed = docs(d).repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            F.md5(F.col("text").cast("binary")).alias("k"),
+            F.length("text").alias("ln"),
+            F.md5(normalize_text("text").cast("binary")).alias("nk"),
+        )
+        g = keyed.groupBy("nk").agg(F.count("*").alias("c"), F.sum("ln").alias("ch"))
+        return g.agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_docs"),
+            F.sum("ch").alias("n_chars"),
+        )
+
+    def _perplexity_buckets(d):
+        from pimdb_spark.operators.lm import perplexity_buckets
+
+        dd = docs(d).repartition(spark.sparkContext.defaultParallelism)
+        return perplexity_buckets(dd, dd.filter(F.col("lang") == "en"))
+
+    def _curation_pipeline(d):
+        # the composed chain WITHOUT the planted fixtures (plants are
+        # correctness signal, not scaling behavior): redact -> normalize
+        # -> exact dedup keep-first -> perplexity buckets on canon
+        from pimdb_spark.operators.dedup import exact_dedup
+        from pimdb_spark.operators.lm import perplexity_buckets
+        from pimdb_spark.operators.text import normalize_text, pii_redact
+
+        norm = docs(d).repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            "doc_id", "lang", normalize_text(pii_redact("text")).alias("text")
+        ).persist()
+        groups = exact_dedup(norm, "text", "doc_id").select("fp", "keep_id")
+        keyed = norm.withColumn("fp", F.md5(F.lower("text"))).join(groups, "fp")
+        canon = (
+            keyed.filter(F.col("doc_id") == F.col("keep_id"))
+            .select("doc_id", "lang", "text")
+            .persist()
+        )
+        b = perplexity_buckets(canon, canon.filter(F.col("lang") == "en"))
+        return keyed.select("doc_id", "lang", "keep_id").join(
+            b.select("doc_id", "lm_score", "bucket"), "doc_id", "left"
+        )
+
+    ops.update({
+        "pii_redact": _pii_redact,
+        "normalize_dedup": _normalize_dedup,
+        "perplexity_buckets": _perplexity_buckets,
+        "curation_pipeline": _curation_pipeline,
+    })
+
     only = set(sys.argv[1:])
     for name, fn in ops.items():
         if only and name not in only:
