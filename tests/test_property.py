@@ -954,3 +954,103 @@ def test_containment_lsh_pairs_matches_python_model(spark):
     # minimum over any h_i comes from ITS shingles, all present in doc 1,
     # and doc 1's min can only be <= over a superset -> equal mins exist
     assert (3, 4) in got and (4, 3) in got  # exact dups: identical sigs
+
+
+# -- r15 text transforms vs python models -----------------------------------
+
+
+def _py_normalize(s: str) -> str:
+    import re
+
+    s = s.lower()
+    s = re.sub(r"[^a-z0-9 ]", " ", s)
+    s = re.sub(r"[0-9]+", "0", s)
+    s = re.sub(r" +", " ", s)
+    return s.strip()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_normalize_text_matches_python_model(spark, seed):
+    """normalize_text ≡ the python re model on arbitrary printable-ASCII
+    strings, and is idempotent (the CCNet hash-form contract)."""
+    import random
+    import string
+
+    from pimdb_spark.operators.text import normalize_text
+
+    rng = random.Random(seed)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r.i: (r.n1, r.n2)
+        for r in df.select(
+            "i",
+            normalize_text("t").alias("n1"),
+            normalize_text(normalize_text("t")).alias("n2"),
+        ).collect()
+    }
+    for i, t in rows:
+        want = _py_normalize(t)
+        assert got[i][0] == want, repr(t)
+        assert got[i][1] == want  # idempotent
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pii_counts_match_python_model(spark, seed):
+    """pii_counts/pii_redact ≡ python re on generated mixtures of organic
+    words and planted identifiers (the Java/RE2 pattern-parity claim,
+    exercised beyond the fixture's shapes)."""
+    import random
+    import re
+
+    from pimdb_spark.operators.text import PII_PATTERNS, pii_counts, pii_redact
+
+    rng = random.Random(seed)
+
+    def email():
+        return (
+            "".join(rng.choice("abcz09._%+-") for _ in range(rng.randint(1, 6)))
+            + "@"
+            + "".join(rng.choice("abcz09") for _ in range(rng.randint(1, 5)))
+            + "."
+            + "".join(rng.choice("abcz") for _ in range(rng.randint(2, 4)))
+        )
+
+    def ip():
+        return ".".join(str(rng.randint(0, 999)) for _ in range(4))
+
+    def phone():
+        return "+1-555-" + "".join(str(rng.randint(0, 9)) for _ in range(4))
+
+    def word():
+        return "".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 7)))
+
+    rows = []
+    for i in range(60):
+        parts = []
+        for _ in range(rng.randint(0, 10)):
+            parts.append(rng.choice([word, word, word, email, ip, phone])())
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, ["i", "t"])
+    c = pii_counts("t")
+    got = {
+        r.i: (r.e, r.p, r.ph, r.clean)
+        for r in df.select(
+            "i",
+            c["n_email"].alias("e"),
+            c["n_ip"].alias("p"),
+            c["n_phone"].alias("ph"),
+            pii_redact("t").alias("clean"),
+        ).collect()
+    }
+    for i, t in rows:
+        want_counts = [len(re.findall(pat, t)) for pat, _ in PII_PATTERNS.values()]
+        clean = t
+        for pat, mask in PII_PATTERNS.values():
+            clean = re.sub(pat, mask, clean)
+        assert list(got[i][:3]) == want_counts, repr(t)
+        assert got[i][3] == clean, repr(t)
