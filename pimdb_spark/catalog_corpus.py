@@ -1218,8 +1218,10 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: scoring is the broadcast-model projection; the one added
     shuffle is the per-language hash exchange feeding ntile (exact
     equal-frequency form).  The production variant under language skew
-    — sampled or EH-sketch per-group thresholds broadcast as a range
-    filter — is stated in the operator docstring; this entry is the
+    — SAMPLED per-group thresholds broadcast as a range filter — is
+    measured at 0.977/0.989 bucket/keep agreement vs this exact form
+    (scripts/quality_gate_eval.py; the EH-sketch alternative measured
+    0.416 and is rejected with cause in SCALE.md); this entry is the
     exact form that calibration is judged against.
     repartition(defaultParallelism) pins the CPU-bound scoring pass
     past the SF dir's 1-2-split scan; never a literal constant — at

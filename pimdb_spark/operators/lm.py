@@ -345,12 +345,17 @@ def perplexity_buckets(
     the per-group rank (ntile) — a per-language sort, the exact form.
     At production, a dominant language makes that sort the skew
     bottleneck; the production variant computes per-group score
-    THRESHOLDS on a sample (or via the constant-size exponential-
-    histogram sketch, operators/sketch.eh_quantiles) and broadcasts
-    them as a range filter, trading exact equal-frequency splits for a
-    shuffle-free scoring pass — the same calibrate-on-a-sample contract
-    as dedup_recall.  This operator is the exact/oracle form both are
-    judged against."""
+    THRESHOLDS on a sample and broadcasts them as a range filter,
+    trading exact equal-frequency splits for a shuffle-free scoring
+    pass — the same calibrate-on-a-sample contract as dedup_recall, and
+    MEASURED: 0.977 bucket / 0.989 keep-set agreement vs this exact
+    form at sf0.1 on a 1-in-3 sample (scripts/quality_gate_eval.py).
+    The constant-size EH quantile sketch is NOT a substitute here —
+    measured 0.416 agreement, because its 12.5% multiplicative value
+    resolution cannot separate tercile cuts that differ by 1.2% on this
+    near-degenerate score band (SCALE.md "Curation family").  This
+    operator is the exact/oracle form the variants are judged
+    against."""
     from pyspark.sql import Window
 
     scored = ngram_lm_score(docs, ref_docs, id_col, text_col)
