@@ -1234,3 +1234,96 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = docs.filter(F.col("lang") == "en")
     return perplexity_buckets(docs, ref, n_buckets=3)
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# eval-side contamination REPORT, the flip side of q_eval_span_excise
+# (r15).
+@register_bench_only(
+    "q_eval_leak_report",
+    oracle=f"""
+    WITH snip AS (
+      SELECT array_to_string(
+               list_slice(string_split(arg_min(text, doc_id), ' '), 1, 5),
+               ' ') AS s
+      FROM documents WHERE doc_id % 11 = 0
+    ), tk AS (
+      SELECT doc_id,
+             string_split(
+               CASE WHEN doc_id % 10 = 3 THEN text || ' ' || snip.s
+                    ELSE text END, ' ') AS t
+      FROM documents, snip WHERE doc_id % 11 <> 0
+    ), ek AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 11 = 0
+    ), tdf AS (
+      SELECT gh, count(DISTINCT doc_id) AS df FROM (
+        SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS gh
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+              FROM tk WHERE len(t) >= 5) x
+      ) GROUP BY gh
+    ), eg AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS gh
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+            FROM ek WHERE len(t) >= 5) y
+    ), per AS (
+      SELECT eg.doc_id,
+             count(*) AS n_spans,
+             sum(CASE WHEN tdf.df IS NOT NULL THEN 1 ELSE 0 END) AS n_leaked,
+             max(tdf.df) AS worst
+      FROM eg LEFT JOIN tdf USING (gh)
+      GROUP BY eg.doc_id
+    )
+    SELECT e.doc_id,
+           CAST(len(e.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(per.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CASE WHEN coalesce(per.n_spans, 0) > 0
+                THEN CAST(coalesce(per.n_leaked, 0) AS DOUBLE)
+                     / CAST(per.n_spans AS DOUBLE) END AS leak_frac,
+           CAST(per.worst AS BIGINT) AS worst_span_df
+    FROM ek e LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document contamination report (operators/dedup
+    .eval_leak_report, n=5) on q_eval_span_excise's EXACT fixture (the
+    %11 eval split, the min_by snippet planted on the %10==3 train
+    slice): for each benchmark document, how many of its distinct
+    5-token spans occur anywhere in training, the leaked fraction, and
+    the worst span's training df — the column that separates a genuine
+    leak from corpus boilerplate.  The excision entry repairs the
+    training set; this one tells the eval owner which benchmark rows to
+    distrust — the two deliverables of a decontamination pass.
+
+    Scale: the training side collapses to (span md5, df) BEFORE the
+    join; the only cross-corpus edge is a 128-bit-key equi-join against
+    the eval side's distinct spans, and df rides the span row so no
+    carrier PAIRS ever materialize (a boilerplate span cannot flood the
+    join).  repartition(defaultParallelism) pins the CPU-bound span-
+    hash projection past the SF dir's 1-2-split scan; never a literal
+    constant — at production a literal would COLLAPSE thousands of
+    input splits, while defaultParallelism follows the cluster's core
+    count."""
+    from pimdb_spark.operators.dedup import eval_leak_report
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    snip = ev.agg(
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.expr("min_by(text, doc_id)"), " "), 1, 5),
+        ).alias("_snip")
+    )
+    planted = (
+        train.filter(F.col("doc_id") % 10 == 3)
+        .crossJoin(F.broadcast(snip))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("_snip")).alias("text"),
+        )
+    )
+    train_aug = train.filter(F.col("doc_id") % 10 != 3).union(planted)
+    return eval_leak_report(train_aug, ev, n=5)

@@ -979,3 +979,64 @@ def containment_lsh_pairs(
     return _verify_containment(
         cand, sig.select("doc", F.col("shingles").alias("s")), threshold
     )
+
+
+def eval_leak_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-EVAL-document contamination report — the flip side of
+    eval_span_excise: instead of repairing the training set, quantify
+    how compromised each BENCHMARK document is.  For every eval doc:
+    how many of its distinct n-token spans occur anywhere in the
+    training corpus, what fraction of its spans that is, and the worst
+    single span's training document frequency (a span carried by
+    thousands of training docs is boilerplate, not a leak — the df
+    column is what separates the two readings).
+
+    Output, one row per eval doc: (id, n_tokens, n_spans BIGINT,
+    n_leaked BIGINT, leak_frac DOUBLE — NULL when the doc is shorter
+    than n tokens, worst_span_df BIGINT — NULL when nothing leaked).
+
+    Scale: both sides reduce to md5 span keys (the _span_grams wire
+    discipline); the training side aggregates to (span, df) BEFORE the
+    join, so the only cross-corpus edge is an equi-join on the 128-bit
+    key against the eval side's DISTINCT spans — never doc x doc, and
+    the per-eval-doc rollup never materializes carrier PAIRS (df rides
+    the span row), so a boilerplate span cannot flood the join."""
+    ebase, egrams = _span_grams(eval_docs, id_col, text_col, n)
+    _tbase, tgrams = _span_grams(train_docs, id_col, text_col, n)
+    tdf = tgrams.groupBy("gh").agg(
+        F.count_distinct("_id").cast("bigint").alias("df")
+    )
+    ed = egrams.select("_id", "gh").distinct()
+    per = (
+        ed.join(tdf, "gh", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("df").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked"),
+            F.max("df").alias("worst_span_df"),
+        )
+    )
+    return (
+        ebase.select("_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.coalesce("n_leaked", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double"),
+            ).alias("leak_frac"),
+            F.col("worst_span_df").cast("bigint").alias("worst_span_df"),
+        )
+    )

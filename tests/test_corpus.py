@@ -456,3 +456,35 @@ def test_eval_span_excise_strips_exactly_the_leaked_span(spark):
     assert got[1] == (9, 6, "intro words outro")
     assert got[2] == (8, 0, "completely original content with no leak at all")
     assert got[3] == (2, 0, "tiny doc")
+
+
+def test_eval_leak_report_semantics(spark):
+    """Hand corpus: one eval doc fully quoted in training (leak_frac 1,
+    worst df = carrier count), one partially, one clean, one too short."""
+    from pimdb_spark.operators.dedup import eval_leak_report
+
+    ev = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # spans: abcde, bcdef
+            (1, "p q r s t u v"),      # spans: pqrst, qrstu, rstuv
+            (2, "x y z w k l"),        # clean
+            (3, "tiny doc"),           # < 5 tokens: no spans
+        ],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (100, "zz a b c d e f zz"),    # carries BOTH doc-0 spans
+            (101, "a b c d e yy"),         # carries abcde again (df=2)
+            (102, "mm p q r s t mm"),      # carries pqrst only
+            (103, "nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in eval_leak_report(train, ev, n=5).collect()}
+    assert got[0].n_spans == 2 and got[0].n_leaked == 2
+    assert got[0].leak_frac == 1.0 and got[0].worst_span_df == 2
+    assert got[1].n_spans == 3 and got[1].n_leaked == 1
+    assert abs(got[1].leak_frac - 1 / 3) < 1e-12 and got[1].worst_span_df == 1
+    assert got[2].n_leaked == 0 and got[2].worst_span_df is None
+    assert got[3].n_spans == 0 and got[3].leak_frac is None

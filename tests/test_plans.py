@@ -277,6 +277,10 @@ def test_no_plan_red_flags(spark, name, entry):
       eval-snippet row cross-joined onto the planted contamination
       slice — a bounded aggregate, never collected); the excision
       proper is the audited dup_span_excise span-hash equi-join.
+    - q_eval_leak_report: the same ONE one-row snip attach (shared
+      fixture with q_eval_span_excise); the report proper is the
+      (span, df) equi-join against the eval side's distinct spans —
+      df rides the span row, so no carrier pairs materialize.
     - q_containment_lsh_pairs: the same ONE one-row broadcast attach
       as q_containment_pairs (the shared planted-excerpt fixture);
       candidates are the (band, min) equi-join with the flood-cap
@@ -318,6 +322,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_containment_pairs",
         "q_containment_lsh_pairs",
         "q_eval_span_excise",
+        "q_eval_leak_report",
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",
