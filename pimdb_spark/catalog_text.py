@@ -1251,6 +1251,9 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = full.union(noisy).repartition(
         spark.sparkContext.defaultParallelism
     )
+    # Both summary sides scan this frame in ONE action (the union) and
+    # Spark shares no common subplans, so materialize the normalize
+    # chain once (the q_curation_pipeline persist lesson, SCALE.md).
     keyed = base.select(
         F.md5(F.col("text").cast("binary")).alias("raw_key"),
         F.length("text").alias("raw_len"),
@@ -1260,7 +1263,7 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_len",
         F.md5(F.col("norm").cast("binary")).alias("norm_key"),
         F.length("norm").alias("norm_len"),
-    )
+    ).persist()
 
     def side(kind: str, key: str, ln: str) -> DataFrame:
         g = keyed.groupBy(key).agg(
