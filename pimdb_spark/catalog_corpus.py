@@ -1053,14 +1053,14 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_strip(docs, block=5, min_df=2)
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the r14
-# span-level decontamination addition: the cross-corpus form of
-# q_dup_span_excise (excise leaked EVAL spans from training docs instead
-# of dropping the whole document).
-@register_bench_only(
-    "q_eval_span_excise",
-    oracle=f"""
-    WITH snip AS (
+# Shared eval-contamination fixture (q_eval_span_excise and
+# q_eval_leak_report run on the SAME planted corpus — factored so the
+# stated exact-fixture coupling is structural, not copy-paste; r15
+# self-review): eval = doc_id % 11 == 0; every train doc with
+# doc_id % 10 == 3 is contaminated by appending the first 5 tokens of
+# the LOWEST-id eval doc (a one-row broadcast min_by attach, so both
+# engines pick the identical doc).
+_EVAL_CONTAM_SQL = f"""snip AS (
       SELECT array_to_string(
                list_slice(string_split(arg_min(text, doc_id), ' '), 1, 5),
                ' ') AS s
@@ -1073,7 +1073,42 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents, snip WHERE doc_id % 11 <> 0
     ), ek AS (
       SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 11 = 0
-    ), base AS (
+    )"""
+
+
+def _eval_contam_frames(spark: SparkSession, sf_dir: str):
+    """(train_aug, ev) — the Spark side of _EVAL_CONTAM_SQL."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    snip = ev.agg(
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.expr("min_by(text, doc_id)"), " "), 1, 5),
+        ).alias("_snip")
+    )
+    planted = (
+        train.filter(F.col("doc_id") % 10 == 3)
+        .crossJoin(F.broadcast(snip))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("_snip")).alias("text"),
+        )
+    )
+    train_aug = train.filter(F.col("doc_id") % 10 != 3).union(planted)
+    return train_aug, ev
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the r14
+# span-level decontamination addition: the cross-corpus form of
+# q_dup_span_excise (excise leaked EVAL spans from training docs instead
+# of dropping the whole document).
+@register_bench_only(
+    "q_eval_span_excise",
+    oracle=f"""
+    WITH {_EVAL_CONTAM_SQL}, base AS (
       SELECT doc_id, t, len(t) AS n_tokens FROM tk
     ), grams AS (
       SELECT doc_id, i AS gpos,
@@ -1138,26 +1173,7 @@ def q_eval_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     from pimdb_spark.operators.dedup import eval_span_excise
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ev = docs.filter(F.col("doc_id") % 11 == 0)
-    train = docs.filter(F.col("doc_id") % 11 != 0).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    snip = ev.agg(
-        F.concat_ws(
-            " ",
-            F.slice(F.split(F.expr("min_by(text, doc_id)"), " "), 1, 5),
-        ).alias("_snip")
-    )
-    planted = (
-        train.filter(F.col("doc_id") % 10 == 3)
-        .crossJoin(F.broadcast(snip))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("text"), F.col("_snip")).alias("text"),
-        )
-    )
-    train_aug = train.filter(F.col("doc_id") % 10 != 3).union(planted)
+    train_aug, ev = _eval_contam_frames(spark, sf_dir)
     return eval_span_excise(train_aug, ev, n=5)
 
 
@@ -1191,15 +1207,19 @@ def q_eval_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS lm_score
       FROM documents d LEFT JOIN pd USING (doc_id)
     )
-    SELECT doc_id, lang, n_bigrams, lm_score,
-           CAST(ntile(3) OVER (PARTITION BY lang
-                               ORDER BY lm_score DESC NULLS LAST, doc_id)
-                AS INT) AS bucket,
-           (['head', 'middle', 'tail'])[
-             ntile(3) OVER (PARTITION BY lang
-                            ORDER BY lm_score DESC NULLS LAST, doc_id)
-           ] AS bucket_label
-    FROM scored
+    , bucketed AS (
+      SELECT doc_id, lang, n_bigrams, lm_score,
+             CAST(ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY lm_score DESC, doc_id)
+                  AS INT) AS bucket
+      FROM scored WHERE lm_score IS NOT NULL
+      UNION ALL
+      SELECT doc_id, lang, n_bigrams, lm_score, CAST(3 AS INT) AS bucket
+      FROM scored WHERE lm_score IS NULL
+    )
+    SELECT doc_id, lang, n_bigrams, lm_score, bucket,
+           (['head', 'middle', 'tail'])[bucket] AS bucket_label
+    FROM bucketed
     """,
 )
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,20 +1262,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_bench_only(
     "q_eval_leak_report",
     oracle=f"""
-    WITH snip AS (
-      SELECT array_to_string(
-               list_slice(string_split(arg_min(text, doc_id), ' '), 1, 5),
-               ' ') AS s
-      FROM documents WHERE doc_id % 11 = 0
-    ), tk AS (
-      SELECT doc_id,
-             string_split(
-               CASE WHEN doc_id % 10 = 3 THEN text || ' ' || snip.s
-                    ELSE text END, ' ') AS t
-      FROM documents, snip WHERE doc_id % 11 <> 0
-    ), ek AS (
-      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 11 = 0
-    ), tdf AS (
+    WITH {_EVAL_CONTAM_SQL}, tdf AS (
       SELECT gh, count(DISTINCT doc_id) AS df FROM (
         SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS gh
         FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
@@ -1306,24 +1313,5 @@ def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     from pimdb_spark.operators.dedup import eval_leak_report
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ev = docs.filter(F.col("doc_id") % 11 == 0)
-    train = docs.filter(F.col("doc_id") % 11 != 0).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    snip = ev.agg(
-        F.concat_ws(
-            " ",
-            F.slice(F.split(F.expr("min_by(text, doc_id)"), " "), 1, 5),
-        ).alias("_snip")
-    )
-    planted = (
-        train.filter(F.col("doc_id") % 10 == 3)
-        .crossJoin(F.broadcast(snip))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("text"), F.col("_snip")).alias("text"),
-        )
-    )
-    train_aug = train.filter(F.col("doc_id") % 10 != 3).union(planted)
+    train_aug, ev = _eval_contam_frames(spark, sf_dir)
     return eval_leak_report(train_aug, ev, n=5)

@@ -1152,8 +1152,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs); %4==3 stays clean — the false-positive guard, since any
     spurious match flips its count and text hash.  Patterns use only
     character classes, bounded repetition, and word boundaries so Java
-    regex (Spark) and RE2 (DuckDB) agree exactly; they are mutually
-    non-overlapping, so the redaction chain is order-independent.
+    regex (Spark) and RE2 (DuckDB) agree exactly; the redaction chain
+    applies them in PII_PATTERNS priority order (email first — nested
+    identifiers like an IP-shaped domain mask under the widest pattern;
+    see the operator's priority note), and the oracle replays the same
+    order.
 
     Scale: counts and redaction are ONE whole-stage-codegen projection —
     no shuffle, no UDF, linear in corpus bytes.
@@ -1357,9 +1360,12 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bucketed AS (
       SELECT doc_id, n_bigrams, lm_score,
              CAST(ntile(3) OVER (PARTITION BY lang
-                                 ORDER BY lm_score DESC NULLS LAST, doc_id)
+                                 ORDER BY lm_score DESC, doc_id)
                   AS INT) AS bucket
-      FROM scored
+      FROM scored WHERE lm_score IS NOT NULL
+      UNION ALL
+      SELECT doc_id, n_bigrams, lm_score, CAST(3 AS INT) AS bucket
+      FROM scored WHERE lm_score IS NULL
     )
     SELECT g.doc_id, g.lang, g.keep_id,
            CAST(CASE WHEN g.doc_id = g.keep_id THEN 1 ELSE 0 END AS INT)

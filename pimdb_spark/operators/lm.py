@@ -337,8 +337,12 @@ def perplexity_buckets(
 
     Output: (id, group, n_bigrams, lm_score, bucket INT, bucket_label)
     for every input document.  Unscorable documents (< 2 tokens, NULL
-    score) sort last within their group and land in the tail bucket —
-    the conservative CCNet disposition.
+    score) are assigned the tail bucket DIRECTLY and the equal-frequency
+    rank runs over scored documents only — the conservative CCNet
+    disposition, ENFORCED (ntile over the mixed population merely sorts
+    NULLs last, so a group where unscorable docs outnumber the tail
+    bucket's capacity would rank some of them head/middle; r15
+    self-review finding).
 
     Scale: scoring is ngram_lm_score's broadcast-model projection; the
     ONLY added shuffle is one hash exchange on the group column feeding
@@ -362,22 +366,29 @@ def perplexity_buckets(
     meta = docs.select(id_col, group_col)
     w = (
         Window.partitionBy(group_col)
-        .orderBy(F.col("lm_score").desc_nulls_last(), F.col(id_col))
+        .orderBy(F.col("lm_score").desc(), F.col(id_col))
     )
     labels = ["head", "middle", "tail"] if n_buckets == 3 else [
         f"b{i + 1}" for i in range(n_buckets)
     ]
     label_arr = F.array(*[F.lit(s) for s in labels])
-    return (
-        meta.join(scored, id_col)
-        .select(
-            id_col,
-            group_col,
-            "n_bigrams",
-            "lm_score",
-            F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
-        )
-        .withColumn("bucket_label", F.element_at(label_arr, F.col("bucket")))
+    joined = meta.join(scored, id_col)
+    ranked = joined.filter(F.col("lm_score").isNotNull()).select(
+        id_col,
+        group_col,
+        "n_bigrams",
+        "lm_score",
+        F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    )
+    tail = joined.filter(F.col("lm_score").isNull()).select(
+        id_col,
+        group_col,
+        "n_bigrams",
+        "lm_score",
+        F.lit(n_buckets).cast("int").alias("bucket"),
+    )
+    return ranked.unionByName(tail).withColumn(
+        "bucket_label", F.element_at(label_arr, F.col("bucket"))
     )
 
 

@@ -113,9 +113,14 @@ def rolling_fingerprint(
 # PII patterns (C4 / RefinedWeb scrub step).  Chosen to compile and match
 # IDENTICALLY under Java regex (Spark) and RE2 (DuckDB): character
 # classes, bounded repetition, and \b word boundaries only — no
-# lookaround, no backreferences.  Patterns are mutually non-overlapping
-# (an email cannot contain an IP match's word-boundary context and vice
-# versa), so redaction order does not change the result.
+# lookaround, no backreferences.  Dict order IS the redaction priority
+# and is load-bearing: an IP-shaped domain ("a@1.2.3.4.co") or a
+# phone-shaped local part nests one pattern's match inside another's,
+# so email must redact FIRST (the widest identifier wins and the inner
+# span is masked with it); reordering would leave half-redacted
+# identifiers.  pii_counts counts each pattern independently, so a
+# nested identifier is counted under BOTH types — counts are per-pattern
+# detection signals, not a partition of the text (r15 self-review).
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
@@ -136,11 +141,12 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
 
 
 def pii_redact(text: Column | str) -> Column:
-    """Replace every PII match with its typed mask token.  A chain of
-    regexp_replace projections — shuffle-free, linear, and embarrassingly
-    parallel; the scrub step that runs BEFORE text is hashed, shingled,
-    or tokenized so masks (not raw identifiers) flow into every
-    downstream dedup/index key."""
+    """Replace every PII match with its typed mask token, applying
+    PII_PATTERNS in dict order (email first — see the priority note on
+    PII_PATTERNS).  A chain of regexp_replace projections —
+    shuffle-free, linear, and embarrassingly parallel; the scrub step
+    that runs BEFORE text is hashed, shingled, or tokenized so masks
+    (not raw identifiers) flow into every downstream dedup/index key."""
     col = F.col(text) if isinstance(text, str) else text
     for pat, mask in PII_PATTERNS.values():
         col = F.regexp_replace(col, pat, mask)

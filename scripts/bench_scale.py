@@ -101,13 +101,24 @@ def _drain(df) -> None:
 def _time(mk) -> float:
     # mk builds a FRESH DataFrame per call so lazy localCheckpoints inside
     # an operator (e.g. semdedup's self-join guard) are re-materialized in
-    # every timed run instead of being reused from the warm-up.
+    # every timed run instead of being reused from the warm-up.  persist()
+    # frames are different: Spark's cache manager matches by LOGICAL PLAN,
+    # so a fresh mk() would silently reuse the warm-up's cache and the
+    # timed run would skip the persisted stage entirely — clear the cache
+    # between runs (bench.py's discipline; r15 self-review).
+    from pyspark.sql import SparkSession
+
+    def clear():
+        SparkSession.getActiveSession().catalog.clearCache()
+
     _drain(mk())  # warm: codegen + scan caches
+    clear()
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
         _drain(mk())
         dt = time.perf_counter() - t0
+        clear()
         best = dt if best is None else min(best, dt)
     return round(best, 3)
 
@@ -430,6 +441,9 @@ def main() -> None:
         )
 
     def _normalize_dedup(d):
+        # both digest sides, as the catalog entry runs them (a raw-only
+        # or norm-only variant would let column pruning drop one md5
+        # pass and understate the op — r15 self-review)
         from pimdb_spark.operators.text import normalize_text
 
         keyed = docs(d).repartition(
@@ -438,13 +452,22 @@ def main() -> None:
             F.md5(F.col("text").cast("binary")).alias("k"),
             F.length("text").alias("ln"),
             F.md5(normalize_text("text").cast("binary")).alias("nk"),
-        )
-        g = keyed.groupBy("nk").agg(F.count("*").alias("c"), F.sum("ln").alias("ch"))
-        return g.agg(
-            F.count("*").alias("n_groups"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_docs"),
-            F.sum("ch").alias("n_chars"),
-        )
+        ).persist()
+
+        def side(key):
+            g = keyed.groupBy(key).agg(
+                F.count("*").alias("c"), F.sum("ln").alias("ch")
+            )
+            return g.agg(
+                F.lit(key).alias("kind"),
+                F.count("*").alias("n_groups"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                    "n_dup_docs"
+                ),
+                F.sum("ch").alias("n_chars"),
+            )
+
+        return side("k").union(side("nk"))
 
     def _perplexity_buckets(d):
         from pimdb_spark.operators.lm import perplexity_buckets

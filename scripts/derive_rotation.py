@@ -26,8 +26,17 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
+# round number -> actual globbed path (filled by main): reading back
+# through the discovered filename itself means a non-zero-padded file
+# (CORRECTNESS_r9.json) can neither crash the reader nor double-count a
+# round against its padded twin.
+_ROUND_PATHS: dict[int, str] = {}
+
+
 def correctness(round_no: int) -> dict:
-    path = os.path.join(REPO, f"CORRECTNESS_r{round_no:02d}.json")
+    path = _ROUND_PATHS.get(
+        round_no, os.path.join(REPO, f"CORRECTNESS_r{round_no:02d}.json")
+    )
     with open(path) as f:
         return json.load(f)
 
@@ -66,11 +75,17 @@ def main() -> int:
     import glob as _glob
     import re as _re
 
-    rounds = sorted(
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    )
+    for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rn = int(m.group(1))
+        if rn in _ROUND_PATHS:
+            print(f"ERROR: duplicate CORRECTNESS files for round {rn}: "
+                  f"{_ROUND_PATHS[rn]} and {p}")
+            return 1
+        _ROUND_PATHS[rn] = p
+    rounds = sorted(_ROUND_PATHS)
     # The K-round invariant generalizes with registry size: the union of
     # K consecutive 50-entry windows must cover the registry, so
     # K = ceil(N / WINDOW).  Because stale entries are ordered oldest
@@ -102,7 +117,6 @@ def main() -> int:
     ]
     check_first = front + stale
 
-    window_n = set(check_first[:WINDOW])
     # Entries the upcoming round attests = first WINDOW of (check_first +
     # rest in registration order).
     emitted = check_first + [n for n in reg_order if n not in set(check_first)]

@@ -97,17 +97,23 @@ def test_perplexity_buckets_ranking_model(spark):
     langs = {i: r for i, _, r in [(a, b, c) for a, b, c in rows]}
     for lang in ("en", "es", "de"):
         ids = [i for i in langs if langs[i] == lang]
-        ids.sort(key=lambda i: (scores[i] is None, -(scores[i] or 0.0), i))
+        # unscorable docs take the tail bucket DIRECTLY; the ntile runs
+        # over scored docs only (the enforced contract)
+        null_ids = [i for i in ids if scores[i] is None]
+        ids = sorted(
+            (i for i in ids if scores[i] is not None),
+            key=lambda i: (-scores[i], i),
+        )
         n = len(ids)
         base, extra = divmod(n, 3)
-        want_bucket = {}
+        want_bucket = {i: 3 for i in null_ids}
         pos = 0
         for b in range(1, 4):
             size = base + (1 if b <= extra else 0)
             for i in ids[pos : pos + size]:
                 want_bucket[i] = b
             pos += size
-        for i in ids:
+        for i in ids + null_ids:
             assert got[i][0] == want_bucket[i], (lang, i)
             assert got[i][1] == ["head", "middle", "tail"][want_bucket[i] - 1]
 
@@ -119,3 +125,52 @@ def test_perplexity_buckets_labels_generic(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     out = perplexity_buckets(df, df, n_buckets=4).collect()
     assert {r.bucket_label for r in out} == {"b1", "b2", "b3", "b4"}
+
+
+def test_perplexity_buckets_null_majority_stays_tail(spark):
+    """Regression (r15 self-review): when unscorable docs OUTNUMBER the
+    tail bucket's capacity, plain ntile would rank some of them
+    head/middle; the enforced contract pins every NULL-score doc to the
+    tail and runs the equal-frequency split over scored docs only."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.operators.lm import perplexity_buckets
+
+    rows = [
+        (0, "a b c a b c a", "en"),  # the only scorable doc
+        (1, "x", "en"),
+        (2, "y", "en"),
+        (3, "z", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.doc_id: (r.bucket, r.bucket_label)
+        for r in perplexity_buckets(df, df.filter(F.col("doc_id") == 0)).collect()
+    }
+    assert got[0] == (1, "head")
+    for i in (1, 2, 3):
+        assert got[i] == (3, "tail"), i
+
+
+def test_pii_nested_identifiers_priority(spark):
+    """Pinned overlap semantics (r15 self-review): an IP-shaped domain
+    nests an IP match inside the email match.  Counts report BOTH types
+    (independent per-pattern signals); redaction applies email FIRST so
+    the widest identifier wins and nothing leaks half-masked."""
+    from pimdb_spark.operators.text import pii_counts, pii_redact
+
+    rows = [(0, "ping a@1.2.3.4.co now"), (1, "x +1-555-1234@y.co end")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = pii_counts("text")
+    got = {
+        r.doc_id: (r.e, r.i, r.p, r.clean)
+        for r in df.select(
+            "doc_id",
+            c["n_email"].alias("e"),
+            c["n_ip"].alias("i"),
+            c["n_phone"].alias("p"),
+            pii_redact("text").alias("clean"),
+        ).collect()
+    }
+    assert got[0] == (1, 1, 0, "ping <EMAIL> now")
+    assert got[1] == (1, 0, 1, "x <EMAIL> end")
