@@ -1209,13 +1209,11 @@ def q_eval_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     , bucketed AS (
       SELECT doc_id, lang, n_bigrams, lm_score,
-             CAST(ntile(3) OVER (PARTITION BY lang
-                                 ORDER BY lm_score DESC, doc_id)
-                  AS INT) AS bucket
-      FROM scored WHERE lm_score IS NOT NULL
-      UNION ALL
-      SELECT doc_id, lang, n_bigrams, lm_score, CAST(3 AS INT) AS bucket
-      FROM scored WHERE lm_score IS NULL
+             CAST(CASE WHEN lm_score IS NULL THEN 3
+                  ELSE ntile(3) OVER (PARTITION BY lang, lm_score IS NULL
+                                      ORDER BY lm_score DESC, doc_id)
+                  END AS INT) AS bucket
+      FROM scored
     )
     SELECT doc_id, lang, n_bigrams, lm_score, bucket,
            (['head', 'middle', 'tail'])[bucket] AS bucket_label

@@ -1359,13 +1359,11 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM canon c LEFT JOIN pd USING (doc_id)
     ), bucketed AS (
       SELECT doc_id, n_bigrams, lm_score,
-             CAST(ntile(3) OVER (PARTITION BY lang
-                                 ORDER BY lm_score DESC, doc_id)
-                  AS INT) AS bucket
-      FROM scored WHERE lm_score IS NOT NULL
-      UNION ALL
-      SELECT doc_id, n_bigrams, lm_score, CAST(3 AS INT) AS bucket
-      FROM scored WHERE lm_score IS NULL
+             CAST(CASE WHEN lm_score IS NULL THEN 3
+                  ELSE ntile(3) OVER (PARTITION BY lang, lm_score IS NULL
+                                      ORDER BY lm_score DESC, doc_id)
+                  END AS INT) AS bucket
+      FROM scored
     )
     SELECT g.doc_id, g.lang, g.keep_id,
            CAST(CASE WHEN g.doc_id = g.keep_id THEN 1 ELSE 0 END AS INT)
