@@ -1054,3 +1054,55 @@ def test_pii_counts_match_python_model(spark, seed):
             clean = re.sub(pat, mask, clean)
         assert list(got[i][:3]) == want_counts, repr(t)
         assert got[i][3] == clean, repr(t)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_eval_leak_report_matches_python_model(spark, seed):
+    """eval_leak_report ≡ a brute-force python span model on random small
+    corpora: per eval doc, distinct 5-token spans, how many occur in ANY
+    train doc, and the max train-doc frequency among leaked spans."""
+    import random
+
+    from pimdb_spark.operators.dedup import eval_leak_report
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> organic collisions
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 14)))
+
+    train = [(100 + i, doc()) for i in range(25)]
+    ev = [(i, doc()) for i in range(10)]
+
+    def spans(text):
+        t = text.split(" ")
+        return [" ".join(t[i : i + 5]) for i in range(len(t) - 4)]
+
+    tdf: dict[str, set] = {}
+    for tid, text in train:
+        for s in set(spans(text)):
+            tdf.setdefault(s, set()).add(tid)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.n_leaked, r.leak_frac, r.worst_span_df)
+        for r in eval_leak_report(
+            spark.createDataFrame(train, ["doc_id", "text"]),
+            spark.createDataFrame(ev, ["doc_id", "text"]),
+            n=5,
+        ).collect()
+    }
+    assert set(got) == {i for i, _ in ev}
+    for i, text in ev:
+        ss = set(spans(text))
+        leaked = [s for s in ss if s in tdf]
+        want_frac = len(leaked) / len(ss) if ss else None
+        want_worst = max((len(tdf[s]) for s in leaked), default=None)
+        n_tok, n_spans, n_leaked, frac, worst = got[i]
+        assert n_tok == len(text.split(" "))
+        assert n_spans == len(ss)
+        assert n_leaked == len(leaked)
+        if want_frac is None:
+            assert frac is None
+        else:
+            assert abs(frac - want_frac) < 1e-12
+        assert worst == want_worst
