@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pimdb_spark.catalog import load, register
+from pimdb_spark.catalog import load, register, register_bench_only
 from pimdb_spark.operators import similarity as S
 
 _COS_RAW = """
@@ -630,6 +630,88 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
         m=8, dim=64, n_centroids=16, k=3,
+    )
+
+
+def _pq_rerank_oracle(
+    m: int = 8, sub: int = 8, n_centroids: int = 16,
+    shortlist: int = 12, k: int = 3,
+) -> str:
+    def subsqd(s: int) -> str:
+        lo, hi = (s - 1) * sub + 1, s * sub + 1
+        return (
+            f"list_reduce(list_transform(range({lo}, {hi}), "
+            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
+            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    dls = ", ".join(
+        f"list_transform((SELECT cvecs FROM cent), cv -> {subsqd(s)})"
+        for s in range(1, m + 1)
+    )
+    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
+    return f"""
+    WITH cent AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_centroids})
+    ), dt AS (
+      SELECT e.vec_id, [{dls}] AS dtab FROM embeddings e
+    ), coded AS (
+      SELECT vec_id, dtab,
+             list_transform(dtab, d -> list_position(d, list_min(d))) AS codes
+      FROM dt
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round({adc}, 4) AS adc
+      FROM coded c, (SELECT * FROM coded WHERE vec_id < 8) q
+      WHERE q.vec_id <> c.vec_id
+    ), short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
+        FROM scored
+      ) WHERE rk <= {shortlist}
+    ), rescored AS (
+      SELECT s.q_id, s.c_id, {_COS.format(a='q', b='c')} AS cos
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.q_id
+      JOIN embeddings c ON c.vec_id = s.c_id
+    )
+    SELECT q_id, rank, c_id, cos FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# two-stage composition of the already-attested pq_topk + exact cosine;
+# promotion-line candidate once slots free.
+@register_bench_only("q_pq_adc_rerank_topk", oracle=_pq_rerank_oracle())
+def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC shortlist-12 -> EXACT cosine re-rank top-3
+    (operators/similarity.pq_adc_rerank_topk) — the two-stage production
+    retrieval pattern: the corpus pass scores 8-byte codes (pq_topk's
+    audited plan), raw float vectors are fetched ONLY for the 8x12
+    shortlist survivors via a broadcast hash join, and the final order is
+    the exact sequential-fold cosine.  Re-ranking repairs ADC's
+    within-shortlist rank scrambling for shortlist exact dots per query
+    (recall measured in scripts/pq_recall.py --rerank), completing the
+    ANN ladder's missing production stage: prune cheap, verify exact.
+
+    Scale: no second corpus scoring pass — stage 2's only corpus-sized
+    op is one broadcast join keyed on candidate id; exact cosine runs on
+    |Q| x shortlist rows, never |Q| x |corpus|."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return S.pq_adc_rerank_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        m=8, dim=64, n_centroids=16, shortlist=12, k=3,
     )
 
 

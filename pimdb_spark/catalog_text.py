@@ -462,6 +462,129 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "q_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + off.o AS doc_id, text FROM documents, off WHERE doc_id % 5 = 0
+    ), d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM base
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM d WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, s,
+             unnest(range(0, 4)) AS band,
+             unnest(list_transform(range(0, 4),
+                    b -> md5(array_to_string(sg[b*4+1:b*4+4], ',')))) AS band_hash
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS s_a, b.s AS s_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+              / (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), lab AS (
+      SELECT id AS doc_id, CAST(component AS BIGINT) AS component,
+             CASE WHEN ('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 90 THEN 'train' ELSE 'eval' END AS split_safe,
+             CASE WHEN ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 90 THEN 'train' ELSE 'eval' END AS split_doc
+      FROM comp
+    ), leak AS (
+      SELECT component, count(DISTINCT split_doc) > 1 AS leaky_doc_level
+      FROM lab GROUP BY component
+    )
+    SELECT l.doc_id, l.component, l.split_safe, l.split_doc, k.leaky_doc_level
+    FROM lab l JOIN leak k USING (component)
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: assign splits by NEAR-DUP COMPONENT,
+    not by document — the step that keeps held-out eval honest when the
+    corpus contains near-duplicates.  A doc-level hash split puts two
+    near-identical docs on opposite sides of the train/eval fence with
+    probability 2 x 0.9 x 0.1 = 18% per size-2 cluster (eval "generalization"
+    then measures memorization); hashing the component REPRESENTATIVE
+    instead assigns every member of a near-dup cluster to the same side —
+    zero leakage by construction.  Composition: MinHash+LSH candidate
+    pairs (dedup.minhash_lsh_pairs on the corpus augmented with planted
+    copies of every 5th doc so the cluster structure is known) ->
+    connected components (curation.connected_components, max_iter=100 per
+    the r13 ADVICE convention; exact closure in the oracle's recursive
+    CTE) -> hash_bucket(component) < 90 -> train, else eval.  Output per
+    doc: both the safe and the naive doc-level assignment plus
+    `leaky_doc_level` — TRUE where the doc-level baseline straddles that
+    doc's component (the audit a curation run reports before training).
+
+    Scale: every stage is the audited pipeline shape — banding equi-join
+    (never all-pairs), O(diameter) hash-min rounds with localCheckpoint
+    cuts, then the split itself is a PROJECTION over (id, component) and
+    the audit one component-keyed groupBy; text never moves past the
+    shingle stage.  The planted-copy offset is DERIVED as 1 + max(doc_id)
+    (one-row broadcast, collision-free on any id range)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("_o")).alias("doc_id"), "text")
+    )
+    base = docs.union(copies)
+    pairs = D.minhash_lsh_pairs(
+        base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    cc = CU.connected_components(
+        pairs, "id_a", "id_b", nodes=base.select("doc_id"), max_iter=100
+    )
+
+    def split_of(col: str):
+        return F.when(
+            CU.hash_bucket(F.col(col)) < 90, F.lit("train")
+        ).otherwise(F.lit("eval"))
+
+    labeled = (
+        cc.select(
+            F.col("id").alias("doc_id"), F.col("component").cast("long").alias("component")
+        )
+        .withColumn("split_safe", split_of("component"))
+        .withColumn("split_doc", split_of("doc_id"))
+    )
+    leak = labeled.groupBy("component").agg(
+        (F.countDistinct("split_doc") > 1).alias("leaky_doc_level")
+    )
+    return labeled.join(leak, "component").select(
+        "doc_id", "component", "split_safe", "split_doc", "leaky_doc_level"
+    )
+
+
 @register(
     "q_simhash",
     oracle="""

@@ -688,6 +688,90 @@ def pq_topk(
     )
 
 
+def pq_adc_rerank_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    shortlist: int = 12,
+    k: int = 3,
+    round_digits: int | None = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC SHORTLIST, then EXACT cosine RE-RANK —
+    the standard production ANN recipe the single-stage scorers build up
+    to.  Stage 1 is `pq_topk` with k=``shortlist``: the whole corpus is
+    scored from m-byte codes (no float vector in the scoring join) and
+    each query keeps its ``shortlist`` best candidates by approximate ADC
+    distance.  Stage 2 touches raw vectors ONLY for those |Q| x shortlist
+    survivors: their float embeddings are fetched by a broadcast hash
+    join on candidate id and re-scored with the exact sequential-fold
+    cosine, and the final top-``k`` ranks by the exact score.
+
+    Why this beats either stage alone: ADC's quantization error scrambles
+    rank ORDER inside the shortlist far more than it scrambles shortlist
+    MEMBERSHIP — re-ranking repairs the ordering for the price of
+    ``shortlist`` exact dots per query, so recall@k approaches shortlist
+    recall (measured: scripts/pq_recall.py --rerank) while the corpus
+    scan still pays quantized bytes.
+
+    Scale: stage 1 is pq_topk's audited plan (codes-only corpus pass,
+    WindowGroupLimit shortlist).  Stage 2's only corpus-sized operation
+    is ONE broadcast hash join — the (q_id, c_id) shortlist is tiny
+    (|Q| x shortlist rows) and broadcasts against the candidate scan, so
+    no shuffle of the corpus and no second full scoring pass; the exact
+    cosine runs on |Q| x shortlist rows, not |Q| x |corpus|.
+
+    Determinism: the shortlist boundary ties break by candidate id inside
+    pq_topk (round-digits contract), so shortlist membership is
+    engine-stable; the re-rank cosine is the house sequential fold
+    rounded to ``round_digits``, ties again by candidate id.
+
+    ``metric``: "cosine" (default — the catalog entry's contract; larger
+    = closer) or "l2" (exact squared L2, smaller = closer) — the
+    recall-harness variant, so scripts/pq_recall.py re-ranks in the SAME
+    metric as its exact-L2 ground truth (ADC approximates L2, so an L2
+    re-rank's recall@k equals the shortlist's hit rate on the true
+    top-k — the cleanest measure of what re-ranking recovers)."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"pq_adc_rerank_topk: unknown metric {metric!r}")
+    short = pq_topk(
+        queries, candidates, query_id, cand_id, vec_col,
+        m=m, dim=dim, n_centroids=n_centroids, k=shortlist,
+        round_digits=round_digits,
+    ).select("q_id", "c_id")
+    cand_vecs = candidates.select(
+        F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vecs = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    score_col = "cos" if metric == "cosine" else "d"
+    scorer = (
+        cosine(F.col("q_vec"), F.col("c_vec"))
+        if metric == "cosine"
+        else sqdist(F.col("q_vec"), F.col("c_vec"))
+    )
+    rescored = (
+        cand_vecs.join(F.broadcast(short), "c_id")
+        .join(F.broadcast(q_vecs), "q_id")
+        .select("q_id", "c_id", scorer.alias(score_col))
+    )
+    if round_digits is not None:
+        rescored = rescored.withColumn(score_col, F.round(score_col, round_digits))
+    order = F.desc(score_col) if metric == "cosine" else F.asc(score_col)
+    w = Window.partitionBy("q_id").orderBy(order, "c_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", score_col)
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     candidates: DataFrame,

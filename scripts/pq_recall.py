@@ -160,6 +160,21 @@ def main() -> None:
             qs(), emb(), "vec_id", "vec_id", "embedding",
             n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16, k=k, n_iter=4,
         ),
+        # two-stage shortlist -> exact re-rank (metric=l2: re-rank in the
+        # ground-truth metric, so recall@k = the shortlist's hit rate on
+        # the true top-k — what re-ranking recovers over raw ADC order)
+        "pq_rerank_s6_l2": S.pq_adc_rerank_topk(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            m=8, dim=64, n_centroids=16, shortlist=6, k=k, metric="l2",
+        ),
+        "pq_rerank_s12_l2": S.pq_adc_rerank_topk(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            m=8, dim=64, n_centroids=16, shortlist=12, k=k, metric="l2",
+        ),
+        "pq_rerank_s24_l2": S.pq_adc_rerank_topk(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            m=8, dim=64, n_centroids=16, shortlist=24, k=k, metric="l2",
+        ),
     }
     for name, approx in variants.items():
         r = (

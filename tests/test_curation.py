@@ -236,3 +236,42 @@ def test_negative_sample_contract(spark):
     for a, ranks in per_anchor.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_leakage_safe_split_invariants(spark):
+    """q_leakage_safe_split: component-pure safe assignment, audit-column
+    correctness, min-id representative, planted copies co-clustered with
+    their source, and a non-degenerate fixture (the doc-level baseline
+    must actually leak somewhere for the audit to mean anything)."""
+    import collections
+
+    from pimdb_spark.catalog import _EXTRA_BENCH
+
+    sf = "/root/testdata/sf0.001"
+    rows = _EXTRA_BENCH["q_leakage_safe_split"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs, max_id = docs.agg(
+        F.count(F.lit(1)), F.max("doc_id")
+    ).first()
+    n_planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert len(rows) == n_docs + n_planted
+    offset = 1 + max_id
+
+    by_comp = collections.defaultdict(list)
+    for r in rows:
+        by_comp[r.component].append(r)
+    for comp, members in by_comp.items():
+        # safe split is component-pure by construction
+        assert len({m.split_safe for m in members}) == 1
+        # the audit flag is exactly "doc-level split straddles this component"
+        leaky = len({m.split_doc for m in members}) > 1
+        assert all(m.leaky_doc_level == leaky for m in members)
+        # representative = min reachable id
+        assert comp == min(m.doc_id for m in members)
+    # every planted copy (id >= derived offset) clusters with a real doc
+    for r in rows:
+        if r.doc_id >= offset:
+            assert r.component < offset
+    # fixture is non-degenerate: both splits occur and the naive baseline leaks
+    assert {r.split_safe for r in rows} == {"train", "eval"}
+    assert any(r.leaky_doc_level for r in rows)

@@ -260,6 +260,11 @@ def test_no_plan_red_flags(spark, name, entry):
       1 + max(doc_id) copy-offset row cross-joined onto the planted-copy
       fixture slice (collision-free on any id range, never collected);
       the pipeline proper is the banding equi-join + CC label joins.
+    - q_leakage_safe_split: the same ONE one-row broadcast attach (the
+      1 + max(doc_id) planted-copy offset, shared fixture shape with
+      q_neardup_dedup_pipeline); the split itself is a projection over
+      the CC labels and the leak audit one component-keyed groupBy —
+      no data-sized join beyond the pipeline's audited stages.
     - q_cross_neardup_filter: the same ONE one-row broadcast attach
       (the 1 + max(doc_id) truncated-copy offset, r14 — retired the
       literal +2,000,000 fixture offset); the gate proper is the
@@ -296,6 +301,12 @@ def test_no_plan_red_flags(spark, name, entry):
       equi-join.  Training adds m bounded k-means chains whose only
       joins are broadcast centroid attaches (the q_kmeans_assignments
       shape).
+    - q_pq_adc_rerank_topk: stage 1 is q_pq_adc_topk's exact sanctioned
+      shape (one-row codebook attach + the brute broadcast scoring pass
+      over 8-byte codes); stage 2 adds ONLY broadcast HASH joins — the
+      |Q| x shortlist survivor list broadcasts against the candidate
+      scan for the raw-vector fetch, so the exact re-rank never pairs
+      data x data.
     - q_quantile_sketch: the readout joins the <=512-row bounded EH
       bucket table against the 3-row quantile-target frame (non-equi
       cum >= rank) — bounded x bounded, corpus-size-independent; the
@@ -311,12 +322,14 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_ann_topk_np",
         "q_ivf_int8_topk",
         "q_pq_adc_topk",
+        "q_pq_adc_rerank_topk",
         "q_ivf_pq_topk",
         "q_pq_trained_topk",
         "q_ivf_pq_trained_topk",
         "q_ivf_pq_residual_topk",
         "q_ivf_pq_residual_trained_topk",
         "q_neardup_dedup_pipeline",
+        "q_leakage_safe_split",
         "q_cross_neardup_filter",
         "q_dedup_recall_lsh",
         "q_containment_pairs",

@@ -583,3 +583,73 @@ def test_residual_trained_books_exclude_zero_residuals(spark):
     for sub_books in books:
         for cb in sub_books:
             assert any(abs(x) > 0 for x in cb), "zero residual seeded a codeword"
+
+
+def test_pq_rerank_subset_order_and_exact_limit(spark):
+    """pq_adc_rerank_topk: (a) the re-ranked result is a subset of the ADC
+    shortlist with dense ranks ordered by the exact score; (b) at
+    shortlist >= corpus the l2 re-rank REDUCES to exact brute-force L2
+    top-k (the equivalence-at-the-limit gate: stage 2 alone is exact, so
+    any recall loss is attributable to shortlist membership)."""
+    from pyspark.sql import Window
+
+    from pimdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 4)
+
+    short = {
+        (r.q_id, r.c_id)
+        for r in S.pq_topk(
+            q, emb, "vec_id", "vec_id", "embedding",
+            m=8, dim=64, n_centroids=16, k=12,
+        ).collect()
+    }
+    rer = S.pq_adc_rerank_topk(
+        q, emb, "vec_id", "vec_id", "embedding",
+        m=8, dim=64, n_centroids=16, shortlist=12, k=3,
+    ).collect()
+    assert {(r.q_id, r.c_id) for r in rer} <= short
+    per_q = {}
+    for r in sorted(rer, key=lambda r: (r.q_id, r.rank)):
+        per_q.setdefault(r.q_id, []).append(r)
+    for rows in per_q.values():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        coss = [r.cos for r in rows]
+        assert coss == sorted(coss, reverse=True)
+
+    # equivalence at the limit: shortlist covers the whole corpus
+    n = emb.count()
+    full = S.pq_adc_rerank_topk(
+        q, emb, "vec_id", "vec_id", "embedding",
+        m=8, dim=64, n_centroids=16, shortlist=n, k=3, metric="l2",
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    qq = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(qq))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            F.round(S.sqdist(F.col("q_vec"), F.col("c_vec")), 4).alias("d"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), "c_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "rank", "c_id", "d")
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_pq_rerank_rejects_unknown_metric(spark):
+    import pytest
+
+    from pimdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="unknown metric"):
+        S.pq_adc_rerank_topk(
+            emb, emb, "vec_id", "vec_id", "embedding", metric="dot"
+        )
