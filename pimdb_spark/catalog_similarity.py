@@ -796,6 +796,104 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_rerank_oracle(
+    m: int = 8, sub: int = 8, n_centroids: int = 16,
+    shortlist: int = 12, k: int = 3,
+) -> str:
+    def subsqd(s: int) -> str:
+        lo, hi = (s - 1) * sub + 1, s * sub + 1
+        return (
+            f"list_reduce(list_transform(range({lo}, {hi}), "
+            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
+            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    dls = ", ".join(
+        f"list_transform((SELECT cvecs FROM fine), cv -> {subsqd(s)})"
+        for s in range(1, m + 1)
+    )
+    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
+    return f"""
+    WITH coarse AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), fine AS (
+      SELECT list(embedding ORDER BY vec_id) AS cvecs
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_centroids})
+    ), dc AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform((SELECT cvecs FROM coarse),
+               c -> {_SQD.format(v='e.embedding')}) AS cdists,
+             [{dls}] AS dtab
+      FROM embeddings e
+    ), coded AS (
+      SELECT vec_id,
+             list_position(cdists, list_min(cdists))::BIGINT AS cell,
+             dtab,
+             list_transform(dtab, d -> list_position(d, list_min(d))) AS codes
+      FROM dc
+    ), probes AS (
+      SELECT q_id, cell, dtab FROM (
+        SELECT dc.vec_id AS q_id, dc.dtab,
+               unnest(range(1, len(cdists) + 1)) AS cell,
+               unnest(cdists) AS dist
+        FROM dc WHERE dc.vec_id < 16
+      ) x QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) <= 2
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS c_id, round({adc}, 4) AS adc
+      FROM coded c JOIN probes q ON c.cell = q.cell
+      WHERE q.q_id <> c.vec_id
+    ), short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
+        FROM scored
+      ) WHERE rk <= {shortlist}
+    ), rescored AS (
+      SELECT s.q_id, s.c_id, {_COS.format(a='q', b='c')} AS cos
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.q_id
+      JOIN embeddings c ON c.vec_id = s.c_id
+    )
+    SELECT q_id, rank, c_id, cos FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# full production stack: IVF prune -> PQ-ADC shortlist -> exact re-rank.
+@register_bench_only("q_ivf_pq_rerank_topk", oracle=_ivf_pq_rerank_oracle())
+def q_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack under one hash gate
+    (operators/similarity.ivf_pq_rerank_topk): IVF cell pruning (the
+    q_ivf_ann_topk equi-join) -> PQ-ADC scoring over 8-byte codes (the
+    q_pq_adc_topk table lookups) -> shortlist-12 -> EXACT cosine re-rank
+    of the survivors (the q_pq_adc_rerank_topk broadcast-fetch stage).
+    Each stage shrinks what the next one pays for: cells prune pairs,
+    codes narrow the payload, re-rank pays full-precision dots only for
+    |Q| x 12 rows.  SCALE.md's re-rank ladder measures why this ordering
+    of cheap-to-exact stages is the production layout.
+
+    Scale: ivf_pq_topk's audited shape (two one-row broadcasts, cell
+    hash equi-join, never a float vector in the ADC join) plus ONE
+    broadcast hash join for the raw-vector fetch — no second corpus
+    scoring pass, no corpus shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+    return S.ivf_pq_rerank_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16,
+        shortlist=12, k=3,
+    )
+
+
 @register(
     "q_embedding_gram_int8",
     bench=True,

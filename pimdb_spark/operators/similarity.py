@@ -737,13 +737,39 @@ def pq_adc_rerank_topk(
     metric as its exact-L2 ground truth (ADC approximates L2, so an L2
     re-rank's recall@k equals the shortlist's hit rate on the true
     top-k — the cleanest measure of what re-ranking recovers)."""
-    if metric not in ("cosine", "l2"):
-        raise ValueError(f"pq_adc_rerank_topk: unknown metric {metric!r}")
     short = pq_topk(
         queries, candidates, query_id, cand_id, vec_col,
         m=m, dim=dim, n_centroids=n_centroids, k=shortlist,
         round_digits=round_digits,
     ).select("q_id", "c_id")
+    return exact_rerank(
+        short, queries, candidates, query_id, cand_id, vec_col,
+        k=k, round_digits=round_digits, metric=metric,
+    )
+
+
+def exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int | None = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Stage 2 of two-stage retrieval, composable behind ANY shortlist
+    generator (``short``: a (q_id, c_id) frame from pq_topk, ivf_pq_topk,
+    their trained/residual forms, or an LSH candidate union): fetch raw
+    vectors for the survivors and re-rank by the exact sequential-fold
+    score.  ``metric``: "cosine" (larger = closer) or "l2" (exact squared
+    L2, smaller = closer).  Scale: the shortlist is |Q| x shortlist rows
+    and BROADCASTS against the candidate scan — one broadcast hash join,
+    no corpus shuffle, exact scoring on survivors only."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"exact_rerank: unknown metric {metric!r}")
+    short = short.select("q_id", "c_id")
     cand_vecs = candidates.select(
         F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
@@ -769,6 +795,46 @@ def pq_adc_rerank_topk(
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", score_col)
+    )
+
+
+def ivf_pq_rerank_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    shortlist: int = 12,
+    k: int = 3,
+    round_digits: int | None = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """The full production ANN stack in one plan: IVF cell pruning ->
+    PQ-ADC code scoring -> shortlist -> EXACT re-rank.  Stage 1 is
+    ivf_pq_topk with k=``shortlist`` (cell equi-join prunes pairs, ADC
+    scores 8-byte codes); stage 2 is `exact_rerank` (one broadcast hash
+    join fetches raw vectors for the |Q| x shortlist survivors, exact
+    fold re-ranks).  See pq_adc_rerank_topk for the recall argument and
+    scripts/pq_recall.py for the measured ladder.
+
+    Note the IVF interaction: under cell pruning a query's shortlist can
+    be SHORTER than ``shortlist`` (probed cells may hold fewer than
+    shortlist candidates) — re-rank then operates on what the probes
+    admitted; recall is bounded by probe coverage exactly as in
+    ivf_pq_topk."""
+    short = ivf_pq_topk(
+        queries, candidates, query_id, cand_id, vec_col,
+        n_cells=n_cells, nprobe=nprobe, m=m, dim=dim,
+        n_centroids=n_centroids, k=shortlist, round_digits=round_digits,
+    ).select("q_id", "c_id")
+    return exact_rerank(
+        short, queries, candidates, query_id, cand_id, vec_col,
+        k=k, round_digits=round_digits, metric=metric,
     )
 
 

@@ -175,6 +175,24 @@ def main() -> None:
             qs(), emb(), "vec_id", "vec_id", "embedding",
             m=8, dim=64, n_centroids=16, shortlist=24, k=k, metric="l2",
         ),
+        # the full stack: IVF prune -> ADC shortlist -> exact re-rank
+        # (recall here is additionally bounded by probe coverage)
+        "ivf_pq_rerank_s12_l2": S.ivf_pq_rerank_topk(
+            qs(), emb(), "vec_id", "vec_id", "embedding",
+            n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16,
+            shortlist=12, k=k, metric="l2",
+        ),
+        # trained fine codebooks feeding the same re-rank stage (the
+        # composition SCALE.md's reading recommends: training improves
+        # shortlist MEMBERSHIP, re-rank fixes ORDER)
+        "ivf_pq_trained_rerank_s12_l2": S.exact_rerank(
+            S.ivf_pq_topk_trained(
+                qs(), emb(), "vec_id", "vec_id", "embedding",
+                n_cells=8, nprobe=2, m=8, dim=64, n_centroids=16,
+                k=12, n_iter=2,
+            ).select("q_id", "c_id"),
+            qs(), emb(), "vec_id", "vec_id", "embedding", k=k, metric="l2",
+        ),
     }
     for name, approx in variants.items():
         r = (

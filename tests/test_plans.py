@@ -307,6 +307,10 @@ def test_no_plan_red_flags(spark, name, entry):
       |Q| x shortlist survivor list broadcasts against the candidate
       scan for the raw-vector fetch, so the exact re-rank never pairs
       data x data.
+    - q_ivf_pq_rerank_topk: stage 1 is q_ivf_pq_topk's exact sanctioned
+      shape (two one-row attaches, cell hash equi-join for ADC
+      scoring); stage 2 is q_pq_adc_rerank_topk's broadcast-hash-join
+      raw-vector fetch — the full stack adds no new nested-loop shape.
     - q_quantile_sketch: the readout joins the <=512-row bounded EH
       bucket table against the 3-row quantile-target frame (non-equi
       cum >= rank) — bounded x bounded, corpus-size-independent; the
@@ -324,6 +328,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_pq_adc_topk",
         "q_pq_adc_rerank_topk",
         "q_ivf_pq_topk",
+        "q_ivf_pq_rerank_topk",
         "q_pq_trained_topk",
         "q_ivf_pq_trained_topk",
         "q_ivf_pq_residual_topk",

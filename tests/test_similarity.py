@@ -653,3 +653,40 @@ def test_pq_rerank_rejects_unknown_metric(spark):
         S.pq_adc_rerank_topk(
             emb, emb, "vec_id", "vec_id", "embedding", metric="dot"
         )
+
+
+def test_ivf_pq_rerank_probe_all_reduces_to_exact(spark):
+    """ivf_pq_rerank_topk at nprobe = n_cells with a corpus-covering
+    shortlist REDUCES to exact L2 top-k: probing every cell makes the
+    shortlist complete, and the l2 re-rank is exact — so any recall loss
+    in production settings is attributable to probe coverage and
+    shortlist membership, never to the re-rank stage."""
+    from pyspark.sql import Window
+
+    from pimdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 4)
+    n = emb.count()
+    full = S.ivf_pq_rerank_topk(
+        q, emb, "vec_id", "vec_id", "embedding",
+        n_cells=8, nprobe=8, m=8, dim=64, n_centroids=16,
+        shortlist=n, k=3, metric="l2",
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    qq = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(qq))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            F.round(S.sqdist(F.col("q_vec"), F.col("c_vec")), 4).alias("d"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), "c_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "rank", "c_id", "d")
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
