@@ -125,6 +125,74 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "q_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS words,
+             len(list_filter(string_split_regex(
+               regexp_replace(regexp_replace(text, '([a-z])([0-9])', '\1 \2', 'g'),
+                              '([0-9])([a-z])', '\1 \2', 'g'),
+               '\s+'), x -> x <> '')) AS bpe,
+             strlen(text) AS bytes
+      FROM documents
+    ), g AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(words) AS BIGINT) AS total_words,
+             CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+             CAST(sum(bytes) AS BIGINT) AS total_bytes
+      FROM t GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_words, total_bpe_tokens, total_bytes,
+           CASE WHEN total_words > 0
+                THEN CAST(total_bpe_tokens AS DOUBLE) / CAST(total_words AS DOUBLE)
+           END AS fertility,
+           CASE WHEN total_bpe_tokens > 0
+                THEN CAST(total_bytes AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE)
+           END AS bytes_per_token
+    FROM g
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY diagnostics per (lang, source) — the standard
+    vocabulary-coverage report a tokenizer-training / corpus-mixing run
+    files: fertility = subword-ish tokens per whitespace word
+    (operators/text.bpe_ish_token_count over nonempty words; a language
+    whose fertility runs high is under-served by the vocabulary and gets
+    upweighted in tokenizer training), and bytes-per-token = compression
+    the tokenizer achieves on that slice (the budget planner's
+    cost-per-token denominator).  Exact integer sums under the hash gate;
+    the ratios are single IEEE divisions of exact BIGINTs (bit-identical
+    across engines), NULL on empty slices rather than a division error.
+
+    Scale: one partial-aggregated groupBy; the shuffle carries one row
+    per (lang, source) — counting stays map-side regardless of corpus
+    size, the q_token_counts shape with the lang dimension added."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.filter(toks, lambda t: t != F.lit("")))).alias("total_words"),
+        F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+    )
+    return g.select(
+        "lang", "source", "n_docs", "total_words", "total_bpe_tokens",
+        "total_bytes",
+        F.when(
+            F.col("total_words") > 0,
+            F.col("total_bpe_tokens").cast("double")
+            / F.col("total_words").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("total_bpe_tokens") > 0,
+            F.col("total_bytes").cast("double")
+            / F.col("total_bpe_tokens").cast("double"),
+        ).alias("bytes_per_token"),
+    )
+
+
 @register(
     "q_doc_fingerprint_dedup",
     oracle="""

@@ -500,11 +500,79 @@ def main() -> None:
             b.select("doc_id", "lm_score", "bucket"), "doc_id", "left"
         )
 
+    def _leakage_safe_split(d):
+        # the composed chain WITHOUT the planted copies (plants are
+        # correctness signal, not scaling behavior): LSH pairs on the
+        # corpus itself -> CC -> component/doc splits + leak audit
+        from pimdb_spark.operators.curation import (
+            connected_components,
+            hash_bucket,
+        )
+        from pimdb_spark.operators.dedup import minhash_lsh_pairs
+
+        dd = docs(d).select("doc_id", "text")
+        pairs = minhash_lsh_pairs(
+            dd, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+        )
+        cc = connected_components(
+            pairs, "id_a", "id_b", nodes=dd.select("doc_id"), max_iter=100
+        )
+        lab = cc.select(
+            F.col("id").alias("doc_id"), "component",
+            F.when(hash_bucket(F.col("component")) < 90, "train")
+            .otherwise("eval").alias("split_safe"),
+            F.when(hash_bucket(F.col("id")) < 90, "train")
+            .otherwise("eval").alias("split_doc"),
+        )
+        leak = lab.groupBy("component").agg(
+            (F.countDistinct("split_doc") > 1).alias("leaky_doc_level")
+        )
+        return lab.join(leak, "component")
+
     ops.update({
         "pii_redact": _pii_redact,
         "normalize_dedup": _normalize_dedup,
         "perplexity_buckets": _perplexity_buckets,
         "curation_pipeline": _curation_pipeline,
+    })
+
+    # r16 rows: the two-stage re-rank pair (fixed query set against a 10x
+    # candidate side — the selection-family shape: repartition(32) pins
+    # candidate parallelism so the ratio measures CPU linearity, not the
+    # SF dir's 1-2 parquet splits) and the two new curation ops.
+    from pimdb_spark.operators.similarity import (
+        ivf_pq_rerank_topk,
+        pq_adc_rerank_topk,
+    )
+
+    ops.update({
+        "pq_adc_rerank": lambda d: pq_adc_rerank_topk(
+            emb(d).filter(F.col("vec_id") < 8).select("vec_id", "embedding"),
+            emb(d).select("vec_id", "embedding").repartition(32),
+            "vec_id", "vec_id", shortlist=12, k=3,
+        ),
+        "ivf_pq_rerank": lambda d: ivf_pq_rerank_topk(
+            emb(d).filter(F.col("vec_id") < 16).select("vec_id", "embedding"),
+            emb(d).select("vec_id", "embedding").repartition(32),
+            "vec_id", "vec_id", shortlist=12, k=3,
+        ),
+        "leakage_safe_split": _leakage_safe_split,
+        # regex-heavy per-doc scan + a (lang, source)-bounded groupBy; the
+        # pii_redact parallelism pin for the same reason
+        "tokenizer_fertility": lambda d: docs(d).repartition(
+            spark.sparkContext.defaultParallelism
+        ).groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+            ).alias("total_words"),
+            F.sum(
+                __import__(
+                    "pimdb_spark.operators.text", fromlist=["bpe_ish_token_count"]
+                ).bpe_ish_token_count("text")
+            ).alias("total_bpe_tokens"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+        ),
     })
 
     only = set(sys.argv[1:])

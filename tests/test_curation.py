@@ -245,6 +245,7 @@ def test_leakage_safe_split_invariants(spark):
     must actually leak somewhere for the audit to mean anything)."""
     import collections
 
+    from pimdb_spark import entrypoints  # noqa: F401 — loads the catalog
     from pimdb_spark.catalog import _EXTRA_BENCH
 
     sf = "/root/testdata/sf0.001"

@@ -174,3 +174,34 @@ def test_pii_nested_identifiers_priority(spark):
     }
     assert got[0] == (1, 1, 0, "ping <EMAIL> now")
     assert got[1] == (1, 0, 1, "x <EMAIL> end")
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    """Fertility/bytes-per-token against hand counts: 'ab1 cd' has 2
+    whitespace words, 3 bpe-ish tokens (ab|1, cd), 6 bytes; empty-word
+    runs are excluded from the word count; an all-empty slice yields
+    NULL ratios instead of a division error."""
+    from pimdb_spark import entrypoints  # noqa: F401 — loads the catalog
+    from pimdb_spark.catalog import _EXTRA_BENCH
+
+    rows = [
+        (0, "ab1 cd", "xx", "s1"),
+        (1, "a  b", "xx", "s1"),     # double space: 2 nonempty words
+        (2, "", "yy", "s2"),          # empty doc: 0 words, 0 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            (r.lang, r.source): r
+            for r in _EXTRA_BENCH["q_tokenizer_fertility"](spark, d).collect()
+        }
+    r1 = out[("xx", "s1")]
+    assert (r1.n_docs, r1.total_words, r1.total_bpe_tokens) == (2, 4, 5)
+    assert r1.total_bytes == 6 + 4
+    assert abs(r1.fertility - 5 / 4) < 1e-15
+    assert abs(r1.bytes_per_token - 10 / 5) < 1e-15
+    r2 = out[("yy", "s2")]
+    assert (r2.total_words, r2.total_bpe_tokens) == (0, 0)
+    assert r2.fertility is None and r2.bytes_per_token is None
