@@ -566,17 +566,47 @@ def q_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> str:
-    def subsqd(s: int) -> str:
-        lo, hi = (s - 1) * sub + 1, s * sub + 1
-        return (
-            f"list_reduce(list_transform(range({lo}, {hi}), "
-            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
-            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
-        )
+def _sub_sqd_sql(s: int, sub: int) -> str:
+    """Per-subspace squared distance of e.embedding's s-th slice vs a
+    codebook vector cv — the shared building block of every PQ oracle."""
+    lo, hi = (s - 1) * sub + 1, s * sub + 1
+    return (
+        f"list_reduce(list_transform(range({lo}, {hi}), "
+        "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
+        "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
+    )
 
+
+def _rerank_tail_sql(shortlist: int, k: int) -> str:
+    """short/rescored CTE suffix + final SELECT shared by both rerank
+    oracles: ADC-rank shortlist, exact-cosine re-rank.  Appends to a CTE
+    chain ending in scored(q_id, c_id, adc)."""
+    return f""", short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
+        FROM scored
+      ) WHERE rk <= {shortlist}
+    ), rescored AS (
+      SELECT s.q_id, s.c_id, {_COS.format(a='q', b='c')} AS cos
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.q_id
+      JOIN embeddings c ON c.vec_id = s.c_id
+    )
+    SELECT q_id, rank, c_id, cos FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+def _pq_scored_cte(m: int = 8, sub: int = 8, n_centroids: int = 16) -> str:
+    """Flat-PQ stage 1 as a WITH chain ending in scored(q_id, c_id, adc)
+    — shared by _pq_oracle and _pq_rerank_oracle so the attested ADC
+    semantics cannot drift between the single-stage and rerank gates."""
     dls = ", ".join(
-        f"list_transform((SELECT cvecs FROM cent), cv -> {subsqd(s)})"
+        f"list_transform((SELECT cvecs FROM cent), cv -> {_sub_sqd_sql(s, sub)})"
         for s in range(1, m + 1)
     )
     adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
@@ -596,7 +626,11 @@ def _pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> s
              round({adc}, 4) AS adc
       FROM coded c, (SELECT * FROM coded WHERE vec_id < 8) q
       WHERE q.vec_id <> c.vec_id
-    )
+    )"""
+
+
+def _pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> str:
+    return f"""{_pq_scored_cte(m, sub, n_centroids)}
     SELECT q_id, rank, c_id, adc FROM (
       SELECT q_id, c_id, adc,
              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
@@ -637,53 +671,7 @@ def _pq_rerank_oracle(
     m: int = 8, sub: int = 8, n_centroids: int = 16,
     shortlist: int = 12, k: int = 3,
 ) -> str:
-    def subsqd(s: int) -> str:
-        lo, hi = (s - 1) * sub + 1, s * sub + 1
-        return (
-            f"list_reduce(list_transform(range({lo}, {hi}), "
-            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
-            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
-        )
-
-    dls = ", ".join(
-        f"list_transform((SELECT cvecs FROM cent), cv -> {subsqd(s)})"
-        for s in range(1, m + 1)
-    )
-    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
-    return f"""
-    WITH cent AS (
-      SELECT list(embedding ORDER BY vec_id) AS cvecs
-      FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT {n_centroids})
-    ), dt AS (
-      SELECT e.vec_id, [{dls}] AS dtab FROM embeddings e
-    ), coded AS (
-      SELECT vec_id, dtab,
-             list_transform(dtab, d -> list_position(d, list_min(d))) AS codes
-      FROM dt
-    ), scored AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-             round({adc}, 4) AS adc
-      FROM coded c, (SELECT * FROM coded WHERE vec_id < 8) q
-      WHERE q.vec_id <> c.vec_id
-    ), short AS (
-      SELECT q_id, c_id FROM (
-        SELECT q_id, c_id,
-               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
-        FROM scored
-      ) WHERE rk <= {shortlist}
-    ), rescored AS (
-      SELECT s.q_id, s.c_id, {_COS.format(a='q', b='c')} AS cos
-      FROM short s
-      JOIN embeddings q ON q.vec_id = s.q_id
-      JOIN embeddings c ON c.vec_id = s.c_id
-    )
-    SELECT q_id, rank, c_id, cos FROM (
-      SELECT q_id, c_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
-      FROM rescored
-    ) WHERE rank <= {k}
-    """
+    return _pq_scored_cte(m, sub, n_centroids) + _rerank_tail_sql(shortlist, k)
 
 
 # Bench-only (pytest-gated oracle) per the window-budget policy — the
@@ -698,7 +686,8 @@ def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist survivors via a broadcast hash join, and the final order is
     the exact sequential-fold cosine.  Re-ranking repairs ADC's
     within-shortlist rank scrambling for shortlist exact dots per query
-    (recall measured in scripts/pq_recall.py --rerank), completing the
+    (recall measured by the pq_rerank_s{6,12,24}_l2 variants in
+    scripts/pq_recall.py's default sweep), completing the
     ANN ladder's missing production stage: prune cheap, verify exact.
 
     Scale: no second corpus scoring pass — stage 2's only corpus-sized
@@ -715,17 +704,12 @@ def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> str:
-    def subsqd(s: int) -> str:
-        lo, hi = (s - 1) * sub + 1, s * sub + 1
-        return (
-            f"list_reduce(list_transform(range({lo}, {hi}), "
-            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
-            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
-        )
-
+def _ivf_pq_scored_cte(m: int = 8, sub: int = 8, n_centroids: int = 16) -> str:
+    """IVF-PQ stage 1 as a WITH chain ending in scored(q_id, c_id, adc)
+    — shared by _ivf_pq_oracle and _ivf_pq_rerank_oracle so the attested
+    probe/ADC semantics cannot drift between the two gates."""
     dls = ", ".join(
-        f"list_transform((SELECT cvecs FROM fine), cv -> {subsqd(s)})"
+        f"list_transform((SELECT cvecs FROM fine), cv -> {_sub_sqd_sql(s, sub)})"
         for s in range(1, m + 1)
     )
     adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
@@ -760,7 +744,11 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) 
       SELECT q.q_id, c.vec_id AS c_id, round({adc}, 4) AS adc
       FROM coded c JOIN probes q ON c.cell = q.cell
       WHERE q.q_id <> c.vec_id
-    )
+    )"""
+
+
+def _ivf_pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> str:
+    return f"""{_ivf_pq_scored_cte(m, sub, n_centroids)}
     SELECT q_id, rank, c_id, adc FROM (
       SELECT q_id, c_id, adc,
              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
@@ -800,68 +788,7 @@ def _ivf_pq_rerank_oracle(
     m: int = 8, sub: int = 8, n_centroids: int = 16,
     shortlist: int = 12, k: int = 3,
 ) -> str:
-    def subsqd(s: int) -> str:
-        lo, hi = (s - 1) * sub + 1, s * sub + 1
-        return (
-            f"list_reduce(list_transform(range({lo}, {hi}), "
-            "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * "
-            "(e.embedding[i]::DOUBLE - cv[i]::DOUBLE)), (x, y) -> x + y)"
-        )
-
-    dls = ", ".join(
-        f"list_transform((SELECT cvecs FROM fine), cv -> {subsqd(s)})"
-        for s in range(1, m + 1)
-    )
-    adc = " + ".join(f"q.dtab[{s}][c.codes[{s}]]" for s in range(1, m + 1))
-    return f"""
-    WITH coarse AS (
-      SELECT list(embedding ORDER BY vec_id) AS cvecs
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
-    ), fine AS (
-      SELECT list(embedding ORDER BY vec_id) AS cvecs
-      FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT {n_centroids})
-    ), dc AS (
-      SELECT e.vec_id, e.embedding,
-             list_transform((SELECT cvecs FROM coarse),
-               c -> {_SQD.format(v='e.embedding')}) AS cdists,
-             [{dls}] AS dtab
-      FROM embeddings e
-    ), coded AS (
-      SELECT vec_id,
-             list_position(cdists, list_min(cdists))::BIGINT AS cell,
-             dtab,
-             list_transform(dtab, d -> list_position(d, list_min(d))) AS codes
-      FROM dc
-    ), probes AS (
-      SELECT q_id, cell, dtab FROM (
-        SELECT dc.vec_id AS q_id, dc.dtab,
-               unnest(range(1, len(cdists) + 1)) AS cell,
-               unnest(cdists) AS dist
-        FROM dc WHERE dc.vec_id < 16
-      ) x QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) <= 2
-    ), scored AS (
-      SELECT q.q_id, c.vec_id AS c_id, round({adc}, 4) AS adc
-      FROM coded c JOIN probes q ON c.cell = q.cell
-      WHERE q.q_id <> c.vec_id
-    ), short AS (
-      SELECT q_id, c_id FROM (
-        SELECT q_id, c_id,
-               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
-        FROM scored
-      ) WHERE rk <= {shortlist}
-    ), rescored AS (
-      SELECT s.q_id, s.c_id, {_COS.format(a='q', b='c')} AS cos
-      FROM short s
-      JOIN embeddings q ON q.vec_id = s.q_id
-      JOIN embeddings c ON c.vec_id = s.c_id
-    )
-    SELECT q_id, rank, c_id, cos FROM (
-      SELECT q_id, c_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
-      FROM rescored
-    ) WHERE rank <= {k}
-    """
+    return _ivf_pq_scored_cte(m, sub, n_centroids) + _rerank_tail_sql(shortlist, k)
 
 
 # Bench-only (pytest-gated oracle) per the window-budget policy — the

@@ -538,7 +538,8 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + off.o AS doc_id, text FROM documents, off WHERE doc_id % 5 = 0
+      SELECT doc_id + off.o AS doc_id, text FROM documents, off
+      WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 3
     ), d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM base
     ), sh AS (
@@ -617,11 +618,21 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts, then the split itself is a PROJECTION over (id, component) and
     the audit one component-keyed groupBy; text never moves past the
     shingle stage.  The planted-copy offset is DERIVED as 1 + max(doc_id)
-    (one-row broadcast, collision-free on any id range)."""
+    (one-row broadcast, collision-free on any id range).
+
+    Scope: "zero leakage" means zero leakage W.R.T. THE PAIR GENERATOR —
+    a doc too short to produce a 3-shingle cannot pair with anything
+    under ANY k-shingle detector and stays a singleton, so the planted
+    copies are restricted to docs with >= 3 tokens (on both engines),
+    keeping the fixture guarantee (every plant co-clusters with its
+    source) true on any corpus; production splits that must also fence
+    sub-shingle docs add an exact-text key to the edge set."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
     copies = (
-        docs.filter(F.col("doc_id") % 5 == 0)
+        docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.size(F.split("text", " ")) >= 3)
+        )
         .crossJoin(F.broadcast(off))
         .select((F.col("doc_id") + F.col("_o")).alias("doc_id"), "text")
     )

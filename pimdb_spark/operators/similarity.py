@@ -716,7 +716,8 @@ def pq_adc_rerank_topk(
     rank ORDER inside the shortlist far more than it scrambles shortlist
     MEMBERSHIP — re-ranking repairs the ordering for the price of
     ``shortlist`` exact dots per query, so recall@k approaches shortlist
-    recall (measured: scripts/pq_recall.py --rerank) while the corpus
+    recall (measured: the pq_rerank_s{6,12,24}_l2 variants in
+    scripts/pq_recall.py's default sweep) while the corpus
     scan still pays quantized bytes.
 
     Scale: stage 1 is pq_topk's audited plan (codes-only corpus pass,
@@ -769,7 +770,9 @@ def exact_rerank(
     no corpus shuffle, exact scoring on survivors only."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"exact_rerank: unknown metric {metric!r}")
-    short = short.select("q_id", "c_id")
+    # distinct: a multi-table candidate UNION can list the same (q, c)
+    # twice; without it the duplicate would occupy two of the k ranks
+    short = short.select("q_id", "c_id").distinct()
     cand_vecs = candidates.select(
         F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec")
     )

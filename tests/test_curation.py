@@ -254,7 +254,9 @@ def test_leakage_safe_split_invariants(spark):
     n_docs, max_id = docs.agg(
         F.count(F.lit(1)), F.max("doc_id")
     ).first()
-    n_planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    n_planted = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.size(F.split("text", " ")) >= 3)
+    ).count()
     assert len(rows) == n_docs + n_planted
     offset = 1 + max_id
 

@@ -690,3 +690,22 @@ def test_ivf_pq_rerank_probe_all_reduces_to_exact(spark):
         .select("q_id", "rank", "c_id", "d")
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_exact_rerank_dedups_shortlist(spark):
+    """A multi-table candidate UNION can list the same (q, c) twice; the
+    re-rank must not let the duplicate occupy two of the k ranks."""
+    from pimdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    ids = [r.vec_id for r in emb.filter(F.col("vec_id") < 8).collect()]
+    short = spark.createDataFrame(
+        [(qi, ci) for qi in (0, 1) for ci in ids[2:6]] * 2,  # every pair twice
+        ["q_id", "c_id"],
+    )
+    out = S.exact_rerank(short, q, emb, "vec_id", "vec_id", "embedding", k=3)
+    rows = out.collect()
+    for qi in (0, 1):
+        got = [r.c_id for r in rows if r.q_id == qi]
+        assert len(got) == 3 and len(set(got)) == 3
