@@ -331,6 +331,50 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(vecs, k=4, n_iter=2, dim=64)
 
 
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# diversity-balanced selection composition over the attested k-means.
+@register_bench_only(
+    "q_cluster_quota",
+    oracle=(
+        "WITH " + _KM_CTES.format(src="embeddings", k=4)
+        + """
+    SELECT vec_id, cluster, rk FROM (
+      SELECT vec_id, cid AS cluster,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 2147483648, vec_id) AS rk
+      FROM a2
+    ) WHERE rk <= 40
+    """
+    ),
+)
+def q_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-BALANCED sampling: keep at most 40 vectors per LEARNED
+    cluster (two-pass Lloyd's k=4, the q_kmeans_assignments chain) chosen
+    in deterministic hash order — the cluster-quota step of dataset
+    diversification: where domain_quota rebalances by a LABELED column
+    (source), this rebalances by embedding-space structure, so one
+    over-represented content mode cannot dominate the selected subset no
+    matter how many sources it spans.  Composition under one hash gate:
+    kmeans_assignments -> curation.domain_quota on the cluster id.
+
+    Scale: assignment broadcasts k centroid rows (no candidate shuffle);
+    the quota is ONE shuffle on cluster id with WindowGroupLimit pruning
+    beyond rank 40 before the per-cluster sort completes.  Quota sampling
+    runs on the post-dedup corpus a selection pass feeds on; at
+    production scale the k-means (k ~ sqrt(n), SemDeDup's contract)
+    trains on a sample and assignment stays a projection."""
+    from pimdb_spark.operators.clustering import kmeans_assignments
+    from pimdb_spark.operators.curation import domain_quota
+
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_assignments(vecs, k=4, n_iter=2, dim=64)
+    return domain_quota(assigned, "cluster", "vec_id", 40).select(
+        "vec_id", "cluster", "rk"
+    )
+
+
 _SEMDEDUP_ORACLE = (
     """
     WITH base AS (

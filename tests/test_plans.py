@@ -190,6 +190,9 @@ def test_no_plan_red_flags(spark, name, entry):
       table against the vector scan (k=4; bounded by the cluster count,
       never by data size) — the assignment is one shuffle-free pass, the
       same shape as q_ivf_ann_topk's coarse quantizer.
+    - q_cluster_quota: q_kmeans_assignments' exact sanctioned shape (the
+      k-row centroid broadcast) feeding the quota stage, which is one
+      cluster-keyed WindowGroupLimit — no new join shape.
     - q11_important_stock: the ONE-ROW grand-total aggregate broadcast-
       attaches to every (partkey, value) row for the threshold filter —
       constant attach, no pairing (same shape as q_token_df_idf).
@@ -344,6 +347,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_token_df_idf",
         "q_bm25_topk",
         "q_kmeans_assignments",
+        "q_cluster_quota",
         "q_corpus_divergence",
         "q11_important_stock",
         "q_heavy_hitters",
