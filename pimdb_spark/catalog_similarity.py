@@ -719,6 +719,44 @@ def _pq_rerank_oracle(
 
 
 # Bench-only (pytest-gated oracle) per the window-budget policy — the
+# quantize-on-write SERVING path under the training-free oracle: books
+# trained at n_iter=1 ARE the first-16 convention (the attested
+# books-plumbing reduction), so encode -> score-from-codes must
+# reproduce _pq_oracle exactly.
+@register_bench_only("q_pq_from_codes_topk", oracle=_pq_oracle())
+def q_pq_from_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-3 served from PRE-ENCODED codes — the quantize-on-WRITE
+    layout end to end under the hash gate
+    (operators/similarity.pq_encode + pq_topk_from_codes): codebooks are
+    built once (train_pq_codebooks at n_iter=1 = the first-16 init, so
+    the training-free DuckDB oracle applies verbatim), every candidate is
+    encoded to 8 small ints as a WRITE-time step, and the serving query
+    scans (id, codes) only — the float embedding column never appears in
+    the scoring plan.  Completes the quantization story int8 already
+    tells (int8_topk_from_codes): train once, encode on write, serve
+    from codes forever; the parquet round-trip equality test in
+    tests/test_similarity.py pins codes-on-disk = codes-inline.
+
+    Scale: the serving plan is ONE query-side one-row books broadcast +
+    the brute broadcast pass over ~8 B/vector (64x narrower than float64
+    at dim 64); the encode cost lives at ingest, amortized over every
+    query that ever runs."""
+    emb = load(spark, sf_dir, "embeddings")
+    # independent scan for the query side: sharing `emb` across both join
+    # sides risks Catalyst's self-join HOF-lambda rebind bug (see
+    # operators/similarity.embedding_dup_pairs docstring)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    books = S.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, dim=64, n_centroids=16, n_iter=1
+    ).localCheckpoint(eager=False)
+    coded = S.pq_encode(emb, books, "vec_id", "embedding", m=8, dim=64)
+    return S.pq_topk_from_codes(
+        queries, coded, books, "vec_id", "c_id", "embedding",
+        m=8, dim=64, k=3,
+    )
+
+
+# Bench-only (pytest-gated oracle) per the window-budget policy — the
 # two-stage composition of the already-attested pq_topk + exact cosine;
 # promotion-line candidate once slots free.
 @register_bench_only("q_pq_adc_rerank_topk", oracle=_pq_rerank_oracle())

@@ -1251,11 +1251,20 @@ def pq_topk_books(
     projections over their scans, the q_cosine_topk brute broadcast
     shape for scoring (compose an IVF cell equi-join in front exactly as
     ivf_pq_topk does when the corpus outgrows one pass)."""
-    sub = dim // m
-    if sub * m != dim:
-        raise ValueError(f"pq_topk_books: dim {dim} not divisible by m {m}")
+    coded = pq_encode(candidates, books, cand_id, vec_col, m=m, dim=dim)
+    return pq_topk_from_codes(
+        queries, coded, books, query_id, "c_id", vec_col,
+        m=m, dim=dim, k=k, round_digits=round_digits,
+    )
 
-    def sub_sqd(vec_name: str, cb, s: int):
+
+def _books_sub_dists(vec_name: str, s: int, sub: int):
+    """Sub-distance list of `vec_name`'s s-th slice vs every centroid of
+    books[s] (the `books` column must be in scope via a one-row
+    broadcast).  Factory closure — see pq_topk: a 2-arg lambda would bind
+    s to the element index."""
+
+    def sub_sqd(cb):
         return F.aggregate(
             F.zip_with(
                 F.slice(F.col(vec_name), s * sub + 1, sub),
@@ -1266,20 +1275,41 @@ def pq_topk_books(
             lambda acc, v: acc + v,
         )
 
-    def sub_dists(vec_name: str, s: int):
-        # factory closure — see pq_topk: a 2-arg lambda would bind s to
-        # the element index
-        return F.transform(
-            F.element_at(F.col("books"), s + 1),
-            lambda cb: sub_sqd(vec_name, cb, s),
-        )
+    return F.transform(F.element_at(F.col("books"), s + 1), sub_sqd)
 
-    c = (
+
+def pq_encode(
+    candidates: DataFrame,
+    books: DataFrame,
+    cand_id: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """WRITE-time PQ encoder: (c_id, codes) rows — each vector's m
+    per-subspace nearest-centroid codes against an explicit codebook
+    frame (train_pq_codebooks' one-row output).  Materialize this (e.g.
+    a parquet table written at ingest, codes + the books row alongside)
+    and serve with pq_topk_from_codes: the serving scan then reads m
+    small ints (~8 B at m=8) per vector and never touches — never even
+    SCANS — the float embedding column, the PQ analogue of
+    int8_topk_from_codes' quantize-on-write layout at a further 8x
+    narrower payload.
+
+    Determinism: identical coding expressions to pq_topk_books
+    (first-minimum array_position per subspace), so codes written by
+    this encoder score identically to inline coding."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m {m}")
+    return (
         candidates.select(F.col(cand_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
         .crossJoin(F.broadcast(books))
         .select(
             "c_id",
-            F.array(*[sub_dists("c_vec", s) for s in range(m)]).alias("_dtabs"),
+            F.array(
+                *[_books_sub_dists("c_vec", s, sub) for s in range(m)]
+            ).alias("_dtabs"),
         )
         .select(
             "c_id",
@@ -1289,13 +1319,46 @@ def pq_topk_books(
             ).alias("codes"),
         )
     )
+
+
+def pq_topk_from_codes(
+    queries: DataFrame,
+    coded: DataFrame,
+    books: DataFrame,
+    query_id: str,
+    cand_id: str = "c_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    k: int = 3,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """PQ ADC top-k over PRE-ENCODED candidates — the quantize-on-WRITE
+    serving path: ``coded`` is pq_encode output (or the parquet table it
+    was written to), so the corpus scan carries (id, m codes) only;
+    queries arrive as raw vectors at query time and precompute their
+    m x n_centroids sub-distance table once against the same ``books``
+    row.  Scoring, ranking, and tie-breaks are pq_topk_books' exact
+    expressions — identical results to inline coding (asserted by the
+    parquet round-trip test), with the coding cost paid once at write.
+
+    Scale: the serving plan has ONE one-row broadcast (books, query side
+    only) and the q_cosine_topk brute broadcast shape over ~8 B/vector;
+    compose an IVF cell equi-join in front exactly as ivf_pq_topk does
+    when the corpus outgrows one pass."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"pq_topk_from_codes: dim {dim} not divisible by m {m}")
+    c = coded.select(F.col(cand_id).alias("c_id"), F.col("codes").alias("codes"))
     q = (
         queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"))
         .localCheckpoint(eager=False)
         .crossJoin(F.broadcast(books))
         .select(
             "q_id",
-            F.array(*[sub_dists("q_vec", s) for s in range(m)]).alias("dtab"),
+            F.array(
+                *[_books_sub_dists("q_vec", s, sub) for s in range(m)]
+            ).alias("dtab"),
         )
     )
     adc = F.aggregate(

@@ -304,6 +304,11 @@ def test_no_plan_red_flags(spark, name, entry):
       equi-join.  Training adds m bounded k-means chains whose only
       joins are broadcast centroid attaches (the q_kmeans_assignments
       shape).
+    - q_pq_from_codes_topk: q_pq_trained_topk's sanctioned shapes with
+      the candidate-coding pass moved to write time — the serving plan
+      keeps ONE query-side one-row books attach and the brute broadcast
+      pass over pre-encoded 8-byte codes (training at n_iter=1 adds the
+      bounded init pass only); no new join shape.
     - q_pq_adc_rerank_topk: stage 1 is q_pq_adc_topk's exact sanctioned
       shape (one-row codebook attach + the brute broadcast scoring pass
       over 8-byte codes); stage 2 adds ONLY broadcast HASH joins — the
@@ -329,6 +334,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_ann_topk_np",
         "q_ivf_int8_topk",
         "q_pq_adc_topk",
+        "q_pq_from_codes_topk",
         "q_pq_adc_rerank_topk",
         "q_ivf_pq_topk",
         "q_ivf_pq_rerank_topk",

@@ -709,3 +709,41 @@ def test_exact_rerank_dedups_shortlist(spark):
     for qi in (0, 1):
         got = [r.c_id for r in rows if r.q_id == qi]
         assert len(got) == 3 and len(set(got)) == 3
+
+
+def test_pq_codes_parquet_round_trip_equals_inline(spark):
+    """pq_encode codes written to parquet and served by
+    pq_topk_from_codes reproduce pq_topk_books' inline-coded ranking
+    exactly — the quantize-on-write layout loses nothing."""
+    import tempfile
+
+    from pimdb_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_books,
+        pq_topk_from_codes,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 8)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, dim=64, n_centroids=16, n_iter=2
+    ).localCheckpoint()
+    inline = {
+        (r.q_id, r.rank): (r.c_id, r.adc)
+        for r in pq_topk_books(
+            q, emb, books, "vec_id", "vec_id", m=8, dim=64, k=3
+        ).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        pq_encode(emb, books, "vec_id", "embedding", m=8, dim=64).write.parquet(
+            f"{d}/codes.parquet"
+        )
+        coded = spark.read.parquet(f"{d}/codes.parquet")
+        served = {
+            (r.q_id, r.rank): (r.c_id, r.adc)
+            for r in pq_topk_from_codes(
+                q, coded, books, "vec_id", "c_id", m=8, dim=64, k=3
+            ).collect()
+        }
+    assert served == inline and len(served) == 24
