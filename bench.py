@@ -77,6 +77,23 @@ def main() -> None:
             }
         )
     )
+    # The driver tail-captures stdout with a bounded budget (~2.4 KB); the
+    # full line above grew past it once the per-query map crossed ~70
+    # entries, so BENCH_r14 recorded parsed:null.  Emit a second, SHORT
+    # summary line LAST — no per-query map — so the tail always ends with
+    # a complete JSON object the driver can parse.  Committed bench pairs
+    # under bench_runs/ keep using the full line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
     spark.stop()
 
 

@@ -280,118 +280,115 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # every round by scripts/derive_rotation.py as (new entries) + (changed
 # entries) + (entries that failed last round) + (entries outside last
 # round's window, stalest attestation first, ties in registration
-# order).  Round-14 derivation over the 148-entry registry (145 + the 3
-# r13-verdict-ordered promotions q_ngram_lm_score_jm / q_pq_trained_topk
-# / q_jpeg_color_stats_420): 3 new + 2 changed (q_sparse_doc_sim /
-# q_ngram_lm_score, the defaultParallelism pin edits) + 0 failed +
-# stalest-first; the 45 remaining r11-attested names head the stale
-# group, so the round-14 driver window is exactly 3 + 2 + 45 = 50 and
-# derive_rotation.py verified registry \ (r12 ∪ r13 ∪ r14 windows) = ∅
-# — the three-round invariant holds at 148/150 capacity.
+# order).  Builder-r17 derivation (`scripts/derive_rotation.py --
+# q_minhash_lsh_pairs q_dup_clusters`) over the 146-entry registry (148
+# minus the two r14-verdict-prescribed demotions q_inverted_index /
+# q_lsh_ann_topk, both kept hash-gated via _EXTRA_BENCH_ORACLE): 0 new +
+# 2 changed (q_minhash_lsh_pairs: literal +1,000,000 offset retired to
+# the derived 1+max(doc_id) form + the shared _minhash_doc_signatures
+# helper; q_dup_clusters: connected_components loud non-convergence
+# guard + literal +100,000 offset retired) + 0 failed + stalest-first;
+# the 48 remaining r12-attested names fill the window exactly: 2 + 48 =
+# 50, and derive_rotation.py verified registry \ (r13 ∪ r14 ∪ next) = ∅.
 _CHECK_FIRST: list[str] = [
-    # -- new this round --
-    "q_ngram_lm_score_jm",
-    "q_pq_trained_topk",
-    "q_jpeg_color_stats_420",
     # -- changed this round --
-    "q_sparse_doc_sim",
-    "q_ngram_lm_score",
+    "q_minhash_lsh_pairs",
+    "q_dup_clusters",
     # -- stalest attestation first --
-    "q_dedup_keep_first",
-    "q_distinct_multi",
-    "q_key_table_tokens",
-    "q_left_join_coalesce",
-    "q_window_rank",
-    "q_count_star",
-    "q_set_ops",
-    "q_json_extract",
-    "q_sql_passthrough",
-    "q_posexplode_ordering",
-    "q_explode_resolve_renumber",
-    "q_token_decompose",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_counts",
-    "q_doc_fingerprint_dedup",
-    "q_cosine_topk",
-    "q_negative_sample",
-    "q_audio_stats",
-    "q_video_frame_stats",
-    "q_image_ahash",
-    "q_image_dup_pairs",
-    "q_audio_fingerprint",
-    "q_audio_dup_pairs",
-    "q7_nation_volume",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_table_profile",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q20_part_promotion",
-    "q_paragraph_dedup",
-    "q_ngram_decontaminate",
-    "q_chunk_documents",
-    "q_budget_take",
-    "q_heavy_hitters",
-    "q_histogram",
-    "q_robust_outliers",
-    "q_fuzzy_link",
-    "q_zorder_key",
-    "q_mixture_plan",
-    "q_validate_constraints",
-    "q_cms_heavy_hitters",
-    "q_hll_group_distinct",
-    "q1_pricing_summary",  # last green r12
-    "q3_shipping_priority",  # last green r12
-    "q5_region_revenue",  # last green r12
-    "q_filter_project_rename",  # last green r12
-    "q_conjunctive_isin",  # last green r12
-    "q_self_join_pairs",  # last green r12
-    "q_composite_key_join",  # last green r12
-    "q_multiway_distinct",  # last green r12
-    "q_topk_orders",  # last green r12
-    "q_lsh_ann_topk",  # last green r12
-    "q_ivf_ann_topk",  # last green r12
-    "q_embedding_dup_pairs",  # last green r12
-    "q_semdedup",  # last green r12
-    "q_ann_recall_lsh",  # last green r12
-    "q_lsh_multitable_topk",  # last green r12
-    "q_time_window_agg",  # last green r12
-    "q_sessionize",  # last green r12
-    "q_multimodal_meta",  # last green r12
-    "q_jpeg_pixel_stats",  # last green r12
-    "q_asof_join",  # last green r12
-    "q_range_join",  # last green r12
-    "q_interval_join",  # last green r12
-    "q_grouping_analytics",  # last green r12
-    "q_exists_subquery",  # last green r12
-    "q_scalar_subquery",  # last green r12
-    "q_pivot",  # last green r12
-    "q_percentile",  # last green r12
-    "q_partial_salted_join",  # last green r12
-    "q_full_outer",  # last green r12
-    "q_window_suite",  # last green r12
-    "q_scalar_functions",  # last green r12
-    "q_list_membership_join",  # last green r12
-    "q_bpe_pairs",  # last green r12
-    "q_bpe_train",  # last green r12
-    "q_inverted_index",  # last green r12
-    "q_inverted_index_capped",  # last green r12
-    "q_sorted_neighborhood",  # last green r12
-    "q_snm_multipass",  # last green r12
-    "q_group_auc",  # last green r12
-    "q_calibration_bins",  # last green r12
-    "q_hll_distinct",  # last green r12
-    "q_cohort_retention",  # last green r12
-    "q_last_touch",  # last green r12
-    "q_session_paths",  # last green r12
-    "q_co_occurrence_edges",  # last green r12
-    "q_bfs_hops",  # last green r12
-    "q_funnel_steps",  # last green r12
-    "q_pagerank",  # last green r12
-    "q_triangle_count",  # last green r12
-    "q_linear_attribution",  # last green r12
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_filter_project_rename",
+    "q_conjunctive_isin",
+    "q_self_join_pairs",
+    "q_composite_key_join",
+    "q_multiway_distinct",
+    "q_topk_orders",
+    "q_ivf_ann_topk",
+    "q_embedding_dup_pairs",
+    "q_semdedup",
+    "q_ann_recall_lsh",
+    "q_lsh_multitable_topk",
+    "q_time_window_agg",
+    "q_sessionize",
+    "q_multimodal_meta",
+    "q_jpeg_pixel_stats",
+    "q_asof_join",
+    "q_range_join",
+    "q_interval_join",
+    "q_grouping_analytics",
+    "q_exists_subquery",
+    "q_scalar_subquery",
+    "q_pivot",
+    "q_percentile",
+    "q_partial_salted_join",
+    "q_full_outer",
+    "q_window_suite",
+    "q_scalar_functions",
+    "q_list_membership_join",
+    "q_bpe_pairs",
+    "q_bpe_train",
+    "q_inverted_index_capped",
+    "q_sorted_neighborhood",
+    "q_snm_multipass",
+    "q_group_auc",
+    "q_calibration_bins",
+    "q_hll_distinct",
+    "q_cohort_retention",
+    "q_last_touch",
+    "q_session_paths",
+    "q_co_occurrence_edges",
+    "q_bfs_hops",
+    "q_funnel_steps",
+    "q_pagerank",
+    "q_triangle_count",
+    "q_linear_attribution",
+    "q_simhash",  # last green r13
+    "q_bm25_topk",  # last green r13
+    "q_kmeans_assignments",  # last green r13
+    "q_int8_ann_topk",  # last green r13
+    "q_ivf_int8_topk",  # last green r13
+    "q_pq_adc_topk",  # last green r13
+    "q_ivf_pq_topk",  # last green r13
+    "q_embedding_gram_int8",  # last green r13
+    "q_random_projection_int8",  # last green r13
+    "q_multimodal_decode",  # last green r13
+    "q_image_channel_stats",  # last green r13
+    "q_jpeg_color_stats",  # last green r13
+    "q13_order_distribution",  # last green r13
+    "q18_large_volume_customers",  # last green r13
+    "q6_forecast_revenue",  # last green r13
+    "q14_promo_revenue",  # last green r13
+    "q10_returned_items",  # last green r13
+    "q19_discounted_revenue",  # last green r13
+    "q17_small_quantity",  # last green r13
+    "q21_waiting_suppliers",  # last green r13
+    "q22_idle_customers",  # last green r13
+    "q16_supplier_parts",  # last green r13
+    "q_rolling_window",  # last green r13
+    "q4_priority_count",  # last green r13
+    "q8_market_share",  # last green r13
+    "q15_top_supplier",  # last green r13
+    "q9_product_profit",  # last green r13
+    "q_hash_split",  # last green r13
+    "q_domain_quota",  # last green r13
+    "q_seq_packing",  # last green r13
+    "q_quality_funnel",  # last green r13
+    "q_stratified_sample",  # last green r13
+    "q_weighted_sample",  # last green r13
+    "q_snapshot_diff",  # last green r13
+    "q_snapshot_merge",  # last green r13
+    "q_scd2_intervals",  # last green r13
+    "q_token_df_idf",  # last green r13
+    "q_top_bigrams",  # last green r13
+    "q_decontaminate",  # last green r13
+    "q_priority_dedup",  # last green r13
+    "q_repetition_ratio",  # last green r13
+    "q_redact",  # last green r13
+    "q_corpus_divergence",  # last green r13
+    "q_bpe_train_batched",  # last green r13
+    "q_bloom_decontaminate",  # last green r13
+    "q_label_propagation",  # last green r13
 ]
 
 

@@ -150,10 +150,13 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE base AS (
+    WITH RECURSIVE off AS (
+      SELECT 1 + max(vec_id) AS o FROM embeddings
+    ), base AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+      SELECT vec_id + off.o AS vec_id, embedding FROM embeddings, off
+      WHERE vec_id % 7 = 0
     ), side AS (
       SELECT vec_id, embedding, {_BUCKET.format(v='base')} AS bucket FROM base
     ), pairs AS (
@@ -180,6 +183,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a deterministic dedup policy.  The oracle computes the same
     transitive closure with a recursive CTE.
 
+    Changed in builder r17: connected_components now raises loudly when
+    hash-min fails to certify convergence within max_iter (previously a
+    silent partial labeling — the r13 ADVICE item), and the planted-copy
+    id offset is DERIVED as 1 + max(vec_id) (one-row broadcast,
+    collision-free on any id range) instead of a literal +100,000.
+
     Scale: O(diameter) rounds of join+min-agg, one node-id shuffle each;
     near-dup components are quasi-cliques (diameter 2-3).  Lineage is cut
     per round with localCheckpoint."""
@@ -190,11 +199,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids, i.e. on what else ran in the session first; the explode form has
     # no Union to rewrite and reads the table once instead of twice
     emb = load(spark, sf_dir, "embeddings")
-    base = emb.select(
+    off = emb.agg((F.lit(1) + F.max("vec_id")).alias("_o"))
+    base = emb.crossJoin(F.broadcast(off)).select(
         F.explode(
             F.when(
                 F.col("vec_id") % 7 == 0,
-                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+                F.array(F.col("vec_id"), F.col("vec_id") + F.col("_o")),
             ).otherwise(F.array(F.col("vec_id")))
         ).alias("vec_id"),
         "embedding",
@@ -257,11 +267,12 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids, i.e. on what else ran in the session first; the explode form has
     # no Union to rewrite and reads the table once instead of twice
     emb = load(spark, sf_dir, "embeddings")
-    base = emb.select(
+    off = emb.agg((F.lit(1) + F.max("vec_id")).alias("_o"))
+    base = emb.crossJoin(F.broadcast(off)).select(
         F.explode(
             F.when(
                 F.col("vec_id") % 7 == 0,
-                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+                F.array(F.col("vec_id"), F.col("vec_id") + F.col("_o")),
             ).otherwise(F.array(F.col("vec_id")))
         ).alias("vec_id"),
         "embedding",

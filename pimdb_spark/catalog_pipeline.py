@@ -269,7 +269,7 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.robust_outliers(events, "event_type", "value", n_mads=3.0)
 
 
-@register(
+@register_bench_only(
     "q_inverted_index",
     oracle=f"""
     WITH pairs AS (
@@ -290,7 +290,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two keyed shuffles ((token, doc) partial count, then token);
     per-token postings are bounded by the token's df — production builds
-    cap head tokens via a max-df filter first."""
+    cap head tokens via a max-df filter first.
+
+    Bench-only since builder r17 (r13 demotion precedent): the exhaustive
+    twin of q_inverted_index_capped, which is the production form and
+    keeps the driver-window slot; this entry stays hash-gated by the
+    pytest oracle sweep via _EXTRA_BENCH_ORACLE."""
     docs = load(spark, sf_dir, "documents")
     return R.inverted_index(docs)
 

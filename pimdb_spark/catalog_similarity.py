@@ -63,7 +63,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
 
 
-@register(
+@register_bench_only(
     "q_lsh_ann_topk",
     oracle=f"""
     WITH side AS (
@@ -86,7 +86,12 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via sign-LSH bucketing on the first 8 dimensions
     (operators/similarity.lsh_ann_topk): candidates shrink ~2^8, the
     classic recall/cost trade.  Scale: equi-join on bucket id replaces the
-    cross join."""
+    cross join.
+
+    Bench-only since builder r17 (r13 demotion precedent): the single-table
+    special case of q_lsh_multitable_topk, which holds the driver-window
+    slot and carries an L=1 parity test against this form; this entry
+    stays hash-gated by the pytest oracle sweep via _EXTRA_BENCH_ORACLE."""
     emb = load(spark, sf_dir, "embeddings")
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see

@@ -168,29 +168,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one partial-aggregated groupBy; the shuffle carries one row
     per (lang, source) — counting stays map-side regardless of corpus
-    size, the q_token_counts shape with the lang dimension added."""
+    size, the q_token_counts shape with the lang dimension added.
+
+    The aggregation lives in operators/text.tokenizer_fertility — the
+    one definition shared with scripts/bench_scale.py's scale op (r14
+    ADVICE: the benched shape must not be able to drift from this gated
+    one)."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    g = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.filter(toks, lambda t: t != F.lit("")))).alias("total_words"),
-        F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
-        F.sum(F.octet_length("text")).alias("total_bytes"),
-    )
-    return g.select(
-        "lang", "source", "n_docs", "total_words", "total_bpe_tokens",
-        "total_bytes",
-        F.when(
-            F.col("total_words") > 0,
-            F.col("total_bpe_tokens").cast("double")
-            / F.col("total_words").cast("double"),
-        ).alias("fertility"),
-        F.when(
-            F.col("total_bpe_tokens") > 0,
-            F.col("total_bytes").cast("double")
-            / F.col("total_bpe_tokens").cast("double"),
-        ).alias("bytes_per_token"),
-    )
+    return T.tokenizer_fertility(docs, group_cols=("lang", "source"))
 
 
 @register(
@@ -350,10 +335,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_minhash_lsh_pairs",
     oracle="""
-    WITH base AS (
+    WITH off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + off.o AS doc_id, text FROM documents, off WHERE doc_id % 5 = 0
     ), d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM base
     ), sh AS (
@@ -393,16 +380,19 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection (operators/dedup
     .minhash_lsh_pairs): the corpus is augmented with exact copies of every
-    5th document (id + 1,000,000) so the expected duplicate pairs are known;
-    banding (4 bands x 4 rows) buckets candidates, true Jaccard >= 0.8
-    verifies.  Scale: see operators/dedup docstring — the all-pairs problem
-    becomes an equi-join on band hashes.  (Fixture contract: the literal
-    +1,000,000 copy-id offset assumes this testdata's id range; the
-    OPERATOR never offsets ids — q_neardup_dedup_pipeline shows the
-    max-derived collision-free form.)"""
+    5th document so the expected duplicate pairs are known; banding
+    (4 bands x 4 rows) buckets candidates, true Jaccard >= 0.8 verifies.
+    Scale: see operators/dedup docstring — the all-pairs problem becomes an
+    equi-join on band hashes.  The planted-copy id offset is DERIVED as
+    1 + max(doc_id) (a one-row broadcast, never collected), collision-free
+    on any id range — the literal +1,000,000 fixture assumption was
+    retired in builder r17 (the repo's last literal-offset entry)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("_o")).alias("doc_id"), "text")
     )
     base = docs.union(copies)
     return D.minhash_lsh_pairs(
@@ -500,11 +490,14 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     max_iter=100 is EXPLICIT (r13 ADVICE): the oracle computes the exact
     transitive closure via a recursive CTE, so a hash-min run that exits
-    its round loop before converging would diverge silently on chain-like
-    duplicate topologies.  The operator early-exits the round a pass
-    changes nothing (rounds = diameter; ~3 on this fixture's
-    exact-copy quasi-cliques), so the generous cap costs nothing when
-    converged and buys diameter-100 safety when it doesn't; a topology
+    its round loop before converging would diverge from it on chain-like
+    duplicate topologies — and since builder r17 connected_components
+    RAISES at an uncertified loop exit instead of returning partial
+    labels, so the divergence can no longer be silent.  The operator
+    early-exits the round a pass changes nothing (rounds = diameter; ~3
+    on this fixture's exact-copy quasi-cliques), so the generous cap
+    costs nothing when converged and buys diameter-100 safety when it
+    doesn't; a topology
     past THAT belongs to connected_components_star (O(log n) rounds on
     any graph)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -608,7 +601,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies of every 5th doc so the cluster structure is known) ->
     connected components (curation.connected_components, max_iter=100 per
     the r13 ADVICE convention; exact closure in the oracle's recursive
-    CTE) -> hash_bucket(component) < 90 -> train, else eval.  Output per
+    CTE; since builder r17 the operator RAISES on an uncertified loop
+    exit, so "zero leakage by construction" can never silently rest on a
+    partial closure — the r14 ADVICE item) -> hash_bucket(component) < 90
+    -> train, else eval.  Output per
     doc: both the safe and the naive doc-level assignment plus
     `leaky_doc_level` — TRUE where the doc-level baseline straddles that
     doc's component (the audit a curation run reports before training).

@@ -113,6 +113,54 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.size(F.array_union(a, b))
 
 
+def _minhash_doc_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Shared per-document minhash chain for minhash_lsh_pairs and
+    containment_lsh_pairs: (doc, h0..h{num_hashes-1}, shingles), persisted
+    (serves the caller's banding pass + both verification sides).
+
+    ONE shuffle, everything heavy in whole-stage codegen.  Interpreted
+    higher-order functions (transform/aggregate lambdas) cost ~5-10x the
+    codegen'd scalar path, so the pipeline is row-oriented instead:
+      repartition(id)            <- the only shuffle that carries text
+      posexplode tokens          <- Generate, codegen
+      window lead(k-1) shingles  <- partitioning satisfied: sort only
+      md5 per shingle row        <- codegen scalar, once per shingle
+      groupBy(doc) Nx min()      <- partitioning satisfied: no exchange
+    At 100 TB the input already has thousands of splits; the repartition
+    keys the whole chain so window AND aggregate reuse one exchange.
+    Duplicate shingles can't change a min; collect_set dedups for the
+    exact jaccard/containment verification."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    sh = (
+        tok.select("doc", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
+        .filter(F.col("_t").isNotNull())  # drop the k-1 tail positions
+        .select("doc", "sh")
+    )
+    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint")
+    hashed = sh.select("doc", "sh", x.alias("x"))
+
+    def _a(i: int) -> int:  # same universal-hash family as _minhash_a
+        return ((i * _A_MUL + _A_ADD) & _A_MASK) | 1
+
+    mins = [
+        F.min((F.lit(_a(i)) * F.col("x") + F.lit(i * _B_MUL)) % MINHASH_P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("doc").agg(*mins, F.collect_set("sh").alias("shingles")).persist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -139,44 +187,9 @@ def minhash_lsh_pairs(
     exclusion is a broadcast anti-join, not another shuffle.
     """
     rows_per_band = num_hashes // bands
-    # ONE shuffle, everything heavy in whole-stage codegen.  Interpreted
-    # higher-order functions (transform/aggregate lambdas) cost ~5-10x the
-    # codegen'd scalar path, so the pipeline is row-oriented instead:
-    #   repartition(id)            <- the only shuffle that carries text
-    #   posexplode tokens          <- Generate, codegen
-    #   window lead(k-1) shingles  <- partitioning satisfied: sort only
-    #   md5 per shingle row        <- codegen scalar, once per shingle
-    #   groupBy(doc) 16x min()     <- partitioning satisfied: no exchange
-    # At 100 TB the input already has thousands of splits; the repartition
-    # keys the whole chain so window AND aggregate reuse one exchange.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
-    sh = (
-        tok.select("doc", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
-        .filter(F.col("_t").isNotNull())  # drop the k-1 tail positions
-        .select("doc", "sh")
-    )
-    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint")
-    hashed = sh.select("doc", "sh", x.alias("x"))
-
-    def _a(i: int) -> int:  # same universal-hash family as _minhash_a
-        return ((i * _A_MUL + _A_ADD) & _A_MASK) | 1
-
-    mins = [
-        F.min((F.lit(_a(i)) * F.col("x") + F.lit(i * _B_MUL)) % MINHASH_P).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    # duplicate shingles can't change a min; collect_set dedups for jaccard
-    sig = (
-        hashed.groupBy("doc")
-        .agg(*mins, F.collect_set("sh").alias("shingles"))
-        .persist()  # serves the banding pass + both verification sides
-    )
+    # per-doc signature chain shared with containment_lsh_pairs; see
+    # _minhash_doc_signatures for the one-exchange plan rationale
+    sig = _minhash_doc_signatures(df, id_col, text_col, k, num_hashes)
     band_hash = [
         F.md5(
             F.concat_ws(
@@ -917,8 +930,8 @@ def containment_lsh_pairs(
     |S(A) ∩ S(B)| / |S(A)| >= threshold — same contract and columns as
     containment_pairs (directed; mutual containment for exact dups).
 
-    Scale: the minhash chain is the audited minhash_lsh_pairs
-    row-oriented one-exchange pipeline (posexplode → window shingles →
+    Scale: the minhash chain IS minhash_lsh_pairs' chain — both call the
+    shared _minhash_doc_signatures helper (posexplode → window shingles →
     codegen md5/min — no interpreted HOF in the hot path); the bucket
     join shuffles (doc, i, min_i) triples only; ``max_bucket_size``
     drops flood buckets (a minimum shared by m docs emits m² candidate
@@ -927,33 +940,7 @@ def containment_lsh_pairs(
     blocking — whose candidate volume is Σ df² over ALL surviving
     shingles — the candidate bound here is num_hashes x Σ bucket² with
     buckets capped, independent of document length."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
-    sh = (
-        tok.select("doc", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
-        .filter(F.col("_t").isNotNull())
-        .select("doc", "sh")
-    )
-    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint")
-    hashed = sh.select("doc", "sh", x.alias("x"))
-
-    def _a(i: int) -> int:
-        return ((i * _A_MUL + _A_ADD) & _A_MASK) | 1
-
-    mins = [
-        F.min((F.lit(_a(i)) * F.col("x") + F.lit(i * _B_MUL)) % MINHASH_P).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        hashed.groupBy("doc")
-        .agg(*mins, F.collect_set("sh").alias("shingles"))
-        .persist()
-    )
+    sig = _minhash_doc_signatures(docs, id_col, text_col, k, num_hashes)
     banded = sig.select(
         "doc",
         F.posexplode(

@@ -759,6 +759,7 @@ def exact_rerank(
     k: int = 3,
     round_digits: int | None = 4,
     metric: str = "cosine",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Stage 2 of two-stage retrieval, composable behind ANY shortlist
     generator (``short``: a (q_id, c_id) frame from pq_topk, ivf_pq_topk,
@@ -767,7 +768,14 @@ def exact_rerank(
     score.  ``metric``: "cosine" (larger = closer) or "l2" (exact squared
     L2, smaller = closer).  Scale: the shortlist is |Q| x shortlist rows
     and BROADCASTS against the candidate scan — one broadcast hash join,
-    no corpus shuffle, exact scoring on survivors only."""
+    no corpus shuffle, exact scoring on survivors only.  The QUERY-vector
+    frame is force-broadcast too (raw floats, not just ids): correct for
+    the serving shape this stage exists for — a query batch orders of
+    magnitude smaller than the corpus — but wrong for corpus-sized query
+    sets (an all-pairs dedup sweep), where a broadcast would ship every
+    float vector to every executor; pass ``broadcast_queries=False``
+    there to let the q_id equi-join shuffle instead (the shortlist side
+    stays broadcast either way — ids only, always small)."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"exact_rerank: unknown metric {metric!r}")
     # distinct: a multi-table candidate UNION can list the same (q, c)
@@ -785,9 +793,11 @@ def exact_rerank(
         if metric == "cosine"
         else sqdist(F.col("q_vec"), F.col("c_vec"))
     )
+    if broadcast_queries:
+        q_vecs = F.broadcast(q_vecs)
     rescored = (
         cand_vecs.join(F.broadcast(short), "c_id")
-        .join(F.broadcast(q_vecs), "q_id")
+        .join(q_vecs, "q_id")
         .select("q_id", "c_id", scorer.alias(score_col))
     )
     if round_digits is not None:

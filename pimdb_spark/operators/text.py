@@ -9,7 +9,7 @@ and scale linearly with no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small deterministic "function word" lists per language used by the
@@ -151,6 +151,44 @@ def pii_redact(text: Column | str) -> Column:
     for pat, mask in PII_PATTERNS.values():
         col = F.regexp_replace(col, pat, mask)
     return col
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility / compression diagnostics: n_docs,
+    total whitespace words (nonempty), total bpe-ish subword tokens,
+    total bytes, plus fertility = bpe/words and bytes_per_token ratios
+    (NULL on empty slices).  The SINGLE definition behind both the
+    oracle-gated catalog entry (catalog_text.q_tokenizer_fertility) and
+    scripts/bench_scale.py's scale op — factored in builder r17 (r14
+    ADVICE) so the benched shape can never drift from the gated one.
+
+    Exact integer sums; each ratio is one IEEE division of exact BIGINTs
+    (bit-identical across engines).  Scale: one partial-aggregated
+    groupBy — the shuffle carries one row per group."""
+    toks = F.split(text_col, " ")
+    g = docs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.filter(toks, lambda t: t != F.lit("")))).alias("total_words"),
+        F.sum(bpe_ish_token_count(text_col)).alias("total_bpe_tokens"),
+        F.sum(F.octet_length(text_col)).alias("total_bytes"),
+    )
+    return g.select(
+        *group_cols, "n_docs", "total_words", "total_bpe_tokens", "total_bytes",
+        F.when(
+            F.col("total_words") > 0,
+            F.col("total_bpe_tokens").cast("double")
+            / F.col("total_words").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("total_bpe_tokens") > 0,
+            F.col("total_bytes").cast("double")
+            / F.col("total_bpe_tokens").cast("double"),
+        ).alias("bytes_per_token"),
+    )
 
 
 # CCNet-style normalization (Wenzek et al. 2020 §3: the text form used

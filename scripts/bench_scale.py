@@ -544,6 +544,9 @@ def main() -> None:
         ivf_pq_rerank_topk,
         pq_adc_rerank_topk,
     )
+    from pimdb_spark.operators.text import (
+        tokenizer_fertility as _tokenizer_fertility,
+    )
 
     ops.update({
         "pq_adc_rerank": lambda d: pq_adc_rerank_topk(
@@ -558,20 +561,12 @@ def main() -> None:
         ),
         "leakage_safe_split": _leakage_safe_split,
         # regex-heavy per-doc scan + a (lang, source)-bounded groupBy; the
-        # pii_redact parallelism pin for the same reason
-        "tokenizer_fertility": lambda d: docs(d).repartition(
-            spark.sparkContext.defaultParallelism
-        ).groupBy("lang", "source").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
-            ).alias("total_words"),
-            F.sum(
-                __import__(
-                    "pimdb_spark.operators.text", fromlist=["bpe_ish_token_count"]
-                ).bpe_ish_token_count("text")
-            ).alias("total_bpe_tokens"),
-            F.sum(F.octet_length("text")).alias("total_bytes"),
+        # pii_redact parallelism pin for the same reason.  The aggregation
+        # is the SHARED operators/text.tokenizer_fertility definition —
+        # the same shape the oracle-gated catalog entry runs (r14 ADVICE:
+        # an inline re-implementation here could silently drift from it)
+        "tokenizer_fertility": lambda d: _tokenizer_fertility(
+            docs(d).repartition(spark.sparkContext.defaultParallelism)
         ),
     })
 

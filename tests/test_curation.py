@@ -121,6 +121,36 @@ def test_connected_components_long_chain_converges(spark):
     assert len(out) == 13
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    # builder-r17 loud guard (r13 ADVICE): an uncertified loop exit must
+    # raise, never return a silently-partial labeling — downstream
+    # contracts (keep-one-per-cluster dedup, leakage-safe component
+    # splits) are built on the exact closure.  A 12-edge path graph needs
+    # 12 propagation rounds + 1 zero-change certification round; give it 3.
+    import pytest as _pytest
+
+    from pimdb_spark.operators.curation import connected_components
+
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges_df, max_iter=3)
+
+
+def test_connected_components_exact_iter_budget_certifies(spark):
+    # diameter-d path: d change rounds + 1 certification round must
+    # succeed at max_iter = d + 1 (the guard fires only when the LAST
+    # allowed round still changed labels)
+    from pimdb_spark.operators.curation import connected_components
+
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["id_a", "id_b"]
+    )
+    out = connected_components(edges_df, max_iter=5).collect()
+    assert {r.component for r in out} == {0}
+
+
 def test_quality_funnel_is_monotone(spark):
     from pimdb_spark.catalog_curation import q_quality_funnel
 
