@@ -280,20 +280,30 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # every round by scripts/derive_rotation.py as (new entries) + (changed
 # entries) + (entries that failed last round) + (entries outside last
 # round's window, stalest attestation first, ties in registration
-# order).  Builder-r17 derivation (`scripts/derive_rotation.py --
-# q_minhash_lsh_pairs q_dup_clusters`) over the 146-entry registry (148
-# minus the two r14-verdict-prescribed demotions q_inverted_index /
-# q_lsh_ann_topk, both kept hash-gated via _EXTRA_BENCH_ORACLE): 0 new +
-# 2 changed (q_minhash_lsh_pairs: literal +1,000,000 offset retired to
-# the derived 1+max(doc_id) form + the shared _minhash_doc_signatures
-# helper; q_dup_clusters: connected_components loud non-convergence
-# guard + literal +100,000 offset retired) + 0 failed + stalest-first;
-# the 48 remaining r12-attested names fill the window exactly: 2 + 48 =
-# 50, and derive_rotation.py verified registry \ (r13 ∪ r14 ∪ next) = ∅.
+# order).  Builder-r17 derivation (`scripts/derive_rotation.py
+# q_neardup_dedup_pipeline q_curation_pipeline -- q_minhash_lsh_pairs
+# q_dup_clusters q_embedding_dup_pairs q_semdedup`) over the 145-entry
+# registry (148 minus the r14-verdict demotion pairs q_inverted_index /
+# q_lsh_ann_topk and q_cosine_topk / q_ivf_ann_topk, minus the
+# subsumed-by-its-grouped-twin q_hll_distinct, plus the two flagship
+# promotions): 2 new (the promoted q_neardup_dedup_pipeline /
+# q_curation_pipeline) + 4 changed (q_minhash_lsh_pairs /
+# q_embedding_dup_pairs / q_semdedup: literal planted-id offsets retired
+# to derived 1+max forms, the first also gaining the shared
+# _minhash_doc_signatures helper; q_dup_clusters: the
+# connected_components loud non-convergence guard + its own offset
+# retirement) + 0 failed + stalest-first; the 44 surviving r12-attested
+# names fill the window exactly: 2 + 4 + 44 = 50, and
+# derive_rotation.py verified registry \ (r13 ∪ r14 ∪ next) = ∅.
 _CHECK_FIRST: list[str] = [
+    # -- new this round --
+    "q_neardup_dedup_pipeline",
+    "q_curation_pipeline",
     # -- changed this round --
     "q_minhash_lsh_pairs",
     "q_dup_clusters",
+    "q_embedding_dup_pairs",
+    "q_semdedup",
     # -- stalest attestation first --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -304,9 +314,6 @@ _CHECK_FIRST: list[str] = [
     "q_composite_key_join",
     "q_multiway_distinct",
     "q_topk_orders",
-    "q_ivf_ann_topk",
-    "q_embedding_dup_pairs",
-    "q_semdedup",
     "q_ann_recall_lsh",
     "q_lsh_multitable_topk",
     "q_time_window_agg",
@@ -333,7 +340,6 @@ _CHECK_FIRST: list[str] = [
     "q_snm_multipass",
     "q_group_auc",
     "q_calibration_bins",
-    "q_hll_distinct",
     "q_cohort_retention",
     "q_last_touch",
     "q_session_paths",

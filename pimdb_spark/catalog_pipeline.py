@@ -996,11 +996,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Promoted to the driver registry in round 12 (one of the 3 freed
-# rotation slots); bench-only with a pytest-gated oracle through round 11.
-@register(
+# Promoted to the driver registry in round 12; demoted back to
+# bench-only in builder r17 (third demotion of the window-capacity
+# consolidation): q_hll_group_distinct runs the IDENTICAL register /
+# estimate arithmetic with a group key — the global form is its
+# one-group special case — and keeps the driver slot; this entry stays
+# hash-gated by the pytest oracle sweep via _EXTRA_BENCH_ORACLE.
+@register_bench_only(
     "q_hll_distinct",
-    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT unnest({_TOKS}) AS item FROM documents

@@ -34,7 +34,7 @@ _BUCKET = """
 """
 
 
-@register(
+@register_bench_only(
     "q_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
@@ -54,7 +54,13 @@ _BUCKET = """
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 8 query vectors
     (operators/similarity.cosine_topk).  Scale: queries broadcast; one
-    pass over candidates; per-query top-k via WindowGroupLimit."""
+    pass over candidates; per-query top-k via WindowGroupLimit.
+
+    Bench-only since builder r17 (second demotion pair, freeing the
+    flagship-pipeline promotion slots): the exhaustive baseline of the
+    ANN ladder — q_ann_recall_lsh recomputes this exact top-k inside its
+    driver-attested recall harness, and the np twin-equality test pins
+    the scorer; hash-gated here via _EXTRA_BENCH_ORACLE."""
     emb = load(spark, sf_dir, "embeddings")
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see
@@ -116,7 +122,7 @@ _COS_VEC = """
 """
 
 
-@register(
+@register_bench_only(
     "q_ivf_ann_topk",
     oracle=f"""
     WITH cent AS (
@@ -157,7 +163,14 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors), nprobe=2.  Scale: assignment is a projection over the
     candidate scan with a one-row broadcast centroid set; the probe join
     is an equi-join on cell id — the IVF counterpart of q_lsh_ann_topk's
-    sign-bucketing."""
+    sign-bucketing.
+
+    Bench-only since builder r17 (second demotion pair, freeing the
+    flagship-pipeline promotion slots): the training-free IVF base form —
+    the driver-attested IVF path runs through q_ivf_int8_topk /
+    q_ivf_pq_topk, which compose this same cell-prune plan; hash-gated
+    here via _EXTRA_BENCH_ORACLE with the np twin-equality test pinning
+    the scorer."""
     emb = load(spark, sf_dir, "embeddings")
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see
@@ -172,10 +185,13 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embedding_dup_pairs",
     oracle=f"""
-    WITH base AS (
+    WITH off AS (
+      SELECT 1 + max(vec_id) AS o FROM embeddings
+    ), base AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+      SELECT vec_id + off.o AS vec_id, embedding FROM embeddings, off
+      WHERE vec_id % 7 = 0
     ), side AS (
       SELECT vec_id, embedding, {_BUCKET.format(v='base')} AS bucket FROM base
     )
@@ -188,7 +204,9 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets
     (operators/similarity.embedding_dup_pairs); every 7th vector is
-    duplicated (id + 100,000) so the expected pairs are known.
+    duplicated so the expected pairs are known, with the copy-id offset
+    DERIVED as 1 + max(vec_id) (one-row broadcast, collision-free on any
+    id range — the literal +100,000 retired in builder r17).
     Scale: bucket join bounds pairs; threshold filters before output."""
     # every 7th vector duplicated via ONE scan + explode — NOT filter+union:
     # a Union whose child carries a filter constraint can crash Catalyst's
@@ -197,11 +215,12 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids, i.e. on what else ran in the session first; the explode form has
     # no Union to rewrite and reads the table once instead of twice
     emb = load(spark, sf_dir, "embeddings")
-    base = emb.select(
+    off = emb.agg((F.lit(1) + F.max("vec_id")).alias("_o"))
+    base = emb.crossJoin(F.broadcast(off)).select(
         F.explode(
             F.when(
                 F.col("vec_id") % 7 == 0,
-                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+                F.array(F.col("vec_id"), F.col("vec_id") + F.col("_o")),
             ).otherwise(F.array(F.col("vec_id")))
         ).alias("vec_id"),
         "embedding",
@@ -244,20 +263,23 @@ def q_ivf_ann_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pimdb_spark.catalog import _REGISTRY, register_bench_only  # noqa: E402
+from pimdb_spark.catalog import _EXTRA_BENCH_ORACLE, register_bench_only  # noqa: E402
 
 # Bench-only since the round-10 consolidation: each twin's oracle is the
 # LITERAL oracle of its fold base entry (identical query parameters,
 # different physical scorer — verified hash-green through r7 while these
 # held registry slots).  Registering the duplicate oracle keeps the
 # twins under tests/test_catalog_oracle.py's pytest hash gate (the r10
-# demotion had left them on twin-equality property tests alone).
-register_bench_only("q_cosine_topk_np", oracle=_REGISTRY["q_cosine_topk"].oracle)(
-    q_cosine_topk_np
-)
-register_bench_only("q_ivf_ann_topk_np", oracle=_REGISTRY["q_ivf_ann_topk"].oracle)(
-    q_ivf_ann_topk_np
-)
+# demotion had left them on twin-equality property tests alone).  The
+# base entries are themselves bench-only since builder r17 (the second
+# demotion pair, freeing the flagship-pipeline promotion slots), so the
+# shared oracles now live in _EXTRA_BENCH_ORACLE.
+register_bench_only(
+    "q_cosine_topk_np", oracle=_EXTRA_BENCH_ORACLE["q_cosine_topk"]
+)(q_cosine_topk_np)
+register_bench_only(
+    "q_ivf_ann_topk_np", oracle=_EXTRA_BENCH_ORACLE["q_ivf_ann_topk"]
+)(q_ivf_ann_topk_np)
 
 
 _SQDIST = """
@@ -382,10 +404,12 @@ def q_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_ORACLE = (
     """
-    WITH base AS (
+    WITH off AS (
+      SELECT 1 + max(vec_id) AS o FROM embeddings
+    ), base AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      SELECT vec_id + off.o AS vec_id, embedding FROM embeddings, off
       WHERE vec_id % 7 = 0
     ), """
     + _KM_CTES.format(src="base", k=16)
@@ -411,10 +435,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication (operators/clustering.semdedup — SemDeDup,
     Abbas et al. 2023): k-means (k=16, 2 Lloyd passes) blocks the space,
     then within each cluster every vector with a lower-id cosine>=0.95
-    neighbor is marked keep=false.  Every 7th vector is duplicated
-    (id + 100,000, same injection as q_embedding_dup_pairs) so the
-    expected drop set is known; the DuckDB oracle unrolls the identical
-    two k-means iterations and the in-cluster pair scan.
+    neighbor is marked keep=false.  Every 7th vector is duplicated (same
+    injection as q_embedding_dup_pairs, id offset DERIVED as
+    1 + max(vec_id) — the literal +100,000 retired in builder r17) so
+    the expected drop set is known; the DuckDB oracle unrolls the
+    identical two k-means iterations and the in-cluster pair scan.
 
     Scale: pair cost is sum(cluster_size^2) — k grows with the corpus
     (paper uses k ~ sqrt(n)) to keep clusters bounded; assignment
@@ -423,11 +448,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     # explode-injection, not filter+union (Catalyst rewriteConstraints
     # crash — see q_embedding_dup_pairs)
-    base = emb.select(
+    off = emb.agg((F.lit(1) + F.max("vec_id")).alias("_o"))
+    base = emb.crossJoin(F.broadcast(off)).select(
         F.explode(
             F.when(
                 F.col("vec_id") % 7 == 0,
-                F.array(F.col("vec_id"), F.col("vec_id") + 100000),
+                F.array(F.col("vec_id"), F.col("vec_id") + F.col("_o")),
             ).otherwise(F.array(F.col("vec_id")))
         ).alias("vec_id"),
         "embedding",

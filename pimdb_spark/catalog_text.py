@@ -400,11 +400,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the r13
-# end-to-end composition: the canonical "dedup the corpus" pipeline under
-# ONE hash gate.
-@register_bench_only(
+# Promoted to the registry in builder r17 (head of the promotion line
+# since r15; the slot freed by the q_cosine_topk demotion): the r13
+# end-to-end composition — the canonical "dedup the corpus" pipeline
+# under ONE hash gate, now driver-attested.
+@register(
     "q_neardup_dedup_pipeline",
+    bench=True,
     oracle="""
     WITH RECURSIVE off AS (
       SELECT 1 + max(doc_id) AS o FROM documents
@@ -657,6 +659,228 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labeled.join(leak, "component").select(
         "doc_id", "component", "split_safe", "split_doc", "leaky_doc_level"
+    )
+
+
+# Bench-only (registry window full; r14 verdict "Next round 6" stretch):
+# the INCREMENTAL leakage fence — q_leakage_safe_split's component
+# discipline applied as data arrives.
+@register_bench_only(
+    "q_incremental_split_inherit",
+    oracle="""
+    WITH RECURSIVE off AS (
+      SELECT 1 + max(doc_id) AS o FROM documents
+    ), newd AS (
+      SELECT doc_id + off.o AS doc_id, text FROM documents, off
+      WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 3
+      UNION ALL
+      SELECT doc_id + 2 * off.o AS doc_id,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+      FROM documents, off WHERE doc_id % 5 = 1
+    ), refsplit AS (
+      SELECT doc_id AS ref_id,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 90 THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ), nsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM newd)
+      WHERE len(t) >= 3
+    ), nsig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM nsh
+    ), nnband AS (
+      SELECT doc_id, s,
+             unnest(range(0, 4)) AS band,
+             unnest(list_transform(range(0, 4),
+                    b -> md5(array_to_string(sg[b*4+1:b*4+4], ',')))) AS bh
+      FROM nsig
+    ), nnpairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM nnband a JOIN nnband b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM nnpairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM nnpairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM newd
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), rsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ), rsig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 16),
+               i -> list_aggregate(list_transform(
+                      list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+                      v -> ((((i * 1103515245 + 12345) & 1073741823) | 1) * v
+                            + i * 1000003) % 4294967311),
+                    'min')) AS sg
+      FROM rsh
+    ), xnband AS (
+      SELECT doc_id, s,
+             unnest(range(0, 8)) AS band,
+             unnest(list_transform(range(0, 8),
+                    b -> md5(array_to_string(sg[b*2+1:b*2+2], ',')))) AS bh
+      FROM nsig
+    ), xrband AS (
+      SELECT doc_id, s,
+             unnest(range(0, 8)) AS band,
+             unnest(list_transform(range(0, 8),
+                    b -> md5(array_to_string(sg[b*2+1:b*2+2], ',')))) AS bh
+      FROM rsig
+    ), crossver AS (
+      SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+      FROM xnband n JOIN xrband r ON n.band = r.band AND n.bh = r.bh
+      WHERE CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+              / (len(n.s) + len(r.s) - len(list_intersect(n.s, r.s)))
+            >= 0.5::DOUBLE
+    ), sides AS (
+      SELECT c.component,
+             CAST(count(*) FILTER (WHERE rs.split = 'train') AS BIGINT)
+               AS n_train_refs,
+             CAST(count(*) FILTER (WHERE rs.split = 'eval') AS BIGINT)
+               AS n_eval_refs
+      FROM crossver v
+      JOIN refsplit rs ON rs.ref_id = v.ref_id
+      JOIN comp c ON c.id = v.new_id
+      GROUP BY c.component
+    )
+    SELECT comp.id AS doc_id,
+           CAST(comp.component AS BIGINT) AS component,
+           CAST(coalesce(s.n_train_refs, 0) AS BIGINT) AS n_train_refs,
+           CAST(coalesce(s.n_eval_refs, 0) AS BIGINT) AS n_eval_refs,
+           CASE WHEN coalesce(s.n_train_refs, 0) > 0
+                     AND coalesce(s.n_eval_refs, 0) > 0 THEN 'conflict'
+                WHEN coalesce(s.n_train_refs, 0) > 0 THEN 'train'
+                WHEN coalesce(s.n_eval_refs, 0) > 0 THEN 'eval'
+                WHEN ('0x' || substring(md5(CAST(comp.component AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 < 90 THEN 'train'
+                ELSE 'eval' END AS split,
+           CAST(CASE WHEN coalesce(s.n_train_refs, 0)
+                          + coalesce(s.n_eval_refs, 0) > 0
+                     THEN 1 ELSE 0 END AS INT) AS inherited
+    FROM comp LEFT JOIN sides s ON s.component = comp.component
+    """,
+)
+def q_incremental_split_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL leakage-safe split — the production fence as data
+    arrives (operators/curation.incremental_split_inherit): a new crawl
+    shard is assigned train/eval sides such that any new doc joining an
+    EXISTING near-dup component inherits that component's side, new docs
+    that only cluster among themselves get one side per NEW component
+    (the q_leakage_safe_split rule), and a new cluster reaching reference
+    docs on BOTH sides is surfaced as 'conflict' rather than silently
+    picking one.  Composition over attested shapes: minhash_lsh_pairs
+    for the new-x-new closure (4x4 banding, Jaccard >= 0.8, components
+    via connected_components), the cross_neardup_filter two-sided banding
+    for new-x-ref edges (8x2 bands from the same 16-hash signatures,
+    Jaccard >= 0.5 — the gate wants recall; verification keeps precision
+    exact), then the inheritance decision.
+
+    Fixture: the reference corpus is `documents` with a GIVEN doc-level
+    hash split (production would feed q_leakage_safe_split's component
+    splits; doc-level here means cross-cluster conflicts are possible
+    and the conflict path is live); the new shard plants exact copies of
+    every 5th doc (known inheritance) and token-REVERSED texts of every
+    5th-plus-1 doc (shingles disjoint from any ref doc — known fresh
+    assignment), ids derived from 1 + max(doc_id) (one-row broadcasts).
+
+    Scale: every stage is an audited shape — banding equi-joins (never
+    all-pairs), O(diameter) certified-convergent hash-min rounds, and
+    the decision step shuffles only (id, component) and the tiny
+    cross-edge set; text never moves past the shingle stage.  The
+    reference side's banded frame is reusable across shards (build once,
+    join per shard)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    copies = (
+        docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.size(F.split("text", " ")) >= 3)
+        )
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("_o")).alias("doc_id"), "text")
+    )
+    reversed_docs = (
+        docs.filter(F.col("doc_id") % 5 == 1)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + 2 * F.col("_o")).alias("doc_id"),
+            F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"),
+        )
+    )
+    new = copies.union(reversed_docs)
+    ref_splits = docs.select(
+        F.col("doc_id").alias("ref_id"),
+        F.when(CU.hash_bucket(F.col("doc_id")) < 90, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    nn_pairs = D.minhash_lsh_pairs(
+        new, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    comp = CU.connected_components(
+        nn_pairs, "id_a", "id_b", nodes=new.select("doc_id"), max_iter=100
+    )
+
+    def prep(df: DataFrame, side: str):
+        toks = F.split("text", " ")
+        base = df.select(
+            F.col("doc_id").alias(f"{side}_id"),
+            D.word_shingles(toks, 3).alias(f"{side}_s"),
+        ).filter(F.size(f"{side}_s") > 0)
+        banded = base.select(
+            f"{side}_id",
+            F.posexplode(
+                D.lsh_band_hashes(
+                    D.minhash_signature(F.col(f"{side}_s"), 16), 8, 2
+                )
+            ).alias("band", "bh"),
+        )
+        return base, banded
+
+    nbase, nband = prep(new, "new")
+    rbase, rband = prep(docs, "ref")
+    cross = (
+        nband.join(rband, ["band", "bh"])
+        .select("new_id", "ref_id")
+        .distinct()
+        .join(nbase, "new_id")
+        .join(rbase, "ref_id")
+        .withColumn("jacc", D.jaccard(F.col("new_s"), F.col("ref_s")))
+        .filter(F.col("jacc") >= 0.5)
+        .select("new_id", "ref_id")
+    )
+    out = CU.incremental_split_inherit(
+        comp.select(F.col("id").alias("doc_id"), "component"),
+        cross,
+        ref_splits,
+        id_col="doc_id",
+    )
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "n_train_refs",
+        "n_eval_refs",
+        "split",
+        "inherited",
     )
 
 
@@ -1487,12 +1711,14 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
-# r15 flagship composition: the full CCNet-style curation pipeline
-# (scrub -> normalize -> exact dedup -> LM quality gate) under ONE hash
-# gate, the quality-side sibling of q_neardup_dedup_pipeline.
-@register_bench_only(
+# Promoted to the registry in builder r17 (second in the promotion line;
+# the slot freed by the q_ivf_ann_topk demotion): the r15 flagship
+# composition — the full CCNet-style curation pipeline (scrub ->
+# normalize -> exact dedup -> LM quality gate) under ONE hash gate, the
+# quality-side sibling of q_neardup_dedup_pipeline, now driver-attested.
+@register(
     "q_curation_pipeline",
+    bench=True,
     oracle="""
     WITH off AS (
       SELECT 1 + max(doc_id) AS o FROM documents

@@ -135,6 +135,93 @@ def pack_sequences(
     )
 
 
+def incremental_split_inherit(
+    components: DataFrame,
+    cross_edges: DataFrame,
+    ref_splits: DataFrame,
+    id_col: str = "id",
+    component_col: str = "component",
+    new_id_col: str = "new_id",
+    ref_id_col: str = "ref_id",
+    split_col: str = "split",
+    train_pct: int = 90,
+) -> DataFrame:
+    """The production leakage fence AS DATA ARRIVES: assign each NEW
+    document a train/eval side such that a doc joining an EXISTING
+    near-dup component inherits that component's side — the incremental
+    complement of the one-shot leakage-safe split (a fresh crawl shard
+    must not put a near-copy of an eval-side reference doc into train).
+
+    Inputs: ``components`` = (id, component) over the NEW docs (their
+    new-x-new near-dup closure — two new docs in one cluster must land
+    on one side even if only one of them touches the reference corpus);
+    ``cross_edges`` = verified (new_id, ref_id) near-dup edges against
+    the reference corpus; ``ref_splits`` = (ref_id, split) with side
+    'train' / 'eval' as already assigned (component-consistent when it
+    came from the leakage-safe split; accepted as given either way).
+
+    Decision per NEW component: reachable ref sides = {train} -> train,
+    {eval} -> eval, both -> 'conflict' (quarantine — the reference split
+    itself straddles this cluster, so EITHER side would leak; surfacing
+    beats silently picking one), none -> fresh deterministic assignment
+    hash_bucket(component) < train_pct (the same engine-stable rule the
+    one-shot split uses, so re-runs reproduce it).
+
+    Output one row per new doc: (id, component, n_train_refs BIGINT,
+    n_eval_refs BIGINT, split, inherited INT 1/0).
+
+    Scale: one groupBy on the (small) cross-edge set + one broadcast-able
+    per-component side table joined back on component — the heavy lifting
+    (banding, verification, closure) happens upstream in the operators
+    this composes with; this step never touches text."""
+    labels = components.select(
+        F.col(id_col).alias("id"), F.col(component_col).alias("component")
+    )
+    sides = (
+        cross_edges.select(
+            F.col(new_id_col).alias("id"), F.col(ref_id_col).alias("ref_id")
+        )
+        .join(
+            ref_splits.select(
+                F.col(ref_id_col).alias("ref_id"), F.col(split_col).alias("ref_split")
+            ),
+            "ref_id",
+        )
+        .join(labels, "id")
+        .groupBy("component")
+        .agg(
+            F.count_if(F.col("ref_split") == "train").alias("n_train_refs"),
+            F.count_if(F.col("ref_split") == "eval").alias("n_eval_refs"),
+        )
+    )
+    fresh = F.when(
+        hash_bucket(F.col("component")) < train_pct, F.lit("train")
+    ).otherwise(F.lit("eval"))
+    return (
+        labels.join(sides, "component", "left")
+        .select(
+            "id",
+            "component",
+            F.coalesce("n_train_refs", F.lit(0)).cast("bigint").alias("n_train_refs"),
+            F.coalesce("n_eval_refs", F.lit(0)).cast("bigint").alias("n_eval_refs"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                (F.col("n_train_refs") > 0) & (F.col("n_eval_refs") > 0),
+                F.lit("conflict"),
+            )
+            .when(F.col("n_train_refs") > 0, F.lit("train"))
+            .when(F.col("n_eval_refs") > 0, F.lit("eval"))
+            .otherwise(fresh),
+        )
+        .withColumn(
+            "inherited",
+            ((F.col("n_train_refs") > 0) | (F.col("n_eval_refs") > 0)).cast("int"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -308,3 +308,63 @@ def test_leakage_safe_split_invariants(spark):
     # fixture is non-degenerate: both splits occur and the naive baseline leaks
     assert {r.split_safe for r in rows} == {"train", "eval"}
     assert any(r.leaky_doc_level for r in rows)
+
+
+def test_incremental_split_inherit_decision_paths(spark):
+    # hand-built graph covering every decision path of
+    # operators/curation.incremental_split_inherit:
+    #   comp 1 = {1, 2}: only doc 2 has a ref edge (train) -> BOTH docs
+    #            inherit train through the new-x-new link
+    #   comp 3 = {3}:    edges to train AND eval refs -> 'conflict'
+    #   comp 4 = {4}:    eval-only ref edge -> eval
+    #   comp 5 = {5}:    no ref edges -> fresh hash_bucket(component) rule
+    from pimdb_spark.operators.curation import (
+        hash_bucket,
+        incremental_split_inherit,
+    )
+
+    components = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 5)], ["id", "component"]
+    )
+    cross = spark.createDataFrame(
+        [(2, 101), (3, 101), (3, 102), (4, 102)], ["new_id", "ref_id"]
+    )
+    refs = spark.createDataFrame(
+        [(101, "train"), (102, "eval")], ["ref_id", "split"]
+    )
+    out = {
+        r.id: r
+        for r in incremental_split_inherit(components, cross, refs).collect()
+    }
+    assert len(out) == 5
+    assert out[1].split == "train" and out[1].inherited == 1
+    assert out[2].split == "train" and out[2].inherited == 1
+    assert out[1].n_train_refs == 1 and out[1].n_eval_refs == 0
+    assert out[3].split == "conflict" and out[3].inherited == 1
+    assert out[3].n_train_refs == 1 and out[3].n_eval_refs == 1
+    assert out[4].split == "eval" and out[4].inherited == 1
+    assert out[5].inherited == 0
+    fresh = spark.range(1).select(hash_bucket(F.lit(5).cast("long"))).first()[0]
+    assert out[5].split == ("train" if fresh < 90 else "eval")
+
+
+def test_incremental_split_inherit_fence_is_leak_free(spark):
+    # end-to-end composition over the real corpus: no NEW doc assigned
+    # 'train' may share a component with an eval-side reference edge and
+    # vice versa; conflicts are surfaced, never silently sided
+    from pimdb_spark.catalog_text import q_incremental_split_inherit
+
+    rows = q_incremental_split_inherit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert {r.split for r in rows} <= {"train", "eval", "conflict"}
+    for r in rows:
+        if r.split == "train":
+            assert r.n_eval_refs == 0
+        elif r.split == "eval":
+            assert r.n_train_refs == 0
+        elif r.split == "conflict":
+            assert r.n_train_refs > 0 and r.n_eval_refs > 0
+        assert r.inherited == int(r.n_train_refs + r.n_eval_refs > 0)
+    # fixture is non-degenerate: planted copies inherit, reversed docs don't
+    assert any(r.inherited == 1 for r in rows)
+    assert any(r.inherited == 0 for r in rows)
