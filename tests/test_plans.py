@@ -263,6 +263,11 @@ def test_no_plan_red_flags(spark, name, entry):
       1 + max(doc_id) copy-offset row cross-joined onto the planted-copy
       fixture slice (collision-free on any id range, never collected);
       the pipeline proper is the banding equi-join + CC label joins.
+    - q_minhash_lsh_pairs: the same ONE one-row broadcast attach (r17 —
+      retired the catalog's last literal planted-id offset, +1,000,000,
+      for the derived 1 + max(doc_id) form); the detector proper is the
+      shared _minhash_doc_signatures chain + banding equi-join with
+      candidate-only verification.
     - q_leakage_safe_split: the same ONE one-row broadcast attach (the
       1 + max(doc_id) planted-copy offset, shared fixture shape with
       q_neardup_dedup_pipeline); the split itself is a projection over
@@ -324,7 +329,19 @@ def test_no_plan_red_flags(spark, name, entry):
       cum >= rank) — bounded x bounded, corpus-size-independent; the
       sketch build itself is one map-side-combined groupBy (the CMS
       shape), and the exact side is the quality-gate ground truth
-      (rank lookup via one full sort, the ann_recall discipline)."""
+      (rank lookup via one full sort, the ann_recall discipline).
+    - q_dup_clusters_star: ONE one-row broadcast attach (the
+      1 + max(vec_id) planted-copy offset, r17 — retired the literal
+      +100,000); the contraction itself is groupBy + re-join equi-joins
+      per round.  (The hash-min twin q_dup_clusters carries the same
+      attach but localCheckpoints every round, so its FINAL plan is
+      lineage-cut and never shows the attach — same shape, different
+      visibility.)
+    - q_incremental_split_inherit: TWO one-row broadcast attaches (the
+      1 + max(doc_id) planted-copy offset used by both fixture slices);
+      the fence proper is the audited banding equi-joins (new x new and
+      new x ref), the CC label joins, and the per-component side
+      aggregate joined back on component — nothing data-sized crosses."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -343,6 +360,7 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_ivf_pq_residual_topk",
         "q_ivf_pq_residual_trained_topk",
         "q_neardup_dedup_pipeline",
+        "q_minhash_lsh_pairs",
         "q_leakage_safe_split",
         "q_cross_neardup_filter",
         "q_dedup_recall_lsh",
@@ -374,6 +392,8 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_hard_negatives",
         "q_knn_label_errors",
         "q_quantile_sketch",
+        "q_dup_clusters_star",
+        "q_incremental_split_inherit",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
