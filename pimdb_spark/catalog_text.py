@@ -788,12 +788,13 @@ def q_incremental_split_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that only cluster among themselves get one side per NEW component
     (the q_leakage_safe_split rule), and a new cluster reaching reference
     docs on BOTH sides is surfaced as 'conflict' rather than silently
-    picking one.  Composition over attested shapes: minhash_lsh_pairs
-    for the new-x-new closure (4x4 banding, Jaccard >= 0.8, components
-    via connected_components), the cross_neardup_filter two-sided banding
-    for new-x-ref edges (8x2 bands from the same 16-hash signatures,
-    Jaccard >= 0.5 — the gate wants recall; verification keeps precision
-    exact), then the inheritance decision.
+    picking one.  Composition over attested shapes: ONE
+    _minhash_doc_signatures pass per side, banded twice — 4x4 for the
+    new-x-new closure (minhash_pairs_from_signatures, Jaccard >= 0.8,
+    components via connected_components) and 8x2 for the new-x-ref gate
+    (cross_minhash_pairs_from_signatures, Jaccard >= 0.5 — the gate
+    wants recall; verification keeps precision exact), then the
+    inheritance decision.
 
     Fixture: the reference corpus is `documents` with a GIVEN doc-level
     hash split (production would feed q_leakage_safe_split's component
@@ -833,41 +834,25 @@ def q_incremental_split_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("eval"))
         .alias("split"),
     )
-    nn_pairs = D.minhash_lsh_pairs(
-        new, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    # ONE row-oriented signature pass per side (the audited
+    # _minhash_doc_signatures chain), then band the SAME frames twice:
+    # 4x4 for the new-x-new closure, 8x2 for the cross-corpus gate.  The
+    # first cut of this entry recomputed signatures through the
+    # interpreted-HOF path per banding scheme and per side — the exact
+    # CollapseProject blowup minhash_signature_from_hashes documents —
+    # and cost 48.6 s at sf0.1; the shared-signature form runs the same
+    # semantics in one codegen pass per side.
+    sig_new = D._minhash_doc_signatures(new, "doc_id", "text", 3, 16)
+    sig_ref = D._minhash_doc_signatures(docs, "doc_id", "text", 3, 16)
+    nn_pairs = D.minhash_pairs_from_signatures(
+        sig_new, num_hashes=16, bands=4, threshold=0.8
     )
     comp = CU.connected_components(
         nn_pairs, "id_a", "id_b", nodes=new.select("doc_id"), max_iter=100
     )
-
-    def prep(df: DataFrame, side: str):
-        toks = F.split("text", " ")
-        base = df.select(
-            F.col("doc_id").alias(f"{side}_id"),
-            D.word_shingles(toks, 3).alias(f"{side}_s"),
-        ).filter(F.size(f"{side}_s") > 0)
-        banded = base.select(
-            f"{side}_id",
-            F.posexplode(
-                D.lsh_band_hashes(
-                    D.minhash_signature(F.col(f"{side}_s"), 16), 8, 2
-                )
-            ).alias("band", "bh"),
-        )
-        return base, banded
-
-    nbase, nband = prep(new, "new")
-    rbase, rband = prep(docs, "ref")
-    cross = (
-        nband.join(rband, ["band", "bh"])
-        .select("new_id", "ref_id")
-        .distinct()
-        .join(nbase, "new_id")
-        .join(rbase, "ref_id")
-        .withColumn("jacc", D.jaccard(F.col("new_s"), F.col("ref_s")))
-        .filter(F.col("jacc") >= 0.5)
-        .select("new_id", "ref_id")
-    )
+    cross = D.cross_minhash_pairs_from_signatures(
+        sig_new, sig_ref, num_hashes=16, bands=8, threshold=0.5
+    ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"))
     out = CU.incremental_split_inherit(
         comp.select(F.col("id").alias("doc_id"), "component"),
         cross,

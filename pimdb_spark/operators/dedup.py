@@ -186,10 +186,25 @@ def minhash_lsh_pairs(
     upstream); the flooded-bucket set is tiny by definition, so the
     exclusion is a broadcast anti-join, not another shuffle.
     """
-    rows_per_band = num_hashes // bands
-    # per-doc signature chain shared with containment_lsh_pairs; see
-    # _minhash_doc_signatures for the one-exchange plan rationale
+    # per-doc signature chain shared with containment_lsh_pairs and the
+    # from-signatures callers; see _minhash_doc_signatures for the
+    # one-exchange plan rationale
     sig = _minhash_doc_signatures(df, id_col, text_col, k, num_hashes)
+    return minhash_pairs_from_signatures(
+        sig, num_hashes, bands, threshold, max_bucket_size=max_bucket_size
+    )
+
+
+def _banded_signatures(
+    sig: DataFrame, id_out: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id_out, band, band_hash) rows from a _minhash_doc_signatures frame:
+    one md5 per band over its rows_per_band slice, comma-joined as text so
+    the band hash is engine-reproducible.  The band join downstream carries
+    these rows ONLY — the wide shingle arrays stay out of the
+    O(n_docs x bands) shuffle and are re-joined just for the (typically
+    tiny) candidate set."""
+    rows_per_band = num_hashes // bands
     band_hash = [
         F.md5(
             F.concat_ws(
@@ -198,10 +213,25 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # band join on (doc, band_hash) ONLY — the wide shingle arrays stay out
-    # of the O(n_docs x bands) shuffle and are re-joined just for the
-    # (typically tiny) candidate set
-    banded = sig.select("doc", F.posexplode(F.array(*band_hash)).alias("band", "band_hash"))
+    return sig.select(
+        F.col("doc").alias(id_out),
+        F.posexplode(F.array(*band_hash)).alias("band", "band_hash"),
+    )
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banding + exact-Jaccard verification over a PRECOMPUTED
+    _minhash_doc_signatures frame — the second stage of minhash_lsh_pairs,
+    callable on its own so a pipeline that needs the same signatures for
+    several banding schemes (e.g. 4x4 self-dedup plus 8x2 cross-corpus
+    gating in q_incremental_split_inherit) computes them ONCE."""
+    banded = _banded_signatures(sig, "doc", num_hashes, bands)
     if max_bucket_size is not None:
         flooded = (
             banded.groupBy("band", "band_hash")
@@ -222,6 +252,39 @@ def minhash_lsh_pairs(
     sh_b = sig.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         cand_ids.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+def cross_minhash_pairs_from_signatures(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Two-sided banding + exact-Jaccard verification over two PRECOMPUTED
+    _minhash_doc_signatures frames: verified (id_a, id_b, jacc) pairs with
+    id_a from sig_a and id_b from sig_b — cross_neardup_filter's candidate
+    core for callers that already hold signature frames (build each side
+    once, band and join; the a-side never pairs with itself).
+
+    Scale: candidates are an equi-join on (band, band_hash) — a x b only;
+    verification re-joins shingle sets for candidates alone."""
+    cand = (
+        _banded_signatures(sig_a, "id_a", num_hashes, bands)
+        .join(_banded_signatures(sig_b, "id_b", num_hashes, bands),
+              ["band", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sig_a.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig_b.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jacc") >= threshold)
