@@ -219,3 +219,122 @@ def cross_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_split_stream(
+    doc_stream: DataFrame,
+    ref_docs: DataFrame,
+    ref_splits_path: str,
+    admitted_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    self_bands: int = 4,
+    self_threshold: float = 0.8,
+    cross_bands: int = 8,
+    cross_threshold: float = 0.5,
+    train_pct: int = 90,
+):
+    """Streaming twin of the incremental leakage fence
+    (catalog_text.q_incremental_split_inherit): each arriving micro-batch
+    of NEW documents is assigned train/eval sides by the exact batch
+    composition — one _minhash_doc_signatures pass per side, 4x4 banding
+    for the batch-internal closure, 8x2 banding against the reference,
+    then operators/curation.incremental_split_inherit — and, crucially,
+    NON-CONFLICT verdicts are APPENDED TO THE REFERENCE (both the
+    (ref_id, split) table at ``ref_splits_path`` and the admitted texts
+    at ``admitted_path``), so later arrivals that near-dup an earlier
+    arrival inherit ITS side even when no original reference doc is
+    involved.  That growing-reference recursion is what makes the fence
+    hold across micro-batches: the one-shot operator's component closure
+    is reproduced hop by hop as data arrives.
+
+    Order contract (inherent to any one-pass assignment, stated not
+    hidden): per-doc verdicts equal the one-shot batch split whenever
+    each near-dup cluster's minimum-id member arrives no later than its
+    other members (e.g. id-ordered ingest) — the min is then the
+    component representative in both worlds, so the fresh-side hash
+    agrees and every later member inherits it through the admitted
+    reference.  Under arbitrary arrival order the fence still never
+    splits a cluster across sides; only WHICH side a fresh cluster got
+    may differ from the one-shot run (the first arrival's hash decides).
+    A cluster that reaches both sides surfaces as 'conflict' and is
+    QUARANTINED — conflict docs never join the reference; members
+    already admitted before the conflicting evidence arrived stay on
+    their side (retroactive revocation is a batch re-split, not a
+    streaming operation).
+
+    Sink contract: AT-LEAST-ONCE, decision-stable.  A replayed epoch
+    recomputes against a reference that already contains its own
+    admissions; duplicate (ref_id, split) rows are idempotent for the
+    DECISION (the inheritance rule tests side-presence, not counts, and
+    a doc's agreeing duplicate can never flip presence), so 'split' and
+    'inherited' re-emit identically and keep-one-row-per-doc readers see
+    exactly-once decisions; the n_train_refs / n_eval_refs COUNT columns
+    may inflate on replay (an admitted duplicate of the doc itself also
+    band-matches it) — aggregate those only after deduping upstream.
+
+    Scale: per micro-batch the reference side costs one signature
+    projection + the banding equi-join (the audited batch plan); at
+    production scale persist the reference SIGNATURE frame instead of
+    re-deriving it from admitted texts (the quantize-on-write
+    discipline), refreshing it with each batch's admissions."""
+    from pimdb_spark.operators.curation import (
+        connected_components,
+        incremental_split_inherit,
+    )
+    from pimdb_spark.operators.dedup import (
+        _minhash_doc_signatures,
+        cross_minhash_pairs_from_signatures,
+        minhash_pairs_from_signatures,
+    )
+
+    def handle(batch_df: DataFrame, _epoch: int) -> None:
+        spark = batch_df.sparkSession
+        splits = spark.read.parquet(ref_splits_path)
+        ref = ref_docs.select(F.col(id_col), F.col(text_col))
+        try:
+            admitted = spark.read.parquet(admitted_path).select(id_col, text_col)
+            ref = ref.union(admitted)
+        except Exception:
+            pass  # first batch: nothing admitted yet
+        new = batch_df.select(id_col, text_col)
+        sig_new = _minhash_doc_signatures(new, id_col, text_col, k, num_hashes)
+        sig_ref = _minhash_doc_signatures(ref, id_col, text_col, k, num_hashes)
+        nn = minhash_pairs_from_signatures(
+            sig_new, num_hashes, self_bands, self_threshold
+        )
+        comp = connected_components(
+            nn, "id_a", "id_b", nodes=new.select(id_col), max_iter=100
+        )
+        cross = cross_minhash_pairs_from_signatures(
+            sig_new, sig_ref, num_hashes, cross_bands, cross_threshold
+        ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"))
+        out = incremental_split_inherit(
+            comp.select(F.col("id").alias(id_col), "component"),
+            cross,
+            splits,
+            id_col=id_col,
+            train_pct=train_pct,
+        ).localCheckpoint(eager=True)  # freeze verdicts BEFORE mutating the ref state
+        out.write.mode("append").parquet(out_path)
+        adm = out.filter(F.col("split") != "conflict")
+        adm.select(F.col("id").alias("ref_id"), "split").write.mode(
+            "append"
+        ).parquet(ref_splits_path)
+        new.join(
+            adm.select(F.col("id").alias(id_col)), id_col
+        ).write.mode("append").parquet(admitted_path)
+        sig_new.unpersist()
+        sig_ref.unpersist()
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
