@@ -500,6 +500,46 @@ def main() -> None:
             b.select("doc_id", "lm_score", "bucket"), "doc_id", "left"
         )
 
+    def _incremental_split_inherit(d):
+        # the fence WITHOUT the planted fixture (plants are correctness
+        # signal, not scaling behavior): every 5th doc is the "new
+        # shard", the rest the reference with a doc-level split — one
+        # _minhash_doc_signatures pass per side banded twice, CC over
+        # new x new, inheritance decision (the q_incremental_split_inherit
+        # production shape)
+        from pimdb_spark.operators.curation import (
+            connected_components,
+            hash_bucket,
+            incremental_split_inherit,
+        )
+        from pimdb_spark.operators.dedup import (
+            _minhash_doc_signatures,
+            cross_minhash_pairs_from_signatures,
+            minhash_pairs_from_signatures,
+        )
+
+        dd = docs(d).select("doc_id", "text")
+        new = dd.filter(F.col("doc_id") % 5 == 0)
+        ref = dd.filter(F.col("doc_id") % 5 != 0)
+        splits = ref.select(
+            F.col("doc_id").alias("ref_id"),
+            F.when(hash_bucket(F.col("doc_id")) < 90, "train")
+            .otherwise("eval").alias("split"),
+        )
+        sig_new = _minhash_doc_signatures(new, "doc_id", "text", 3, 16)
+        sig_ref = _minhash_doc_signatures(ref, "doc_id", "text", 3, 16)
+        nn = minhash_pairs_from_signatures(sig_new, 16, 4, 0.8)
+        comp = connected_components(
+            nn, "id_a", "id_b", nodes=new.select("doc_id"), max_iter=100
+        )
+        cross = cross_minhash_pairs_from_signatures(
+            sig_new, sig_ref, 16, 8, 0.5
+        ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"))
+        return incremental_split_inherit(
+            comp.select(F.col("id").alias("doc_id"), "component"),
+            cross, splits, id_col="doc_id",
+        )
+
     def _leakage_safe_split(d):
         # the composed chain WITHOUT the planted copies (plants are
         # correctness signal, not scaling behavior): LSH pairs on the
@@ -560,6 +600,7 @@ def main() -> None:
             "vec_id", "vec_id", shortlist=12, k=3,
         ),
         "leakage_safe_split": _leakage_safe_split,
+        "incremental_split_inherit": _incremental_split_inherit,
         # regex-heavy per-doc scan + a (lang, source)-bounded groupBy; the
         # pii_redact parallelism pin for the same reason.  The aggregation
         # is the SHARED operators/text.tokenizer_fertility definition —
