@@ -348,3 +348,78 @@ def test_incremental_split_stream_matches_batch_id_ordered(spark, tmp_path):
             assert sib is not None and r.inherited == 1
             assert r.split == sib[0]
     assert any(v[1] == 0 for v in got.values())  # fresh singletons exist
+
+
+def test_incremental_split_stream_never_splits_cluster_any_order(spark, tmp_path):
+    """The fence's order-robustness contract: under arrival order that
+    VIOLATES min-id-first (batches fed in reverse id order), which side a
+    fresh cluster lands on may differ from the one-shot split, but no
+    near-dup cluster may ever straddle train/eval — later members inherit
+    through the admitted earlier member."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.curation import hash_bucket
+    from pimdb_spark.streaming.neardup import incremental_split_stream
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs
+    ref_splits = docs.select(
+        F.col("doc_id").alias("ref_id"),
+        F.when(hash_bucket(F.col("doc_id")) < 90, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    off = docs.agg((F.lit(1) + F.max("doc_id")).alias("_o"))
+    eligible = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.size(F.split("text", " ")) >= 3)
+    )
+    copy1 = eligible.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + F.col("_o")).alias("doc_id"), "text"
+    )
+    copy2 = eligible.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + 2 * F.col("_o")).alias("doc_id"), "text"
+    )
+    new = copy1.union(copy2)
+    o = off.first()[0]
+
+    src = tmp_path / "new_stream"
+    src.mkdir()
+    # REVERSED order: the higher-id copies (batch file sorts
+    # lexicographically, so name them to arrive high-ids-first)
+    for name, pred in (
+        ("a", F.col("doc_id") >= 2 * o),
+        ("b", F.col("doc_id") < 2 * o),
+    ):
+        stage = tmp_path / f"stage_{name}"
+        new.filter(pred).coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    out_path = str(tmp_path / "verdicts")
+    splits_path = str(tmp_path / "ref_splits")
+    ref_splits.write.parquet(splits_path)
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    q = incremental_split_stream(
+        stream,
+        ref,
+        splits_path,
+        str(tmp_path / "admitted"),
+        out_path,
+        str(tmp_path / "chk"),
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+
+    got = {r.id: r.split for r in spark.read.parquet(out_path).collect()}
+    assert len(got) == new.count()
+    # every copy pair (d+o, d+2o) is one near-dup cluster: same side,
+    # regardless of which member arrived first
+    for d in [r.doc_id for r in eligible.collect()]:
+        a, b = got[d + o], got[d + 2 * o]
+        assert a == b, (d, a, b)
+        assert a in ("train", "eval", "conflict")
