@@ -280,122 +280,125 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # every round by scripts/derive_rotation.py as (new entries) + (changed
 # entries) + (entries that failed last round) + (entries outside last
 # round's window, stalest attestation first, ties in registration
-# order).  Builder-r17 derivation (`scripts/derive_rotation.py
-# q_neardup_dedup_pipeline q_curation_pipeline -- q_minhash_lsh_pairs
-# q_dup_clusters q_embedding_dup_pairs q_semdedup`) over the 145-entry
-# registry (148 minus the r14-verdict demotion pairs q_inverted_index /
-# q_lsh_ann_topk and q_cosine_topk / q_ivf_ann_topk, minus the
-# subsumed-by-its-grouped-twin q_hll_distinct, plus the two flagship
-# promotions): 2 new (the promoted q_neardup_dedup_pipeline /
-# q_curation_pipeline) + 4 changed (q_minhash_lsh_pairs /
-# q_embedding_dup_pairs / q_semdedup: literal planted-id offsets retired
-# to derived 1+max forms, the first also gaining the shared
-# _minhash_doc_signatures helper; q_dup_clusters: the
-# connected_components loud non-convergence guard + its own offset
-# retirement) + 0 failed + stalest-first; the 44 surviving r12-attested
-# names fill the window exactly: 2 + 4 + 44 = 50, and
-# derive_rotation.py verified registry \ (r13 ∪ r14 ∪ next) = ∅.
+# order).  Builder-r18 derivation (`scripts/derive_rotation.py
+# q_ivf_pq_rerank_topk q_leakage_safe_split q_cross_neardup_filter --
+# q_snapshot_diff q_snapshot_merge`) over the 148-entry registry (145 +
+# the three r18 promotions; the r15 verdict's judge-computed arithmetic
+# was 46 forced r13-stale names + 4 free slots): 3 new (the promoted
+# q_ivf_pq_rerank_topk / q_leakage_safe_split per the stated line order,
+# plus q_cross_neardup_filter promoted WITH its shared-signature rewrite
+# so the changed entry's re-attestation is driver-recorded, spending the
+# verdict's budgeted slot) + 2 changed (q_snapshot_diff /
+# q_snapshot_merge: the catalog's last literal id offsets, +10,000,000,
+# retired to derived 1+max(o_orderkey) forms — window-NEUTRAL, both are
+# in the forced 46) + 0 failed + stalest-first; 3 + 46 forced = 49, and
+# the 50th slot is the kept margin (auto-filled by the stalest r14
+# name, q_dedup_keep_first — a free re-attestation).
+# derive_rotation.py verified registry \ (r14 ∪ r15 ∪ next) = ∅.
 _CHECK_FIRST: list[str] = [
     # -- new this round --
-    "q_neardup_dedup_pipeline",
-    "q_curation_pipeline",
+    "q_ivf_pq_rerank_topk",
+    "q_leakage_safe_split",
+    "q_cross_neardup_filter",
     # -- changed this round --
-    "q_minhash_lsh_pairs",
-    "q_dup_clusters",
-    "q_embedding_dup_pairs",
-    "q_semdedup",
+    "q_snapshot_diff",
+    "q_snapshot_merge",
     # -- stalest attestation first --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q_filter_project_rename",
-    "q_conjunctive_isin",
-    "q_self_join_pairs",
-    "q_composite_key_join",
-    "q_multiway_distinct",
-    "q_topk_orders",
-    "q_ann_recall_lsh",
-    "q_lsh_multitable_topk",
-    "q_time_window_agg",
-    "q_sessionize",
-    "q_multimodal_meta",
-    "q_jpeg_pixel_stats",
-    "q_asof_join",
-    "q_range_join",
-    "q_interval_join",
-    "q_grouping_analytics",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_pivot",
-    "q_percentile",
-    "q_partial_salted_join",
-    "q_full_outer",
-    "q_window_suite",
-    "q_scalar_functions",
-    "q_list_membership_join",
-    "q_bpe_pairs",
-    "q_bpe_train",
-    "q_inverted_index_capped",
-    "q_sorted_neighborhood",
-    "q_snm_multipass",
-    "q_group_auc",
-    "q_calibration_bins",
-    "q_cohort_retention",
-    "q_last_touch",
-    "q_session_paths",
-    "q_co_occurrence_edges",
-    "q_bfs_hops",
-    "q_funnel_steps",
-    "q_pagerank",
-    "q_triangle_count",
-    "q_linear_attribution",
-    "q_simhash",  # last green r13
-    "q_bm25_topk",  # last green r13
-    "q_kmeans_assignments",  # last green r13
-    "q_int8_ann_topk",  # last green r13
-    "q_ivf_int8_topk",  # last green r13
-    "q_pq_adc_topk",  # last green r13
-    "q_ivf_pq_topk",  # last green r13
-    "q_embedding_gram_int8",  # last green r13
-    "q_random_projection_int8",  # last green r13
-    "q_multimodal_decode",  # last green r13
-    "q_image_channel_stats",  # last green r13
-    "q_jpeg_color_stats",  # last green r13
-    "q13_order_distribution",  # last green r13
-    "q18_large_volume_customers",  # last green r13
-    "q6_forecast_revenue",  # last green r13
-    "q14_promo_revenue",  # last green r13
-    "q10_returned_items",  # last green r13
-    "q19_discounted_revenue",  # last green r13
-    "q17_small_quantity",  # last green r13
-    "q21_waiting_suppliers",  # last green r13
-    "q22_idle_customers",  # last green r13
-    "q16_supplier_parts",  # last green r13
-    "q_rolling_window",  # last green r13
-    "q4_priority_count",  # last green r13
-    "q8_market_share",  # last green r13
-    "q15_top_supplier",  # last green r13
-    "q9_product_profit",  # last green r13
-    "q_hash_split",  # last green r13
-    "q_domain_quota",  # last green r13
-    "q_seq_packing",  # last green r13
-    "q_quality_funnel",  # last green r13
-    "q_stratified_sample",  # last green r13
-    "q_weighted_sample",  # last green r13
-    "q_snapshot_diff",  # last green r13
-    "q_snapshot_merge",  # last green r13
-    "q_scd2_intervals",  # last green r13
-    "q_token_df_idf",  # last green r13
-    "q_top_bigrams",  # last green r13
-    "q_decontaminate",  # last green r13
-    "q_priority_dedup",  # last green r13
-    "q_repetition_ratio",  # last green r13
-    "q_redact",  # last green r13
-    "q_corpus_divergence",  # last green r13
-    "q_bpe_train_batched",  # last green r13
-    "q_bloom_decontaminate",  # last green r13
-    "q_label_propagation",  # last green r13
+    "q_simhash",
+    "q_bm25_topk",
+    "q_kmeans_assignments",
+    "q_int8_ann_topk",
+    "q_ivf_int8_topk",
+    "q_pq_adc_topk",
+    "q_ivf_pq_topk",
+    "q_embedding_gram_int8",
+    "q_random_projection_int8",
+    "q_multimodal_decode",
+    "q_image_channel_stats",
+    "q_jpeg_color_stats",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "q17_small_quantity",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q16_supplier_parts",
+    "q_rolling_window",
+    "q4_priority_count",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q9_product_profit",
+    "q_hash_split",
+    "q_domain_quota",
+    "q_seq_packing",
+    "q_quality_funnel",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    "q_scd2_intervals",
+    "q_token_df_idf",
+    "q_top_bigrams",
+    "q_decontaminate",
+    "q_priority_dedup",
+    "q_repetition_ratio",
+    "q_redact",
+    "q_corpus_divergence",
+    "q_bpe_train_batched",
+    "q_bloom_decontaminate",
+    "q_label_propagation",
+    "q_dedup_keep_first",  # last green r14
+    "q_distinct_multi",  # last green r14
+    "q_key_table_tokens",  # last green r14
+    "q_left_join_coalesce",  # last green r14
+    "q_window_rank",  # last green r14
+    "q_count_star",  # last green r14
+    "q_set_ops",  # last green r14
+    "q_json_extract",  # last green r14
+    "q_sql_passthrough",  # last green r14
+    "q_posexplode_ordering",  # last green r14
+    "q_explode_resolve_renumber",  # last green r14
+    "q_token_decompose",  # last green r14
+    "q_text_stats",  # last green r14
+    "q_lang_id",  # last green r14
+    "q_token_counts",  # last green r14
+    "q_doc_fingerprint_dedup",  # last green r14
+    "q_negative_sample",  # last green r14
+    "q_pq_trained_topk",  # last green r14
+    "q_audio_stats",  # last green r14
+    "q_video_frame_stats",  # last green r14
+    "q_image_ahash",  # last green r14
+    "q_image_dup_pairs",  # last green r14
+    "q_audio_fingerprint",  # last green r14
+    "q_audio_dup_pairs",  # last green r14
+    "q_jpeg_color_stats_420",  # last green r14
+    "q7_nation_volume",  # last green r14
+    "q_approx_distinct",  # last green r14
+    "q_approx_percentile",  # last green r14
+    "q_table_profile",  # last green r14
+    "q_ngram_lm_score",  # last green r14
+    "q_ngram_lm_score_jm",  # last green r14
+    "q2_min_cost_supplier",  # last green r14
+    "q11_important_stock",  # last green r14
+    "q12_late_shipments",  # last green r14
+    "q20_part_promotion",  # last green r14
+    "q_paragraph_dedup",  # last green r14
+    "q_ngram_decontaminate",  # last green r14
+    "q_chunk_documents",  # last green r14
+    "q_budget_take",  # last green r14
+    "q_heavy_hitters",  # last green r14
+    "q_histogram",  # last green r14
+    "q_robust_outliers",  # last green r14
+    "q_fuzzy_link",  # last green r14
+    "q_zorder_key",  # last green r14
+    "q_mixture_plan",  # last green r14
+    "q_validate_constraints",  # last green r14
+    "q_sparse_doc_sim",  # last green r14
+    "q_cms_heavy_hitters",  # last green r14
+    "q_hll_group_distinct",  # last green r14
 ]
+
 
 
 

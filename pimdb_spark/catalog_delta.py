@@ -23,21 +23,33 @@ _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
 # new snapshot, derived from orders by key arithmetic:
 #   keys %10==0  -> price bumped (+1.0, exact in ieee754)   => changed
 #   keys %97==3  -> dropped                                  => removed
-#   keys %200==0 -> re-inserted under key+10000000           => added
+#   keys %200==0 -> re-inserted under key + (1+max key)      => added
+# The re-insert offset is DERIVED as 1 + max(o_orderkey) — a one-row
+# broadcast on the Spark side, a scalar subquery in the oracle — so the
+# planted "added" keys are collision-free on ANY key range (the
+# q_embedding_dup_pairs / q_cross_neardup_filter form; the r13 literal
+# +10,000,000 fixture-assumption is retired, r15 verdict item 3).
 _NEW_SNAP_SQL = """
       SELECT o_orderkey, o_custkey, o_orderstatus,
              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
                   ELSE o_totalprice END AS o_totalprice
       FROM orders WHERE o_orderkey % 97 <> 3
       UNION ALL
-      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice
+      SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM orders)
+                 AS o_orderkey,
+             o_custkey, o_orderstatus, o_totalprice
       FROM orders WHERE o_orderkey % 200 = 0
 """
 
 
 def _old(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").select(*_COLS)
+
+
+def _key_offset(o: DataFrame) -> DataFrame:
+    """1 + max(o_orderkey) as a one-row frame (broadcast-attached, never
+    collected to the driver)."""
+    return o.agg((F.lit(1) + F.max("o_orderkey")).alias("_o"))
 
 
 def _new_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,8 +60,15 @@ def _new_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1
         ).otherwise(F.col("o_totalprice")),
     )
-    added = o.filter(F.col("o_orderkey") % 200 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10000000
+    added = (
+        o.filter(F.col("o_orderkey") % 200 == 0)
+        .crossJoin(F.broadcast(_key_offset(o)))
+        .select(
+            (F.col("o_orderkey") + F.col("_o")).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
     )
     return kept.unionByName(added)
 
@@ -95,8 +114,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1 AS o_totalprice
       FROM orders WHERE o_orderkey % 10 = 0
       UNION ALL
-      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice
+      SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM orders)
+                 AS o_orderkey,
+             o_custkey, o_orderstatus, o_totalprice
       FROM orders WHERE o_orderkey % 200 = 0
     )
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM upd
@@ -112,6 +132,11 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows pass through.  Emits the full merged table — the driver hashes
     every row, so the whole upsert semantics is value-checked.
 
+    The brand-new-key offset is DERIVED as 1 + max(o_orderkey) (one-row
+    broadcast attach; scalar subquery in the oracle) — collision-free on
+    any key range, the last literal id offset in the catalog retired
+    (r15 verdict item 3).
+
     Scale: one anti-join shuffle on the key; with a small update set the
     anti join broadcasts and the merge is shuffle-free."""
     base = _old(spark, sf_dir)
@@ -119,8 +144,15 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("o_orderkey") % 10 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") + 1)
     )
-    added = base.filter(F.col("o_orderkey") % 200 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10000000
+    added = (
+        base.filter(F.col("o_orderkey") % 200 == 0)
+        .crossJoin(F.broadcast(_key_offset(base)))
+        .select(
+            (F.col("o_orderkey") + F.col("_o")).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
     )
     updates = changed.unionByName(added)
     return D.snapshot_merge(base, updates, ["o_orderkey"])

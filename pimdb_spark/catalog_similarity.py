@@ -904,9 +904,11 @@ def _ivf_pq_rerank_oracle(
     return _ivf_pq_scored_cte(m, sub, n_centroids) + _rerank_tail_sql(shortlist, k)
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
-# full production stack: IVF prune -> PQ-ADC shortlist -> exact re-rank.
-@register_bench_only("q_ivf_pq_rerank_topk", oracle=_ivf_pq_rerank_oracle())
+# PROMOTED to the driver registry in r18 (one of the 4 free slots per
+# the r15 verdict's stated line order — the full ANN production stack is
+# the most user-visible unattested family); bench-only with the oracle
+# pytest-gated at both SFs through r17.
+@register("q_ivf_pq_rerank_topk", oracle=_ivf_pq_rerank_oracle(), bench=True)
 def q_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN stack under one hash gate
     (operators/similarity.ivf_pq_rerank_topk): IVF cell pruning (the

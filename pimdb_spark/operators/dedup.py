@@ -785,13 +785,14 @@ def dedup_recall(
 
 def cross_neardup_filter(
     new_docs: DataFrame,
-    ref_docs: DataFrame,
+    ref_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    ref_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-corpus near-duplicate gate: flag every NEW document that is
     a banded-MinHash near-duplicate (true Jaccard >= threshold) of ANY
@@ -810,57 +811,52 @@ def cross_neardup_filter(
     bands) — a GATE wants the high-recall end; verification keeps
     precision exact.
 
-    Scale: both sides band independently (projections); candidates are
-    an equi-join on (band, band_hash) — new x ref only, never new x new
-    — and verification re-joins shingle sets for candidates alone.  The
-    reference side's banded frame is reusable across shards (build
-    once, join per shard)."""
-    rows_per_band = num_hashes // bands
+    Both sides run through the shared _minhash_doc_signatures chain
+    (ONE row-oriented codegen pass per side — the interpreted
+    higher-order-function signature projection this operator originally
+    carried cost ~5-10x per doc; the same rewrite cut the incremental
+    fence 9.4x) and pair through cross_minhash_pairs_from_signatures.
+    The math is value-identical: same universal-hash family, same md5
+    band hashing, same exact-Jaccard verification.
 
-    def prep(df: DataFrame, side: str):
-        toks = F.split(F.col(text_col), " ")
-        base = df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            word_shingles(toks, k).alias(f"{side}_s"),
-        ).filter(F.size(f"{side}_s") > 0)
-        banded = base.select(
-            f"{side}_id",
-            F.posexplode(
-                lsh_band_hashes(
-                    minhash_signature(F.col(f"{side}_s"), num_hashes),
-                    bands,
-                    rows_per_band,
-                )
-            ).alias("band", "bh"),
-        )
-        return base, banded
+    Reusable reference side: pass ``ref_signatures`` (a frame of
+    (doc, h0..h{num_hashes-1}, shingles) rows from
+    minhash_doc_signatures — typically persisted as a table when the
+    reference corpus was admitted) and ``ref_docs`` is never touched:
+    successive shards gate against the SAME signature table without
+    re-shingling or re-hashing the reference corpus — the build-once,
+    join-per-shard incremental-ingest economics the docstring always
+    promised, now a first-class argument.
 
-    nbase, nband = prep(new_docs, "new")
-    rbase, rband = prep(ref_docs, "ref")
-    cand = nband.join(rband, ["band", "bh"]).select("new_id", "ref_id").distinct()
-    verified = (
-        cand.join(nbase, "new_id")
-        .join(rbase, "ref_id")
-        .select(
-            "new_id",
-            "ref_id",
-            jaccard(F.col("new_s"), F.col("ref_s")).alias("jacc"),
+    Scale: candidates are an equi-join on (band, band_hash) — new x ref
+    only, never new x new — and verification re-joins shingle sets for
+    candidates alone.  Count and best-match come from one window pass
+    over the verified pairs (single shuffle on new_id)."""
+    if ref_signatures is None:
+        if ref_docs is None:
+            raise ValueError("cross_neardup_filter needs ref_docs or ref_signatures")
+        ref_signatures = _minhash_doc_signatures(
+            ref_docs, id_col, text_col, k, num_hashes
         )
-        .filter(F.col("jacc") >= threshold)
+    sig_new = _minhash_doc_signatures(new_docs, id_col, text_col, k, num_hashes)
+    verified = cross_minhash_pairs_from_signatures(
+        sig_new, ref_signatures, num_hashes, bands, threshold
     )
-    w = Window.partitionBy("new_id").orderBy(F.desc("jacc"), F.asc("ref_id"))
+    w_part = Window.partitionBy("id_a")
+    w_best = w_part.orderBy(F.desc("jacc"), F.asc("id_b"))
     best = (
-        verified.withColumn("rn", F.row_number().over(w))
+        verified.withColumn("n_ref_matches", F.count(F.lit(1)).over(w_part))
+        .withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
-        .select("new_id", F.col("ref_id").alias("best_ref"),
-                F.col("jacc").alias("best_jacc"))
-    )
-    counts = verified.groupBy("new_id").agg(
-        F.count(F.lit(1)).alias("n_ref_matches")
+        .select(
+            F.col("id_a").alias("new_id"),
+            "n_ref_matches",
+            F.col("id_b").alias("best_ref"),
+            F.col("jacc").alias("best_jacc"),
+        )
     )
     return (
         new_docs.select(F.col(id_col).alias("new_id"))
-        .join(counts, "new_id", "left")
         .join(best, "new_id", "left")
         .select(
             F.col("new_id").alias(id_col),
@@ -875,6 +871,25 @@ def cross_neardup_filter(
             .alias("matched"),
         )
     )
+
+
+def minhash_doc_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Public form of the shared per-document minhash signature chain:
+    (doc, h0..h{num_hashes-1}, shingles) — the frame every banding
+    consumer (minhash_pairs_from_signatures,
+    cross_minhash_pairs_from_signatures, cross_neardup_filter's
+    ``ref_signatures``) takes.  Persist it as a TABLE when the corpus it
+    describes is long-lived (an admitted reference corpus gating many
+    incoming shards): signatures are computed once at admission time and
+    every later gate reads ~(num_hashes x 8 bytes + shingle set) per
+    reference doc instead of re-shingling the reference text."""
+    return _minhash_doc_signatures(df, id_col, text_col, k, num_hashes)
 
 
 def containment_pairs(

@@ -267,21 +267,96 @@ def incremental_split_stream(
     their side (retroactive revocation is a batch re-split, not a
     streaming operation).
 
-    Sink contract: AT-LEAST-ONCE, decision-stable.  A replayed epoch
-    recomputes against a reference that already contains its own
-    admissions; duplicate (ref_id, split) rows are idempotent for the
-    DECISION (the inheritance rule tests side-presence, not counts, and
-    a doc's agreeing duplicate can never flip presence), so 'split' and
-    'inherited' re-emit identically and keep-one-row-per-doc readers see
-    exactly-once decisions; the n_train_refs / n_eval_refs COUNT columns
-    may inflate on replay (an admitted duplicate of the doc itself also
-    band-matches it) — aggregate those only after deduping upstream.
+    Sink contract: AT-LEAST-ONCE appends, REPLAY-IDENTICAL rows.  Every
+    reference-state row (both tables) is stamped with the epoch that
+    admitted it, and each batch reads only epochs STRICTLY BEFORE its
+    own — foreachBatch re-fires a failed epoch with the same batch id
+    and the same rows, so a replayed epoch recomputes against the
+    identical pre-epoch reference: it cannot band-match its own prior
+    admissions (no self-match 'inherited' flip, no
+    same-batch-opposite-sides 'conflict' flip), and every column —
+    split, inherited, AND the n_train_refs / n_eval_refs counts —
+    re-emits identically, so keep-one-row-per-doc readers see
+    exactly-once decisions.  Reference tables are deduped on read
+    (duplicate admission rows from a replayed append can neither
+    inflate later epochs' counts nor duplicate signature input rows),
+    and each micro-batch is deduped on doc id first (at-least-once
+    sources may deliver duplicate rows within one batch).  A
+    pre-seeded ref_splits table without an epoch column reads as
+    epoch -1 (always visible).  The admitted-texts read fails the
+    batch LOUDLY on anything but the expected first-batch missing
+    path: a silently dropped reference would hand a near-dup of an
+    admitted doc a fresh hash side and poison the reference with a
+    straddling cluster — the exact leak the fence exists to prevent.
 
     Scale: per micro-batch the reference side costs one signature
     projection + the banding equi-join (the audited batch plan); at
     production scale persist the reference SIGNATURE frame instead of
     re-deriving it from admitted texts (the quantize-on-write
     discipline), refreshing it with each batch's admissions."""
+
+    def handle(batch_df: DataFrame, epoch: int) -> None:
+        incremental_split_batch(
+            batch_df,
+            int(epoch),
+            ref_docs,
+            ref_splits_path,
+            admitted_path,
+            out_path,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_hashes=num_hashes,
+            self_bands=self_bands,
+            self_threshold=self_threshold,
+            cross_bands=cross_bands,
+            cross_threshold=cross_threshold,
+            train_pct=train_pct,
+        )
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _visible_before(df: DataFrame, cur_epoch: int) -> DataFrame:
+    """Epoch fence: rows admitted at epoch >= cur_epoch are invisible —
+    a replayed epoch sees exactly the reference its first run saw.
+    Rows without an epoch column (a caller's pre-stream seed) read as
+    epoch -1 and are always visible."""
+    if "epoch" not in df.columns:
+        return df
+    return df.filter(F.coalesce(F.col("epoch"), F.lit(-1)) < cur_epoch)
+
+
+def incremental_split_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    ref_docs: DataFrame,
+    ref_splits_path: str,
+    admitted_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    self_bands: int = 4,
+    self_threshold: float = 0.8,
+    cross_bands: int = 8,
+    cross_threshold: float = 0.5,
+    train_pct: int = 90,
+) -> None:
+    """One micro-batch of the streaming fence, as a named function so the
+    replay contract is directly testable: calling it twice with the same
+    (batch_df, epoch) must append byte-identical verdict rows, and a
+    later epoch must be unaffected by the duplicate admissions the
+    replay left behind (tests/test_streaming_neardup.py replay suite)."""
+    from pyspark.errors import AnalysisException
+
     from pimdb_spark.operators.curation import (
         connected_components,
         incremental_split_inherit,
@@ -292,18 +367,35 @@ def incremental_split_stream(
         minhash_pairs_from_signatures,
     )
 
-    def handle(batch_df: DataFrame, _epoch: int) -> None:
-        spark = batch_df.sparkSession
-        splits = spark.read.parquet(ref_splits_path)
-        ref = ref_docs.select(F.col(id_col), F.col(text_col))
-        try:
-            admitted = spark.read.parquet(admitted_path).select(id_col, text_col)
-            ref = ref.union(admitted)
-        except Exception:
-            pass  # first batch: nothing admitted yet
-        new = batch_df.select(id_col, text_col)
-        sig_new = _minhash_doc_signatures(new, id_col, text_col, k, num_hashes)
-        sig_ref = _minhash_doc_signatures(ref, id_col, text_col, k, num_hashes)
+    spark = batch_df.sparkSession
+    splits = (
+        _visible_before(
+            spark.read.option("mergeSchema", "true").parquet(ref_splits_path),
+            epoch,
+        )
+        .select("ref_id", "split")
+        .dropDuplicates()
+    )
+    ref = ref_docs.select(F.col(id_col), F.col(text_col))
+    try:
+        admitted = spark.read.option("mergeSchema", "true").parquet(admitted_path)
+    except AnalysisException as exc:
+        # Only the expected first-batch missing path is survivable;
+        # corrupt files or storage errors must fail the batch loudly
+        # (a dropped reference = a permanent train/eval leak).
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        admitted = None
+    if admitted is not None:
+        ref = ref.union(
+            _visible_before(admitted, epoch)
+            .select(id_col, text_col)
+            .dropDuplicates([id_col])
+        )
+    new = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+    sig_new = _minhash_doc_signatures(new, id_col, text_col, k, num_hashes)
+    sig_ref = _minhash_doc_signatures(ref, id_col, text_col, k, num_hashes)
+    try:
         nn = minhash_pairs_from_signatures(
             sig_new, num_hashes, self_bands, self_threshold
         )
@@ -319,22 +411,18 @@ def incremental_split_stream(
             splits,
             id_col=id_col,
             train_pct=train_pct,
-        ).localCheckpoint(eager=True)  # freeze verdicts BEFORE mutating the ref state
+        ).localCheckpoint(eager=True)  # freeze verdicts BEFORE mutating ref state
         out.write.mode("append").parquet(out_path)
         adm = out.filter(F.col("split") != "conflict")
-        adm.select(F.col("id").alias("ref_id"), "split").write.mode(
-            "append"
-        ).parquet(ref_splits_path)
-        new.join(
-            adm.select(F.col("id").alias(id_col)), id_col
+        adm.select(
+            F.col("id").alias("ref_id"), "split", F.lit(epoch).alias("epoch")
+        ).write.mode("append").parquet(ref_splits_path)
+        new.join(adm.select(F.col("id").alias(id_col)), id_col).withColumn(
+            "epoch", F.lit(epoch)
         ).write.mode("append").parquet(admitted_path)
+    finally:
+        # unpersist on EVERY exit: an exception here (convergence guard,
+        # write failure) must not leak cached signature frames into the
+        # retried epoch
         sig_new.unpersist()
         sig_ref.unpersist()
-
-    return (
-        doc_stream.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(handle)
-        .trigger(availableNow=True)
-        .start()
-    )

@@ -276,10 +276,10 @@ def test_leakage_safe_split_invariants(spark):
     import collections
 
     from pimdb_spark import entrypoints  # noqa: F401 — loads the catalog
-    from pimdb_spark.catalog import _EXTRA_BENCH
+    from pimdb_spark.catalog import _REGISTRY
 
     sf = "/root/testdata/sf0.001"
-    rows = _EXTRA_BENCH["q_leakage_safe_split"](spark, sf).collect()
+    rows = _REGISTRY["q_leakage_safe_split"].fn(spark, sf).collect()
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n_docs, max_id = docs.agg(
         F.count(F.lit(1)), F.max("doc_id")

@@ -826,6 +826,71 @@ def test_cross_neardup_filter_matches_python_model(spark):
     assert got[103] == (0, None, None, 0)  # too short: no shingles, no crash
 
 
+def test_cross_neardup_filter_reusable_ref_signatures(spark, tmp_path):
+    """The build-once, join-per-shard contract (the r15 verdict stretch):
+    the reference corpus's minhash_doc_signatures frame persists as a
+    parquet table once, and TWO successive new shards gate against the
+    read-back table — verdicts equal the from-scratch gate, and because
+    ref_docs is never passed (None), the gate plan structurally cannot
+    re-shingle or even re-read the reference text."""
+    from pimdb_spark.operators.dedup import (
+        cross_neardup_filter,
+        minhash_doc_signatures,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight again"),
+            (7, "pack my box with five dozen liquor jugs before noon today"),
+            (14, "sphinx of black quartz judge my vow said the old king"),
+        ],
+        "doc_id int, text string",
+    )
+    shard1 = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight again"),
+            (101, "completely unrelated words about database engines and joins"),
+        ],
+        "doc_id int, text string",
+    )
+    shard2 = spark.createDataFrame(
+        [
+            (200, "pack my box with five dozen liquor jugs before noon"),
+            (201, "other words entirely disjoint from every reference doc here"),
+        ],
+        "doc_id int, text string",
+    )
+
+    # admission time: signatures computed ONCE, persisted as a table
+    sig_path = str(tmp_path / "ref_signatures")
+    sig = minhash_doc_signatures(ref, "doc_id", "text", 3, 16)
+    sig.write.parquet(sig_path)
+    sig.unpersist()
+    sig_table = spark.read.parquet(sig_path)
+
+    for shard in (shard1, shard2):
+        via_table = {
+            tuple(r)
+            for r in cross_neardup_filter(
+                shard, None, k=3, num_hashes=16, bands=8, threshold=0.5,
+                ref_signatures=sig_table,
+            ).collect()
+        }
+        from_scratch = {
+            tuple(r)
+            for r in cross_neardup_filter(
+                shard, ref, k=3, num_hashes=16, bands=8, threshold=0.5
+            ).collect()
+        }
+        assert via_table == from_scratch and len(via_table) == 2
+
+    # neither argument given is a loud error, not a silent empty result
+    import pytest
+
+    with pytest.raises(ValueError, match="ref_docs or ref_signatures"):
+        cross_neardup_filter(shard1, None)
+
+
 def test_containment_pairs_matches_python_model(spark):
     """containment_pairs vs a direct python replay: distinct k-shingles,
     capped-df candidate blocking, |A∩B|/|A| — directed, both directions

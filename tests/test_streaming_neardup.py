@@ -423,3 +423,168 @@ def test_incremental_split_stream_never_splits_cluster_any_order(spark, tmp_path
         a, b = got[d + o], got[d + 2 * o]
         assert a == b, (d, a, b)
         assert a in ("train", "eval", "conflict")
+
+
+# ---------------------------------------------------------------------------
+# Replay contract of the incremental fence (the r15 ADVICE fixes): an
+# epoch re-fired with the same batch id and rows must re-emit IDENTICAL
+# verdict rows — no self-match 'inherited' flip, no same-batch
+# opposite-sides 'conflict' flip, counts included — and later epochs
+# must be unaffected by the duplicate reference appends the replay left.
+# ---------------------------------------------------------------------------
+
+_R1_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_R2_TEXT = "one two three four five six seven eight nine ten"
+_UNIQ_TEXT = "red orange yellow green blue indigo violet crimson amber teal"
+_LONG_TEXT = (
+    "north south east west up down left right front back spring summer "
+    "autumn winter morning noon evening night dawn dusk"
+)
+# 70% prefix: 12/18 distinct shingles shared -> Jaccard 0.667, inside the
+# ADVICE's [0.5, 0.8) window (cross gate at 0.5 sees the pair; the 0.8
+# self-closure does not)
+_PREFIX_TEXT = " ".join(_LONG_TEXT.split(" ")[:14])
+
+
+def _fence_fixture(spark, tmp_path):
+    """(ref_docs, splits_path, admitted_path, out_path, batch0) — ids 103
+    (fresh side train) and 112 (fresh side eval) carry the prefix pair;
+    101 copies the train reference; 102 is a unique singleton DELIVERED
+    TWICE in the batch (at-least-once duplicate)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    ref_docs = spark.createDataFrame(
+        [(1, _R1_TEXT), (2, _R2_TEXT)], "doc_id long, text string"
+    )
+    splits_path = str(tmp_path / "ref_splits")
+    # seed WITHOUT an epoch column — the pre-stream-seed compat path
+    spark.createDataFrame(
+        [(1, "train"), (2, "eval")], "ref_id long, split string"
+    ).write.parquet(splits_path)
+    batch0 = spark.createDataFrame(
+        [
+            (101, _R1_TEXT),
+            (102, _UNIQ_TEXT),
+            (102, _UNIQ_TEXT),  # within-batch duplicate delivery
+            (103, _LONG_TEXT),
+            (112, _PREFIX_TEXT),
+        ],
+        "doc_id long, text string",
+    )
+    return (
+        ref_docs,
+        splits_path,
+        str(tmp_path / "admitted"),
+        str(tmp_path / "verdicts"),
+        batch0,
+    )
+
+
+def test_incremental_split_batch_replay_identical(spark, tmp_path):
+    """Re-running an epoch appends byte-identical verdict rows: the epoch
+    fence hides the epoch's own admissions from its replay."""
+    from pimdb_spark.operators.dedup import (
+        _minhash_doc_signatures,
+        cross_minhash_pairs_from_signatures,
+    )
+    from pimdb_spark.streaming.neardup import incremental_split_batch
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    # fixture self-check: the prefix pair IS cross-detectable at the 8x2
+    # banding / 0.5 gate (otherwise the conflict-flip scenario this test
+    # exists to rule out could never fire and the test would pass vacuously)
+    sig_a = _minhash_doc_signatures(
+        batch0.filter("doc_id = 103"), "doc_id", "text", 3, 16
+    )
+    sig_b = _minhash_doc_signatures(
+        batch0.filter("doc_id = 112"), "doc_id", "text", 3, 16
+    )
+    gate_pairs = cross_minhash_pairs_from_signatures(sig_a, sig_b, 16, 8, 0.5).collect()
+    sig_a.unpersist(), sig_b.unpersist()
+    assert len(gate_pairs) == 1 and 0.5 <= gate_pairs[0].jacc < 0.8, gate_pairs
+
+    kw = dict(
+        ref_splits_path=splits_path, admitted_path=admitted_path, out_path=out_path
+    )
+    incremental_split_batch(batch0, 0, ref_docs, **kw)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out_path).collect()
+    )
+    # one verdict row per DISTINCT doc id (the duplicate 102 delivery
+    # collapses), correct decisions
+    assert [t[0] for t in first] == [101, 102, 103, 112]
+    by_id = {t[0]: t for t in first}
+    assert by_id[101][4] == "train" and by_id[101][5] == 1  # inherited from R1
+    assert by_id[102][4] == "train" and by_id[102][5] == 0  # fresh, hb(102)=23
+    assert by_id[103][4] == "train" and by_id[103][5] == 0  # fresh, hb(103)=82
+    assert by_id[112][4] == "eval" and by_id[112][5] == 0  # fresh, hb(112)=94
+
+    # REPLAY epoch 0: same batch, same epoch id
+    incremental_split_batch(batch0, 0, ref_docs, **kw)
+    replayed = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
+    # exactly two copies of each first-run row — every column identical:
+    # no 'conflict' flip on 103/112, no inherited flip on any doc, counts
+    # unchanged
+    assert replayed == sorted(first + first)
+
+
+def test_incremental_split_batch_later_epoch_ignores_replay_duplicates(
+    spark, tmp_path
+):
+    """A replayed epoch appends duplicate reference rows; a LATER epoch
+    must dedupe them on read — counts stay exact and duplicated admitted
+    texts never corrupt the signature input."""
+    from pimdb_spark.streaming.neardup import incremental_split_batch
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    kw = dict(
+        ref_splits_path=splits_path, admitted_path=admitted_path, out_path=out_path
+    )
+    incremental_split_batch(batch0, 0, ref_docs, **kw)
+    incremental_split_batch(batch0, 0, ref_docs, **kw)  # replay
+    # epoch 1: a copy of 102's text must inherit 102's side with
+    # n_train_refs EXACTLY 1 (102 was admitted twice by the replay)
+    batch1 = spark.createDataFrame(
+        [(201, _UNIQ_TEXT)], "doc_id long, text string"
+    )
+    incremental_split_batch(batch1, 1, ref_docs, **kw)
+    (row,) = [
+        r for r in spark.read.parquet(out_path).collect() if r.id == 201
+    ]
+    assert row.split == "train" and row.inherited == 1
+    assert row.n_train_refs == 1 and row.n_eval_refs == 0
+
+
+def test_incremental_split_batch_corrupt_admitted_fails_loudly(spark, tmp_path):
+    """Only the first-batch missing admitted path is survivable; a corrupt
+    reference read must fail the batch, not silently drop the reference
+    (a dropped reference = a permanent train/eval leak)."""
+    import os
+
+    import pytest
+
+    from pimdb_spark.streaming.neardup import incremental_split_batch
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    os.makedirs(admitted_path)
+    with open(os.path.join(admitted_path, "part-00000.parquet"), "wb") as f:
+        f.write(b"definitely not parquet bytes")
+    with pytest.raises(Exception, match="(?i)parquet|footer|FAILED_READ"):
+        incremental_split_batch(
+            batch0,
+            0,
+            ref_docs,
+            ref_splits_path=splits_path,
+            admitted_path=admitted_path,
+            out_path=out_path,
+        )
+    # and nothing was emitted for the failed epoch
+    assert not os.path.exists(out_path) or not [
+        f for f in os.listdir(out_path) if f.endswith(".parquet")
+    ]
