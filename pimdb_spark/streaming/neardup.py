@@ -195,20 +195,31 @@ def cross_neardup_stream(
     first.  Exactly-once upgrade path: epoch-keyed overwrite
     subdirectories or a transactional table format.
 
-    Scale: per micro-batch the reference side reduces to its banded
-    frame (projections + one equi-join — the batch operator's own plan);
-    on a real cluster localCheckpoint the banded reference ONCE outside
-    the handler, since the static side never changes between batches."""
-    from pimdb_spark.operators.dedup import cross_neardup_filter
+    Scale: the reference SIGNATURE frame (minhash_doc_signatures —
+    persisted) is built ONCE here, outside the handler, and every
+    micro-batch gates against it via ``ref_signatures=``: the static
+    side is shingled and hashed exactly once for the stream's lifetime
+    (computed lazily at the first batch, reused — cached — by every
+    later one); per batch only the new shard's signatures and the
+    banding equi-join run.  On a real cluster write the same frame as a
+    table at admission time (the build-once, join-per-shard contract
+    tests/test_property.py::test_cross_neardup_filter_reusable_ref_signatures
+    proves)."""
+    from pimdb_spark.operators.dedup import (
+        cross_neardup_filter,
+        minhash_doc_signatures,
+    )
+
+    sig_ref = minhash_doc_signatures(ref_docs, k=k, num_hashes=num_hashes)
 
     def handle(batch_df: DataFrame, _epoch: int) -> None:
         out = cross_neardup_filter(
             batch_df,
-            ref_docs,
             k=k,
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
+            ref_signatures=sig_ref,
         )
         out.write.mode("append").parquet(out_path)
 
