@@ -341,7 +341,12 @@ def test_no_plan_red_flags(spark, name, entry):
       1 + max(doc_id) planted-copy offset used by both fixture slices);
       the fence proper is the audited banding equi-joins (new x new and
       new x ref), the CC label joins, and the per-component side
-      aggregate joined back on component — nothing data-sized crosses."""
+      aggregate joined back on component — nothing data-sized crosses.
+    - q_snapshot_diff / q_snapshot_merge: ONE one-row broadcast attach
+      each (the 1 + max(o_orderkey) re-insert offset, r18 — retired the
+      catalog's last literal id offsets, +10,000,000); the diff proper
+      is the (key, digest) full-outer equi-join and the merge the
+      key anti-join — the offset row never collects."""
     plan = plan_of(entry.fn(spark, SF))
     if name not in (
         "q_cosine_topk",
@@ -394,6 +399,8 @@ def test_no_plan_red_flags(spark, name, entry):
         "q_quantile_sketch",
         "q_dup_clusters_star",
         "q_incremental_split_inherit",
+        "q_snapshot_diff",
+        "q_snapshot_merge",
     ):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
