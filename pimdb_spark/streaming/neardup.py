@@ -248,6 +248,7 @@ def incremental_split_stream(
     cross_bands: int = 8,
     cross_threshold: float = 0.5,
     train_pct: int = 90,
+    admitted_signatures_path: str | None = None,
 ):
     """Streaming twin of the incremental leakage fence
     (catalog_text.q_incremental_split_inherit): each arriving micro-batch
@@ -300,11 +301,29 @@ def incremental_split_stream(
     admitted doc a fresh hash side and poison the reference with a
     straddling cluster — the exact leak the fence exists to prevent.
 
-    Scale: per micro-batch the reference side costs one signature
-    projection + the banding equi-join (the audited batch plan); at
-    production scale persist the reference SIGNATURE frame instead of
-    re-deriving it from admitted texts (the quantize-on-write
-    discipline), refreshing it with each batch's admissions."""
+    Scale — two reference-side modes, value-identical (parity test in
+    tests/test_streaming_neardup.py), chosen at stream start:
+    - TEXT mode (default): per micro-batch the reference side costs one
+      signature projection over static ref + admitted texts + the
+      banding equi-join (the audited batch plan) — the whole reference
+      is re-shingled every batch.
+    - SIGNATURE mode (``admitted_signatures_path`` set): the static
+      reference's minhash_doc_signatures frame is computed ONCE here,
+      outside the handler, and each epoch appends its admitted docs'
+      signature rows to the signature TABLE — per batch the reference
+      side is a parquet scan of signature rows, and NO reference text
+      (static or admitted) is ever re-shingled.  This is the
+      quantize-on-write discipline applied to the fence: signatures are
+      computed exactly once, at admission time — the true
+      incremental-ingest economics at 100 TB."""
+    sig_static = None
+    if admitted_signatures_path is not None:
+        from pimdb_spark.operators.dedup import minhash_doc_signatures
+
+        sig_static = minhash_doc_signatures(
+            ref_docs.select(F.col(id_col), F.col(text_col)),
+            id_col, text_col, k, num_hashes,
+        )
 
     def handle(batch_df: DataFrame, epoch: int) -> None:
         incremental_split_batch(
@@ -323,6 +342,8 @@ def incremental_split_stream(
             cross_bands=cross_bands,
             cross_threshold=cross_threshold,
             train_pct=train_pct,
+            ref_signatures=sig_static,
+            admitted_signatures_path=admitted_signatures_path,
         )
 
     return (
@@ -344,6 +365,22 @@ def _visible_before(df: DataFrame, cur_epoch: int) -> DataFrame:
     return df.filter(F.coalesce(F.col("epoch"), F.lit(-1)) < cur_epoch)
 
 
+def _read_state_table(spark, path: str, epoch: int) -> DataFrame | None:
+    """Read an epoch-stamped reference-state table under the epoch fence.
+    Only the expected first-batch missing path is survivable (returns
+    None); corrupt files or storage errors fail the batch loudly — a
+    silently dropped reference = a permanent train/eval leak."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        return None
+    return _visible_before(df, epoch)
+
+
 def incremental_split_batch(
     batch_df: DataFrame,
     epoch: int,
@@ -360,14 +397,30 @@ def incremental_split_batch(
     cross_bands: int = 8,
     cross_threshold: float = 0.5,
     train_pct: int = 90,
+    ref_signatures: DataFrame | None = None,
+    admitted_signatures_path: str | None = None,
 ) -> None:
     """One micro-batch of the streaming fence, as a named function so the
     replay contract is directly testable: calling it twice with the same
     (batch_df, epoch) must append byte-identical verdict rows, and a
     later epoch must be unaffected by the duplicate admissions the
-    replay left behind (tests/test_streaming_neardup.py replay suite)."""
-    from pyspark.errors import AnalysisException
+    replay left behind (tests/test_streaming_neardup.py replay suite).
 
+    Two reference-side modes, chosen at stream start and value-identical
+    (tests/test_streaming_neardup.py parity test):
+    - TEXT mode (default): the reference side = static ref_docs UNION
+      the admitted texts table, re-shingled and re-hashed every batch.
+    - SIGNATURE mode (``admitted_signatures_path`` set): the gate reads
+      signatures directly — the static side from ``ref_signatures`` (a
+      minhash_doc_signatures frame the stream computes ONCE) and the
+      admitted side from the signature TABLE this function maintains
+      (each epoch appends its admitted docs' signature rows, stamped
+      with the epoch).  No reference text is ever re-shingled: per
+      batch the reference side costs one parquet scan of
+      ~(num_hashes x 8 bytes + shingle set) per admitted doc — the
+      quantize-on-write discipline applied to the fence, the true
+      incremental-ingest economics.  The admitted TEXTS table is still
+      appended as provenance in both modes."""
     from pimdb_spark.operators.curation import (
         connected_components,
         incremental_split_inherit,
@@ -379,33 +432,40 @@ def incremental_split_batch(
     )
 
     spark = batch_df.sparkSession
-    splits = (
-        _visible_before(
-            spark.read.option("mergeSchema", "true").parquet(ref_splits_path),
-            epoch,
-        )
-        .select("ref_id", "split")
-        .dropDuplicates()
-    )
-    ref = ref_docs.select(F.col(id_col), F.col(text_col))
-    try:
-        admitted = spark.read.option("mergeSchema", "true").parquet(admitted_path)
-    except AnalysisException as exc:
-        # Only the expected first-batch missing path is survivable;
-        # corrupt files or storage errors must fail the batch loudly
-        # (a dropped reference = a permanent train/eval leak).
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        admitted = None
-    if admitted is not None:
-        ref = ref.union(
-            _visible_before(admitted, epoch)
-            .select(id_col, text_col)
-            .dropDuplicates([id_col])
-        )
+    splits_raw = _read_state_table(spark, ref_splits_path, epoch)
+    if splits_raw is None:
+        raise ValueError(f"ref_splits table missing at {ref_splits_path}")
+    splits = splits_raw.select("ref_id", "split").dropDuplicates()
+    sig_cols = ["doc", *[f"h{i}" for i in range(num_hashes)], "shingles"]
+    local_frames: list[DataFrame] = []
+    if admitted_signatures_path is None:
+        # TEXT mode: one signature pass over static ref + admitted texts
+        ref = ref_docs.select(F.col(id_col), F.col(text_col))
+        admitted = _read_state_table(spark, admitted_path, epoch)
+        if admitted is not None:
+            ref = ref.union(
+                admitted.select(id_col, text_col).dropDuplicates([id_col])
+            )
+        sig_ref = _minhash_doc_signatures(ref, id_col, text_col, k, num_hashes)
+        local_frames.append(sig_ref)
+    else:
+        # SIGNATURE mode: static side precomputed (once per stream),
+        # admitted side read back as signature rows — no re-shingling
+        if ref_signatures is None:
+            ref_signatures = _minhash_doc_signatures(
+                ref_docs.select(F.col(id_col), F.col(text_col)),
+                id_col, text_col, k, num_hashes,
+            )
+            local_frames.append(ref_signatures)
+        sig_ref = ref_signatures.select(*sig_cols)
+        adm_sig = _read_state_table(spark, admitted_signatures_path, epoch)
+        if adm_sig is not None:
+            sig_ref = sig_ref.unionByName(
+                adm_sig.dropDuplicates(["doc"]).select(*sig_cols)
+            )
     new = batch_df.select(id_col, text_col).dropDuplicates([id_col])
     sig_new = _minhash_doc_signatures(new, id_col, text_col, k, num_hashes)
-    sig_ref = _minhash_doc_signatures(ref, id_col, text_col, k, num_hashes)
+    local_frames.append(sig_new)
     try:
         nn = minhash_pairs_from_signatures(
             sig_new, num_hashes, self_bands, self_threshold
@@ -431,9 +491,16 @@ def incremental_split_batch(
         new.join(adm.select(F.col("id").alias(id_col)), id_col).withColumn(
             "epoch", F.lit(epoch)
         ).write.mode("append").parquet(admitted_path)
+        if admitted_signatures_path is not None:
+            sig_new.join(
+                adm.select(F.col("id").alias("doc")), "doc"
+            ).select(*sig_cols).withColumn("epoch", F.lit(epoch)).write.mode(
+                "append"
+            ).parquet(admitted_signatures_path)
     finally:
         # unpersist on EVERY exit: an exception here (convergence guard,
         # write failure) must not leak cached signature frames into the
-        # retried epoch
-        sig_new.unpersist()
-        sig_ref.unpersist()
+        # retried epoch.  A caller-owned ref_signatures frame is NOT
+        # touched — it lives for the stream, not the batch.
+        for frame in local_frames:
+            frame.unpersist()

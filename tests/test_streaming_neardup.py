@@ -588,3 +588,124 @@ def test_incremental_split_batch_corrupt_admitted_fails_loudly(spark, tmp_path):
     assert not os.path.exists(out_path) or not [
         f for f in os.listdir(out_path) if f.endswith(".parquet")
     ]
+
+
+def test_incremental_split_batch_signature_table_parity(spark, tmp_path):
+    """SIGNATURE mode (static signatures computed once + the admitted
+    signature TABLE) emits verdicts identical to TEXT mode epoch by
+    epoch, stays replay-identical under the same epoch fence, and never
+    re-shingles reference text — proven structurally by handing sig mode
+    a ref_docs frame with POISONED text: verdicts can only be right if
+    the gate reads the signature frames, not the texts."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.operators.dedup import minhash_doc_signatures
+    from pimdb_spark.streaming.neardup import incremental_split_batch
+
+    results = {}
+    for mode in ("text", "sig"):
+        base = tmp_path / mode
+        ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+            spark, base
+        )
+        kw = dict(
+            ref_splits_path=splits_path,
+            admitted_path=admitted_path,
+            out_path=out_path,
+        )
+        handler_ref = ref_docs
+        sig_static = None
+        if mode == "sig":
+            sig_static = minhash_doc_signatures(ref_docs, "doc_id", "text", 3, 16)
+            kw["ref_signatures"] = sig_static
+            kw["admitted_signatures_path"] = str(base / "admitted_sigs")
+            # poison the text column: any code path that re-shingles the
+            # static reference now produces wrong verdicts
+            handler_ref = ref_docs.select(
+                "doc_id", F.lit("poisoned text only").alias("text")
+            )
+        # epoch 1: 201 inherits 102's side through the admitted state;
+        # 202 (copy of 103's text) reaches admitted 103 (train) AND
+        # admitted 112 (eval, J=0.667) -> conflict via admitted state
+        batch1 = spark.createDataFrame(
+            [(201, _UNIQ_TEXT), (202, _LONG_TEXT)], "doc_id long, text string"
+        )
+        incremental_split_batch(batch0, 0, handler_ref, **kw)
+        if mode == "sig":
+            incremental_split_batch(batch0, 0, handler_ref, **kw)  # replay
+        incremental_split_batch(batch1, 1, handler_ref, **kw)
+        rows = [tuple(r) for r in spark.read.parquet(out_path).collect()]
+        if mode == "sig":
+            # replay appended a second identical copy of every epoch-0 row
+            by_id = {}
+            for t in rows:
+                by_id.setdefault(t[0], []).append(t)
+            for i in (101, 102, 103, 112):
+                assert len(by_id[i]) == 2 and by_id[i][0] == by_id[i][1], by_id[i]
+            # caller-owned static signatures are NOT unpersisted per batch
+            assert sig_static.storageLevel.useMemory
+            sig_static.unpersist()
+        results[mode] = set(rows)
+    assert results["sig"] == results["text"]
+    by_id = {t[0]: t for t in results["sig"]}
+    # (id, component, n_train_refs, n_eval_refs, split, inherited)
+    assert by_id[201][2:] == (1, 0, "train", 1)  # through admitted state
+    assert by_id[202][2:] == (1, 1, "conflict", 1)  # straddling admissions
+
+
+def test_incremental_split_stream_signature_mode(spark, tmp_path):
+    """End-to-end SIGNATURE-mode stream: two micro-batch files drain with
+    admitted_signatures_path set — cross-batch inheritance flows through
+    the admitted signature TABLE and the static signatures computed once
+    by the wrapper."""
+    import glob
+    import shutil
+
+    from pimdb_spark.streaming.neardup import incremental_split_stream
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    batch1 = spark.createDataFrame(
+        [(201, _UNIQ_TEXT), (202, _LONG_TEXT)], "doc_id long, text string"
+    )
+    import os
+    import time
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    now = time.time()
+    for i, (name, df) in enumerate((("a", batch0), ("b", batch1))):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.copy(part, dest)
+        # distinct mtimes pin micro-batch order (file source orders by
+        # modification time): batch0 must be admitted before batch1
+        os.utime(dest, (now - 20 + 10 * i, now - 20 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = incremental_split_stream(
+        stream,
+        ref_docs,
+        splits_path,
+        admitted_path,
+        out_path,
+        str(tmp_path / "chk"),
+        admitted_signatures_path=str(tmp_path / "admitted_sigs"),
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+
+    got = {
+        r.id: (r.n_train_refs, r.n_eval_refs, r.split, r.inherited)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got[101] == (1, 0, "train", 1)   # inherits the static reference
+    assert got[201] == (1, 0, "train", 1)   # inherits through the sig table
+    assert got[202] == (1, 1, "conflict", 1)
+    assert got[103][2] == "train" and got[112][2] == "eval"
