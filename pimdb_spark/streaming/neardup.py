@@ -320,6 +320,23 @@ def incremental_split_stream(
     if admitted_signatures_path is not None:
         from pimdb_spark.operators.dedup import minhash_doc_signatures
 
+        # Mode-switch guard: a stream that previously admitted docs in
+        # TEXT mode has no signature rows for them — gating against the
+        # incomplete signature table would silently drop those docs from
+        # the reference (a near-dup of one could land on the opposite
+        # side: exactly the leak the fence prevents).  Fail at stream
+        # start; backfill_admitted_signatures is the migration.
+        spark = ref_docs.sparkSession
+        texts_max = _max_epoch(spark, admitted_path)
+        sigs_max = _max_epoch(spark, admitted_signatures_path)
+        if texts_max is not None and (sigs_max is None or sigs_max < texts_max):
+            raise ValueError(
+                f"admitted texts at {admitted_path} reach epoch {texts_max} "
+                f"but the signature table at {admitted_signatures_path} "
+                f"reaches {sigs_max} — the stream previously admitted docs "
+                "without signature rows (TEXT mode); run "
+                "backfill_admitted_signatures before enabling SIGNATURE mode"
+            )
         sig_static = minhash_doc_signatures(
             ref_docs.select(F.col(id_col), F.col(text_col)),
             id_col, text_col, k, num_hashes,
@@ -363,6 +380,68 @@ def _visible_before(df: DataFrame, cur_epoch: int) -> DataFrame:
     if "epoch" not in df.columns:
         return df
     return df.filter(F.coalesce(F.col("epoch"), F.lit(-1)) < cur_epoch)
+
+
+def _max_epoch(spark, path: str) -> int | None:
+    """Highest epoch recorded in a reference-state table: None if the
+    table does not exist, -1 if it exists without an epoch column (a
+    pre-epoch-fence table — every row a legacy admission)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        return None
+    if "epoch" not in df.columns:
+        return -1
+    row = df.agg(F.max(F.coalesce(F.col("epoch"), F.lit(-1)))).first()
+    return -1 if row[0] is None else int(row[0])
+
+
+def backfill_admitted_signatures(
+    spark,
+    admitted_path: str,
+    admitted_signatures_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> int:
+    """One-time TEXT-mode -> SIGNATURE-mode migration: compute signature
+    rows for every doc in the admitted-texts table and write them to the
+    signature table carrying each doc's ORIGINAL admission epoch, so a
+    restarted stream's epoch fence sees exactly the reference its
+    text-mode predecessor saw.  Shingle-less docs get NULL-signature
+    marker rows (epoch bookkeeping), mirroring the live append path.
+    Returns the number of rows written."""
+    from pimdb_spark.operators.dedup import _minhash_doc_signatures
+
+    adm = spark.read.option("mergeSchema", "true").parquet(admitted_path)
+    epoch_col = (
+        F.coalesce(F.col("epoch"), F.lit(-1))
+        if "epoch" in adm.columns
+        else F.lit(-1)
+    )
+    docs = adm.select(
+        F.col(id_col), F.col(text_col), epoch_col.alias("epoch")
+    ).dropDuplicates([id_col])
+    sig = _minhash_doc_signatures(
+        docs.select(id_col, text_col), id_col, text_col, k, num_hashes
+    )
+    sig_cols = ["doc", *[f"h{i}" for i in range(num_hashes)], "shingles"]
+    try:
+        rows = (
+            docs.select(F.col(id_col).alias("doc"), "epoch")
+            .join(sig, "doc", "left")
+            .select(*sig_cols, "epoch")
+            .localCheckpoint(eager=True)
+        )
+        rows.write.mode("append").parquet(admitted_signatures_path)
+        return rows.count()
+    finally:
+        sig.unpersist()
 
 
 def _read_state_table(spark, path: str, epoch: int) -> DataFrame | None:
@@ -460,8 +539,13 @@ def incremental_split_batch(
         sig_ref = ref_signatures.select(*sig_cols)
         adm_sig = _read_state_table(spark, admitted_signatures_path, epoch)
         if adm_sig is not None:
+            # shingle-less admitted docs (< k tokens) carry NULL-signature
+            # marker rows (epoch bookkeeping only) — they cannot band-match
+            # anything and must not reach the banding pass
             sig_ref = sig_ref.unionByName(
-                adm_sig.dropDuplicates(["doc"]).select(*sig_cols)
+                adm_sig.dropDuplicates(["doc"])
+                .filter(F.col("shingles").isNotNull())
+                .select(*sig_cols)
             )
     new = batch_df.select(id_col, text_col).dropDuplicates([id_col])
     sig_new = _minhash_doc_signatures(new, id_col, text_col, k, num_hashes)
@@ -488,15 +572,23 @@ def incremental_split_batch(
         adm.select(
             F.col("id").alias("ref_id"), "split", F.lit(epoch).alias("epoch")
         ).write.mode("append").parquet(ref_splits_path)
-        new.join(adm.select(F.col("id").alias(id_col)), id_col).withColumn(
-            "epoch", F.lit(epoch)
-        ).write.mode("append").parquet(admitted_path)
         if admitted_signatures_path is not None:
-            sig_new.join(
-                adm.select(F.col("id").alias("doc")), "doc"
+            # LEFT join: every admitted doc gets a row even when it has no
+            # signature (< k tokens -> NULL h/shingles marker), so the
+            # signature table's epoch coverage always equals the texts
+            # table's and the mode-switch guard stays exact.  Written
+            # BEFORE the texts append: a mid-epoch crash then leaves the
+            # signature table AHEAD (harmless — the epoch replays and
+            # reads dedup), never the texts table ahead, which the
+            # stream-start guard must treat as text-mode history.
+            adm.select(F.col("id").alias("doc")).join(
+                sig_new, "doc", "left"
             ).select(*sig_cols).withColumn("epoch", F.lit(epoch)).write.mode(
                 "append"
             ).parquet(admitted_signatures_path)
+        new.join(adm.select(F.col("id").alias(id_col)), id_col).withColumn(
+            "epoch", F.lit(epoch)
+        ).write.mode("append").parquet(admitted_path)
     finally:
         # unpersist on EVERY exit: an exception here (convergence guard,
         # write failure) must not leak cached signature frames into the

@@ -709,3 +709,88 @@ def test_incremental_split_stream_signature_mode(spark, tmp_path):
     assert got[201] == (1, 0, "train", 1)   # inherits through the sig table
     assert got[202] == (1, 1, "conflict", 1)
     assert got[103][2] == "train" and got[112][2] == "eval"
+
+
+def test_incremental_split_stream_mode_switch_guard_and_backfill(spark, tmp_path):
+    """A TEXT-mode history must not silently under-reference a
+    SIGNATURE-mode restart (a near-dup of an un-migrated admitted doc
+    would get a fresh hash side — the leak the fence prevents): the
+    stream-start guard raises until backfill_admitted_signatures
+    migrates, after which signature mode inherits through the backfilled
+    rows exactly as text mode would."""
+    import pytest
+
+    from pimdb_spark.streaming.neardup import (
+        _max_epoch,
+        backfill_admitted_signatures,
+        incremental_split_batch,
+        incremental_split_stream,
+    )
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    kw = dict(
+        ref_splits_path=splits_path, admitted_path=admitted_path, out_path=out_path
+    )
+    incremental_split_batch(batch0, 0, ref_docs, **kw)  # TEXT-mode epoch 0
+
+    sig_path = str(tmp_path / "admitted_sigs")
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema(batch0.schema).parquet(str(src))
+    with pytest.raises(ValueError, match="backfill_admitted_signatures"):
+        incremental_split_stream(
+            stream,
+            ref_docs,
+            splits_path,
+            admitted_path,
+            out_path,
+            str(tmp_path / "chk"),
+            admitted_signatures_path=sig_path,
+        )
+
+    n = backfill_admitted_signatures(spark, admitted_path, sig_path)
+    assert n == 4  # 101, 102, 103, 112 — one row each, original epochs
+    assert _max_epoch(spark, sig_path) == _max_epoch(spark, admitted_path) == 0
+
+    # SIGNATURE-mode epoch 1 inherits through the BACKFILLED rows
+    batch1 = spark.createDataFrame(
+        [(201, _UNIQ_TEXT)], "doc_id long, text string"
+    )
+    incremental_split_batch(
+        batch1, 1, ref_docs, admitted_signatures_path=sig_path, **kw
+    )
+    (row,) = [r for r in spark.read.parquet(out_path).collect() if r.id == 201]
+    assert (row.n_train_refs, row.n_eval_refs, row.split, row.inherited) == (
+        1, 0, "train", 1,
+    )
+
+
+def test_incremental_split_batch_short_doc_marker_rows(spark, tmp_path):
+    """A shingle-less admitted doc (< k tokens) gets a NULL-signature
+    MARKER row: the signature table's epoch coverage stays equal to the
+    texts table's (no false mode-switch alarm) and the marker never
+    reaches the banding pass."""
+    from pimdb_spark.streaming.neardup import _max_epoch, incremental_split_batch
+
+    ref_docs, splits_path, admitted_path, out_path, _ = _fence_fixture(
+        spark, tmp_path
+    )
+    sig_path = str(tmp_path / "sigs")
+    kw = dict(
+        ref_splits_path=splits_path,
+        admitted_path=admitted_path,
+        out_path=out_path,
+        admitted_signatures_path=sig_path,
+    )
+    b0 = spark.createDataFrame([(301, "too short")], "doc_id long, text string")
+    incremental_split_batch(b0, 0, ref_docs, **kw)
+    (marker,) = spark.read.parquet(sig_path).collect()
+    assert marker.doc == 301 and marker.shingles is None and marker.epoch == 0
+
+    b1 = spark.createDataFrame([(302, _UNIQ_TEXT)], "doc_id long, text string")
+    incremental_split_batch(b1, 1, ref_docs, **kw)
+    rows = {r.id: r.split for r in spark.read.parquet(out_path).collect()}
+    assert rows[301] in ("train", "eval") and rows[302] in ("train", "eval")
+    assert _max_epoch(spark, admitted_path) == _max_epoch(spark, sig_path) == 1
