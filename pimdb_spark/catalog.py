@@ -280,123 +280,122 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # every round by scripts/derive_rotation.py as (new entries) + (changed
 # entries) + (entries that failed last round) + (entries outside last
 # round's window, stalest attestation first, ties in registration
-# order).  Builder-r18 derivation (`scripts/derive_rotation.py
-# q_ivf_pq_rerank_topk q_leakage_safe_split q_cross_neardup_filter --
-# q_snapshot_diff q_snapshot_merge`) over the 148-entry registry (145 +
-# the three r18 promotions; the r15 verdict's judge-computed arithmetic
-# was 46 forced r13-stale names + 4 free slots): 3 new (the promoted
-# q_ivf_pq_rerank_topk / q_leakage_safe_split per the stated line order,
-# plus q_cross_neardup_filter promoted WITH its shared-signature rewrite
-# so the changed entry's re-attestation is driver-recorded, spending the
-# verdict's budgeted slot) + 2 changed (q_snapshot_diff /
-# q_snapshot_merge: the catalog's last literal id offsets, +10,000,000,
-# retired to derived 1+max(o_orderkey) forms — window-NEUTRAL, both are
-# in the forced 46) + 0 failed + stalest-first; 3 + 46 forced = 49, and
-# the 50th slot is the kept margin (auto-filled by the stalest r14
-# name, q_dedup_keep_first — a free re-attestation).
-# derive_rotation.py verified registry \ (r14 ∪ r15 ∪ next) = ∅.
+# order).  Builder-r19 derivation (`scripts/derive_rotation.py
+# q_pq_from_codes_topk q_cluster_quota`) over the 148-entry registry
+# (148 = r18's 148 - 2 demotions + 2 promotions; the r16 verdict's
+# judge-computed arithmetic was 48 forced r14-stale names + 2 free
+# slots): 2 new (the promoted q_pq_from_codes_topk / q_cluster_quota
+# per the stated line order) + 0 changed + 0 failed + exactly the 48
+# forced last-green-r14 names = 50, zero margin.  The paired demotions
+# (q_pq_adc_topk / q_ivf_pq_topk -> register_bench_only, each stage 1
+# of a rerank superset: q_ivf_pq_rerank_topk driver-attested r16,
+# q_pq_adc_rerank_topk hash-gated and next in the promotion line) are
+# window-FREE: both were r16-green, so removing them costs no slot and
+# keeps the registry at 148 (capacity headroom 2 under the 150 cap).
+# derive_rotation.py verified registry \ (r15 ∪ r16 ∪ next) = ∅.
 _CHECK_FIRST: list[str] = [
     # -- new this round --
-    "q_ivf_pq_rerank_topk",
-    "q_leakage_safe_split",
-    "q_cross_neardup_filter",
-    # -- changed this round --
-    "q_snapshot_diff",
-    "q_snapshot_merge",
+    "q_pq_from_codes_topk",
+    "q_cluster_quota",
     # -- stalest attestation first --
-    "q_simhash",
-    "q_bm25_topk",
-    "q_kmeans_assignments",
-    "q_int8_ann_topk",
-    "q_ivf_int8_topk",
-    "q_pq_adc_topk",
-    "q_ivf_pq_topk",
-    "q_embedding_gram_int8",
-    "q_random_projection_int8",
-    "q_multimodal_decode",
-    "q_image_channel_stats",
-    "q_jpeg_color_stats",
-    "q13_order_distribution",
-    "q18_large_volume_customers",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q19_discounted_revenue",
-    "q17_small_quantity",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q16_supplier_parts",
-    "q_rolling_window",
-    "q4_priority_count",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q9_product_profit",
-    "q_hash_split",
-    "q_domain_quota",
-    "q_seq_packing",
-    "q_quality_funnel",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    "q_scd2_intervals",
-    "q_token_df_idf",
-    "q_top_bigrams",
-    "q_decontaminate",
-    "q_priority_dedup",
-    "q_repetition_ratio",
-    "q_redact",
-    "q_corpus_divergence",
-    "q_bpe_train_batched",
-    "q_bloom_decontaminate",
-    "q_label_propagation",
-    "q_dedup_keep_first",  # last green r14
-    "q_distinct_multi",  # last green r14
-    "q_key_table_tokens",  # last green r14
-    "q_left_join_coalesce",  # last green r14
-    "q_window_rank",  # last green r14
-    "q_count_star",  # last green r14
-    "q_set_ops",  # last green r14
-    "q_json_extract",  # last green r14
-    "q_sql_passthrough",  # last green r14
-    "q_posexplode_ordering",  # last green r14
-    "q_explode_resolve_renumber",  # last green r14
-    "q_token_decompose",  # last green r14
-    "q_text_stats",  # last green r14
-    "q_lang_id",  # last green r14
-    "q_token_counts",  # last green r14
-    "q_doc_fingerprint_dedup",  # last green r14
-    "q_negative_sample",  # last green r14
-    "q_pq_trained_topk",  # last green r14
-    "q_audio_stats",  # last green r14
-    "q_video_frame_stats",  # last green r14
-    "q_image_ahash",  # last green r14
-    "q_image_dup_pairs",  # last green r14
-    "q_audio_fingerprint",  # last green r14
-    "q_audio_dup_pairs",  # last green r14
-    "q_jpeg_color_stats_420",  # last green r14
-    "q7_nation_volume",  # last green r14
-    "q_approx_distinct",  # last green r14
-    "q_approx_percentile",  # last green r14
-    "q_table_profile",  # last green r14
-    "q_ngram_lm_score",  # last green r14
-    "q_ngram_lm_score_jm",  # last green r14
-    "q2_min_cost_supplier",  # last green r14
-    "q11_important_stock",  # last green r14
-    "q12_late_shipments",  # last green r14
-    "q20_part_promotion",  # last green r14
-    "q_paragraph_dedup",  # last green r14
-    "q_ngram_decontaminate",  # last green r14
-    "q_chunk_documents",  # last green r14
-    "q_budget_take",  # last green r14
-    "q_heavy_hitters",  # last green r14
-    "q_histogram",  # last green r14
-    "q_robust_outliers",  # last green r14
-    "q_fuzzy_link",  # last green r14
-    "q_zorder_key",  # last green r14
-    "q_mixture_plan",  # last green r14
-    "q_validate_constraints",  # last green r14
-    "q_sparse_doc_sim",  # last green r14
-    "q_cms_heavy_hitters",  # last green r14
-    "q_hll_group_distinct",  # last green r14
+    "q_distinct_multi",
+    "q_key_table_tokens",
+    "q_left_join_coalesce",
+    "q_window_rank",
+    "q_count_star",
+    "q_set_ops",
+    "q_json_extract",
+    "q_sql_passthrough",
+    "q_posexplode_ordering",
+    "q_explode_resolve_renumber",
+    "q_token_decompose",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_counts",
+    "q_doc_fingerprint_dedup",
+    "q_negative_sample",
+    "q_pq_trained_topk",
+    "q_audio_stats",
+    "q_video_frame_stats",
+    "q_image_ahash",
+    "q_image_dup_pairs",
+    "q_audio_fingerprint",
+    "q_audio_dup_pairs",
+    "q_jpeg_color_stats_420",
+    "q7_nation_volume",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_table_profile",
+    "q_ngram_lm_score",
+    "q_ngram_lm_score_jm",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q20_part_promotion",
+    "q_paragraph_dedup",
+    "q_ngram_decontaminate",
+    "q_chunk_documents",
+    "q_budget_take",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_robust_outliers",
+    "q_fuzzy_link",
+    "q_zorder_key",
+    "q_mixture_plan",
+    "q_validate_constraints",
+    "q_sparse_doc_sim",
+    "q_cms_heavy_hitters",
+    "q_hll_group_distinct",
+    "q1_pricing_summary",  # last green r15
+    "q3_shipping_priority",  # last green r15
+    "q5_region_revenue",  # last green r15
+    "q_filter_project_rename",  # last green r15
+    "q_conjunctive_isin",  # last green r15
+    "q_self_join_pairs",  # last green r15
+    "q_composite_key_join",  # last green r15
+    "q_multiway_distinct",  # last green r15
+    "q_topk_orders",  # last green r15
+    "q_minhash_lsh_pairs",  # last green r15
+    "q_neardup_dedup_pipeline",  # last green r15
+    "q_curation_pipeline",  # last green r15
+    "q_embedding_dup_pairs",  # last green r15
+    "q_semdedup",  # last green r15
+    "q_ann_recall_lsh",  # last green r15
+    "q_lsh_multitable_topk",  # last green r15
+    "q_time_window_agg",  # last green r15
+    "q_sessionize",  # last green r15
+    "q_multimodal_meta",  # last green r15
+    "q_jpeg_pixel_stats",  # last green r15
+    "q_asof_join",  # last green r15
+    "q_range_join",  # last green r15
+    "q_interval_join",  # last green r15
+    "q_grouping_analytics",  # last green r15
+    "q_exists_subquery",  # last green r15
+    "q_scalar_subquery",  # last green r15
+    "q_pivot",  # last green r15
+    "q_percentile",  # last green r15
+    "q_partial_salted_join",  # last green r15
+    "q_full_outer",  # last green r15
+    "q_window_suite",  # last green r15
+    "q_scalar_functions",  # last green r15
+    "q_list_membership_join",  # last green r15
+    "q_dup_clusters",  # last green r15
+    "q_bpe_pairs",  # last green r15
+    "q_bpe_train",  # last green r15
+    "q_inverted_index_capped",  # last green r15
+    "q_sorted_neighborhood",  # last green r15
+    "q_snm_multipass",  # last green r15
+    "q_group_auc",  # last green r15
+    "q_calibration_bins",  # last green r15
+    "q_cohort_retention",  # last green r15
+    "q_last_touch",  # last green r15
+    "q_session_paths",  # last green r15
+    "q_co_occurrence_edges",  # last green r15
+    "q_bfs_hops",  # last green r15
+    "q_funnel_steps",  # last green r15
+    "q_pagerank",  # last green r15
+    "q_triangle_count",  # last green r15
+    "q_linear_attribution",  # last green r15
 ]
 
 

@@ -358,10 +358,12 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(vecs, k=4, n_iter=2, dim=64)
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
-# diversity-balanced selection composition over the attested k-means.
-@register_bench_only(
+# PROMOTED to the driver registry in builder r19 (one of the r17
+# window's 2 free slots per the r16 verdict's stated line order);
+# bench-only with the oracle pytest-gated at both SFs through r18.
+@register(
     "q_cluster_quota",
+    bench=True,
     oracle=(
         "WITH " + _KM_CTES.format(src="embeddings", k=4)
         + """
@@ -714,7 +716,12 @@ def _pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) -> s
     """
 
 
-@register("q_pq_adc_topk", oracle=_pq_oracle())
+# DEMOTED to bench-only in builder r19 (the r16 verdict's headroom
+# pairing, q_ivf_pq_topk precedent): this is stage 1 of
+# q_pq_adc_rerank_topk (same scored CTE, rerank tail added), whose
+# superset plan is hash-gated at both SFs and next in the promotion
+# line; this form stays timed and hash-gated via _EXTRA_BENCH_ORACLE.
+@register_bench_only("q_pq_adc_topk", oracle=_pq_oracle())
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-3 (operators/similarity.pq_topk):
     dim 64 split into 8 subspaces x 16-entry codebooks (training-free
@@ -749,12 +756,14 @@ def _pq_rerank_oracle(
     return _pq_scored_cte(m, sub, n_centroids) + _rerank_tail_sql(shortlist, k)
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# PROMOTED to the driver registry in builder r19 (one of the r17
+# window's 2 free slots per the r16 verdict's stated line order) — the
 # quantize-on-write SERVING path under the training-free oracle: books
 # trained at n_iter=1 ARE the first-16 convention (the attested
 # books-plumbing reduction), so encode -> score-from-codes must
-# reproduce _pq_oracle exactly.
-@register_bench_only("q_pq_from_codes_topk", oracle=_pq_oracle())
+# reproduce _pq_oracle exactly; bench-only with the oracle pytest-gated
+# at both SFs through r18.
+@register("q_pq_from_codes_topk", oracle=_pq_oracle(), bench=True)
 def q_pq_from_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-3 served from PRE-ENCODED codes — the quantize-on-WRITE
     layout end to end under the hash gate
@@ -870,7 +879,12 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, n_centroids: int = 16, k: int = 3) 
     """
 
 
-@register("q_ivf_pq_topk", oracle=_ivf_pq_oracle())
+# DEMOTED to bench-only in builder r19 (the r16 verdict's headroom
+# pairing): this is stage 1 of the driver-attested q_ivf_pq_rerank_topk
+# (r16 hash-green; same scored CTE, rerank tail added), so the driver
+# slot moved to the superset; this form stays timed and hash-gated via
+# _EXTRA_BENCH_ORACLE.
+@register_bench_only("q_ivf_pq_topk", oracle=_ivf_pq_oracle())
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (operators/similarity.ivf_pq_topk) — the production
     large-scale ANN layout with BOTH compositions under one hash gate:

@@ -793,6 +793,7 @@ def cross_neardup_filter(
     bands: int = 8,
     threshold: float = 0.5,
     ref_signatures: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-corpus near-duplicate gate: flag every NEW document that is
     a banded-MinHash near-duplicate (true Jaccard >= threshold) of ANY
@@ -828,6 +829,15 @@ def cross_neardup_filter(
     join-per-shard incremental-ingest economics the docstring always
     promised, now a first-class argument.
 
+    Caller-owned new side: pass ``new_signatures`` (the
+    minhash_doc_signatures frame of ``new_docs``) and the operator builds
+    no internal persisted frame at all — long-running callers (the
+    cross_neardup_stream handler runs this once per micro-batch) own the
+    frame's lifecycle and unpersist it after the sink write, so Spark's
+    CacheManager cannot accumulate one cached entry per batch.
+    ``new_docs`` is still required: the left join that emits unmatched
+    (and shingle-less) docs reads it.
+
     Scale: candidates are an equi-join on (band, band_hash) — new x ref
     only, never new x new — and verification re-joins shingle sets for
     candidates alone.  Count and best-match come from one window pass
@@ -838,7 +848,11 @@ def cross_neardup_filter(
         ref_signatures = _minhash_doc_signatures(
             ref_docs, id_col, text_col, k, num_hashes
         )
-    sig_new = _minhash_doc_signatures(new_docs, id_col, text_col, k, num_hashes)
+    sig_new = (
+        new_signatures
+        if new_signatures is not None
+        else _minhash_doc_signatures(new_docs, id_col, text_col, k, num_hashes)
+    )
     verified = cross_minhash_pairs_from_signatures(
         sig_new, ref_signatures, num_hashes, bands, threshold
     )

@@ -213,15 +213,29 @@ def cross_neardup_stream(
     sig_ref = minhash_doc_signatures(ref_docs, k=k, num_hashes=num_hashes)
 
     def handle(batch_df: DataFrame, _epoch: int) -> None:
-        out = cross_neardup_filter(
-            batch_df,
-            k=k,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            ref_signatures=sig_ref,
+        # The new-side signature frame is built HERE (not inside the
+        # operator) so this handler owns its lifecycle: minhash signature
+        # frames are persisted, and Spark's CacheManager holds strong
+        # references — without the finally-unpersist a long-running
+        # stream accumulates one cached frame per micro-batch without
+        # bound.  sig_ref (the static side) deliberately stays persisted
+        # for the stream's lifetime.
+        sig_new = minhash_doc_signatures(
+            batch_df, k=k, num_hashes=num_hashes
         )
-        out.write.mode("append").parquet(out_path)
+        try:
+            out = cross_neardup_filter(
+                batch_df,
+                k=k,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                ref_signatures=sig_ref,
+                new_signatures=sig_new,
+            )
+            out.write.mode("append").parquet(out_path)
+        finally:
+            sig_new.unpersist()
 
     return (
         doc_stream.writeStream.outputMode("append")
@@ -300,6 +314,11 @@ def incremental_split_stream(
     path: a silently dropped reference would hand a near-dup of an
     admitted doc a fresh hash side and poison the reference with a
     straddling cluster — the exact leak the fence exists to prevent.
+    The same loudness covers a RESET CHECKPOINT: foreachBatch epoch
+    ids restart at 0 when the checkpoint is deleted, which would make
+    the epoch fence hide every prior admission, so each batch raises
+    if its epoch is behind the admitted table's max (a legitimate
+    replay only re-fires the last epoch).
 
     Scale — two reference-side modes, value-identical (parity test in
     tests/test_streaming_neardup.py), chosen at stream start:
@@ -413,9 +432,17 @@ def backfill_admitted_signatures(
     rows for every doc in the admitted-texts table and write them to the
     signature table carrying each doc's ORIGINAL admission epoch, so a
     restarted stream's epoch fence sees exactly the reference its
-    text-mode predecessor saw.  Shingle-less docs get NULL-signature
-    marker rows (epoch bookkeeping), mirroring the live append path.
-    Returns the number of rows written."""
+    text-mode predecessor saw.  A doc admitted in MULTIPLE epochs (an
+    at-least-once source delivering it in two batches) keeps its
+    MINIMUM epoch: that is the admission the text-mode fence first made
+    visible, so a replay of any later epoch still sees the doc —
+    keeping an arbitrary (possibly later) epoch would break the
+    replay-identical contract this migration exists to preserve.
+    Shingle-less docs get NULL-signature marker rows (epoch
+    bookkeeping), mirroring the live append path.  Returns the number
+    of rows written."""
+    from pyspark.sql import Window
+
     from pimdb_spark.operators.dedup import _minhash_doc_signatures
 
     adm = spark.read.option("mergeSchema", "true").parquet(admitted_path)
@@ -424,9 +451,13 @@ def backfill_admitted_signatures(
         if "epoch" in adm.columns
         else F.lit(-1)
     )
-    docs = adm.select(
-        F.col(id_col), F.col(text_col), epoch_col.alias("epoch")
-    ).dropDuplicates([id_col])
+    first_adm = Window.partitionBy(id_col).orderBy(F.col("epoch").asc())
+    docs = (
+        adm.select(F.col(id_col), F.col(text_col), epoch_col.alias("epoch"))
+        .withColumn("_rn", F.row_number().over(first_adm))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     sig = _minhash_doc_signatures(
         docs.select(id_col, text_col), id_col, text_col, k, num_hashes
     )
@@ -511,6 +542,22 @@ def incremental_split_batch(
     )
 
     spark = batch_df.sparkSession
+    # Reset-checkpoint guard: foreachBatch epoch ids restart at 0 when the
+    # checkpoint is deleted or replaced, and the epoch fence would then
+    # hide EVERY prior admission (each batch reads only epochs strictly
+    # before its own) — a near-dup of an admitted doc gets a fresh hash
+    # side: the exact leak this module fails loudly on everywhere else.
+    # A legitimate replay only re-fires the LAST epoch (epoch == max is
+    # fine); epoch < max means a reset checkpoint or misuse.
+    texts_max = _max_epoch(spark, admitted_path)
+    if texts_max is not None and epoch < texts_max:
+        raise ValueError(
+            f"batch epoch {epoch} is behind the admitted-texts table at "
+            f"{admitted_path} (max epoch {texts_max}) — the stream's "
+            "checkpoint was reset or replaced, so the epoch fence would "
+            "silently hide every prior admission from the reference; "
+            "restart from the original checkpoint, or re-split in batch"
+        )
     splits_raw = _read_state_table(spark, ref_splits_path, epoch)
     if splits_raw is None:
         raise ValueError(f"ref_splits table missing at {ref_splits_path}")
@@ -541,10 +588,15 @@ def incremental_split_batch(
         if adm_sig is not None:
             # shingle-less admitted docs (< k tokens) carry NULL-signature
             # marker rows (epoch bookkeeping only) — they cannot band-match
-            # anything and must not reach the banding pass
+            # anything and must not reach the banding pass.  Filter markers
+            # BEFORE the per-doc dedup: a doc admitted once shingle-less
+            # and once with real text (at-least-once delivery across
+            # epochs) must resolve to its REAL signature row, not
+            # arbitrarily to the marker — the marker would silently drop
+            # it from the reference side.
             sig_ref = sig_ref.unionByName(
-                adm_sig.dropDuplicates(["doc"])
-                .filter(F.col("shingles").isNotNull())
+                adm_sig.filter(F.col("shingles").isNotNull())
+                .dropDuplicates(["doc"])
                 .select(*sig_cols)
             )
     new = batch_df.select(id_col, text_col).dropDuplicates([id_col])

@@ -794,3 +794,139 @@ def test_incremental_split_batch_short_doc_marker_rows(spark, tmp_path):
     rows = {r.id: r.split for r in spark.read.parquet(out_path).collect()}
     assert rows[301] in ("train", "eval") and rows[302] in ("train", "eval")
     assert _max_epoch(spark, admitted_path) == _max_epoch(spark, sig_path) == 1
+
+
+def test_incremental_split_batch_reset_checkpoint_guard(spark, tmp_path):
+    """A batch whose epoch is BEHIND the admitted table's max means the
+    stream's checkpoint was reset (foreachBatch ids restart at 0) — the
+    epoch fence would then hide every prior admission, handing a
+    near-dup of an admitted doc a fresh hash side.  The batch must fail
+    loudly; a legitimate replay of the LAST epoch still runs."""
+    import pytest
+
+    from pimdb_spark.streaming.neardup import incremental_split_batch
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    kw = dict(
+        ref_splits_path=splits_path, admitted_path=admitted_path, out_path=out_path
+    )
+    incremental_split_batch(batch0, 0, ref_docs, **kw)
+    batch1 = spark.createDataFrame([(201, _UNIQ_TEXT)], "doc_id long, text string")
+    incremental_split_batch(batch1, 1, ref_docs, **kw)
+    # replay of the LAST epoch: allowed, replay-identical
+    incremental_split_batch(batch1, 1, ref_docs, **kw)
+    rows = [r for r in spark.read.parquet(out_path).collect() if r.id == 201]
+    assert len(rows) == 2 and tuple(rows[0]) == tuple(rows[1])
+    # reset checkpoint: epoch restarts at 0 while the table reaches 1
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        incremental_split_batch(batch0, 0, ref_docs, **kw)
+    # and the failed batch emitted nothing new
+    assert len(spark.read.parquet(out_path).collect()) == 6  # 4 + 2 replays
+
+
+def test_cross_neardup_stream_unpersists_batch_signatures(spark, tmp_path):
+    """The cross gate's handler owns the per-batch new-side signature
+    frame and unpersists it after the sink write: a long-running stream
+    must not accumulate one cached frame per micro-batch (only the
+    stream-lifetime static reference signatures stay cached)."""
+    import glob
+    import shutil
+
+    from pimdb_spark.streaming.neardup import cross_neardup_stream
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in (("a", 0), ("b", 1)):
+        stage = tmp_path / f"stage_{name}"
+        batch0.filter(f"doc_id % 2 = {half}").coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = cross_neardup_stream(
+        stream, ref_docs, str(tmp_path / "verdicts"), str(tmp_path / "chk")
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+    # two micro-batches ran; at most ONE new cached entry survives (the
+    # stream-owned static sig_ref) — per-batch sig_new frames are gone
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()}
+    assert got == {101, 102, 103, 112}
+
+
+def test_backfill_admitted_signatures_keeps_min_epoch(spark, tmp_path):
+    """A doc admitted in MULTIPLE epochs (at-least-once delivery across
+    batches) must backfill with its MINIMUM epoch: the text-mode fence
+    made it visible from min+1 onward, so a replay of any later epoch
+    must still see it — keeping an arbitrary later epoch would break the
+    replay-identical contract the migration preserves."""
+    from pimdb_spark.streaming.neardup import (
+        _max_epoch,
+        backfill_admitted_signatures,
+    )
+
+    admitted_path = str(tmp_path / "admitted")
+    spark.createDataFrame(
+        [
+            (101, _UNIQ_TEXT, 0),
+            (101, _UNIQ_TEXT, 2),  # re-delivered two epochs later
+            (102, _LONG_TEXT, 2),
+        ],
+        "doc_id long, text string, epoch int",
+    ).write.parquet(admitted_path)
+    sig_path = str(tmp_path / "sigs")
+    n = backfill_admitted_signatures(spark, admitted_path, sig_path)
+    assert n == 2
+    epochs = {r.doc: r.epoch for r in spark.read.parquet(sig_path).collect()}
+    assert epochs == {101: 0, 102: 2}
+    assert _max_epoch(spark, sig_path) == 2
+
+
+def test_signature_mode_prefers_real_signature_over_marker(spark, tmp_path):
+    """A doc admitted once shingle-less (NULL-signature marker row) and
+    later with real text must resolve to its REAL signature row on the
+    reference side: markers are filtered BEFORE the per-doc dedup, so
+    the dedup cannot silently drop the doc from the banding pass."""
+    from pyspark.sql import functions as F
+
+    from pimdb_spark.streaming.neardup import incremental_split_batch
+
+    ref_docs, splits_path, admitted_path, out_path, _ = _fence_fixture(
+        spark, tmp_path
+    )
+    sig_path = str(tmp_path / "sigs")
+    kw = dict(
+        ref_splits_path=splits_path,
+        admitted_path=admitted_path,
+        out_path=out_path,
+        admitted_signatures_path=sig_path,
+    )
+    # epoch 0: 301 arrives shingle-less -> NULL marker row
+    b0 = spark.createDataFrame([(301, "too short")], "doc_id long, text string")
+    incremental_split_batch(b0, 0, ref_docs, **kw)
+    # epoch 1: 301 re-delivered with real text -> real signature row
+    b1 = spark.createDataFrame([(301, _UNIQ_TEXT)], "doc_id long, text string")
+    incremental_split_batch(b1, 1, ref_docs, **kw)
+    sig_rows = spark.read.parquet(sig_path).filter(F.col("doc") == 301).collect()
+    assert {r.epoch for r in sig_rows} == {0, 1}
+    assert any(r.shingles is not None for r in sig_rows)
+    # epoch 2: a copy of 301's real text must inherit 301's side — the
+    # reference side resolved 301 to the real row, not the marker
+    b2 = spark.createDataFrame([(401, _UNIQ_TEXT)], "doc_id long, text string")
+    incremental_split_batch(b2, 2, ref_docs, **kw)
+    (row,) = [r for r in spark.read.parquet(out_path).collect() if r.id == 401]
+    side_301 = {r.id: r.split for r in spark.read.parquet(out_path).collect()}[301]
+    assert row.inherited == 1 and row.split == side_301
+    assert row.n_train_refs + row.n_eval_refs == 1
