@@ -11,11 +11,14 @@ mode also reports the one-time static-signature build (admission cost,
 paid once per stream — not per batch).
 
 Usage: python scripts/bench_fence_modes.py [sf_dir] [ref_multiplier]
+[batch_rows]
 ``ref_multiplier`` unions k offset-id copies of the documents table into
 the reference, demonstrating how the saving scales with reference size
 (text mode re-shingles the WHOLE reference every batch; signature mode's
-per-batch reference cost is a signature-row scan).  Prints one JSON
-line.
+per-batch reference cost is a signature-row scan).  ``batch_rows``
+(default 500) sets the micro-batch size — shrink it while growing the
+multiplier to measure the corpus-size-vs-batch-size separation at a
+production-like reference:batch ratio.  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -42,10 +45,13 @@ BATCH_ROWS = 500
 
 
 def main() -> None:
+    global BATCH_ROWS
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("fence-mode-bench")
     spark.sparkContext.setLogLevel("ERROR")
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    if len(sys.argv) > 3:
+        BATCH_ROWS = int(sys.argv[3])
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     par = spark.sparkContext.defaultParallelism
     span = docs.agg(F.lit(1) + F.max("doc_id")).first()[0]
