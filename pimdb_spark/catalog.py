@@ -281,18 +281,23 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # entries) + (entries that failed last round) + (entries outside last
 # round's window, stalest attestation first, ties in registration
 # order).  Builder-r19 derivation (`scripts/derive_rotation.py
-# q_pq_from_codes_topk q_cluster_quota`) over the 148-entry registry
-# (148 = r18's 148 - 2 demotions + 2 promotions; the r16 verdict's
+# q_pq_from_codes_topk q_cluster_quota`) over the 146-entry registry
+# (146 = r18's 148 - 4 demotions + 2 promotions; the r16 verdict's
 # judge-computed arithmetic was 48 forced r14-stale names + 2 free
 # slots): 2 new (the promoted q_pq_from_codes_topk / q_cluster_quota
 # per the stated line order) + 0 changed + 0 failed + exactly the 48
-# forced last-green-r14 names = 50, zero margin.  The paired demotions
-# (q_pq_adc_topk / q_ivf_pq_topk -> register_bench_only, each stage 1
-# of a rerank superset: q_ivf_pq_rerank_topk driver-attested r16,
-# q_pq_adc_rerank_topk hash-gated and next in the promotion line) are
-# window-FREE: both were r16-green, so removing them costs no slot and
-# keeps the registry at 148 (capacity headroom 2 under the 150 cap).
-# derive_rotation.py verified registry \ (r15 ∪ r16 ∪ next) = ∅.
+# forced last-green-r14 names = 50, zero margin.  The four paired
+# demotions (-> register_bench_only, oracles kept) are all window-FREE
+# strict-sub-plan retirements per the verdict's q_ivf_pq_topk
+# precedent: q_pq_adc_topk / q_ivf_pq_topk (r16-green; each stage 1 of
+# a rerank superset -- q_ivf_pq_rerank_topk driver-attested r16,
+# q_pq_adc_rerank_topk hash-gated and next in the promotion line) plus
+# q_bpe_pairs / q_sorted_neighborhood (r15-green; stage 1 of
+# q_bpe_train / pass 1 of q_snm_multipass, both r15-attested and forced
+# into the NEXT window) -- the second pair chosen from the r15-green
+# cohort so the next round's forced set shrinks 50 -> 48, restoring 2
+# free slots there (the first pair alone would have left a zero-slot
+# round).  derive_rotation.py verified registry \ (r15 ∪ r16 ∪ next) = ∅.
 _CHECK_FIRST: list[str] = [
     # -- new this round --
     "q_pq_from_codes_topk",
@@ -380,10 +385,8 @@ _CHECK_FIRST: list[str] = [
     "q_scalar_functions",  # last green r15
     "q_list_membership_join",  # last green r15
     "q_dup_clusters",  # last green r15
-    "q_bpe_pairs",  # last green r15
     "q_bpe_train",  # last green r15
     "q_inverted_index_capped",  # last green r15
-    "q_sorted_neighborhood",  # last green r15
     "q_snm_multipass",  # last green r15
     "q_group_auc",  # last green r15
     "q_calibration_bins",  # last green r15

@@ -257,7 +257,14 @@ def _bpe_oracle(n_merges: int) -> str:
     return "".join(parts) + " " + selects
 
 
-@register(
+# DEMOTED to bench-only in builder r19 (the r16 verdict's headroom
+# pairing, q_ivf_pq_topk precedent): this pair-count statistic is
+# stage 1 of q_bpe_train — the training oracle unrolls this same
+# _bpe_counts CTE per round — and q_bpe_train (r15-attested, forced
+# into the next window) keeps the driver slot; this form stays timed
+# and hash-gated via _EXTRA_BENCH_ORACLE.  The demotion also shrinks
+# the next window's forced cohort (see COVERAGE.md r19 rotation entry).
+@register_bench_only(
     "q_bpe_pairs",
     oracle="WITH "
     + _BPE_WORDS

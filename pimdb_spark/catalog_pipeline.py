@@ -407,7 +407,14 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+# DEMOTED to bench-only in builder r19 (the r16 verdict's headroom
+# pairing, q_ivf_pq_topk precedent): the single-pass plan is verbatim
+# pass 1 of q_snm_multipass (its oracle's r1 CTE IS this oracle), and
+# q_snm_multipass (r15-attested, forced into the next window) keeps the
+# driver slot; this form stays timed and hash-gated via
+# _EXTRA_BENCH_ORACLE.  The demotion also shrinks the next window's
+# forced cohort (see COVERAGE.md r19 rotation entry).
+@register_bench_only(
     "q_sorted_neighborhood",
     oracle="""
     WITH base AS (

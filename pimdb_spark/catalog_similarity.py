@@ -798,7 +798,8 @@ def q_pq_from_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Bench-only (pytest-gated oracle) per the window-budget policy — the
 # two-stage composition of the already-attested pq_topk + exact cosine;
-# promotion-line candidate once slots free.
+# NEXT in the promotion line (its stage 1, q_pq_adc_topk, was demoted in
+# builder r19 on the strength of this superset's standing hash gates).
 @register_bench_only("q_pq_adc_rerank_topk", oracle=_pq_rerank_oracle())
 def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC shortlist-12 -> EXACT cosine re-rank top-3
