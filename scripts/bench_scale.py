@@ -654,8 +654,51 @@ def main() -> None:
             "vec_id", "cluster", "rk"
         )
 
+    # int8 twin of the PQ serving row: same 100x-corpus design (a 10x
+    # blow-up of 72 B/vector codes is likewise invisible beneath the
+    # stage floor), queries quantized per batch at query time as
+    # int8_ann_topk does, candidates read pre-quantized from parquet.
+    from pimdb_spark.operators.similarity import (
+        int8_quantize,
+        int8_topk_from_codes,
+    )
+
+    _i8_paths: dict = {}
+
+    def _int8_serving(d):
+        if d not in _i8_paths:
+            e = emb(SF).select("vec_id", "embedding")
+            if d == SF:
+                corpus, tag = e, "1x"
+            else:
+                n = e.agg(F.max("vec_id")).first()[0] + 1
+                parts = [
+                    e.select(
+                        (F.col("vec_id") + i * n).alias("vec_id"), "embedding"
+                    )
+                    for i in range(100)
+                ]
+                corpus = parts[0]
+                for p in parts[1:]:
+                    corpus = corpus.unionByName(p)
+                corpus, tag = corpus.repartition(32), "100x"
+            path = os.path.join(work, f"i8_codes_{tag}.parquet")
+            int8_quantize(corpus, "vec_id", "embedding").write.mode(
+                "overwrite"
+            ).parquet(path)
+            _i8_paths[d] = path
+        q = int8_quantize(
+            emb(SF).filter(F.col("vec_id") < 64).select("vec_id", "embedding"),
+            "vec_id", "embedding",
+        )
+        return int8_topk_from_codes(
+            q, spark.read.parquet(_i8_paths[d]).repartition(32),
+            "vec_id", "vec_id", k=3,
+        )
+
     ops.update({
         "pq_from_codes_serving": _pq_serving,
+        "int8_from_codes_serving": _int8_serving,
         "cluster_quota": _cluster_quota,
     })
 
