@@ -696,9 +696,43 @@ def main() -> None:
             "vec_id", "vec_id", k=3,
         )
 
+    # bottom rung of the serving ladder: raw float vectors from parquet,
+    # exact cosine fold — same 100x corpus and 64-query design, so the
+    # three rows price the SAME workload at 512 / 72 / 8 B per vector.
+    from pimdb_spark.operators.similarity import cosine_topk
+
+    _fl_paths: dict = {}
+
+    def _float_serving(d):
+        if d not in _fl_paths:
+            e = emb(SF).select("vec_id", "embedding")
+            if d == SF:
+                corpus, tag = e, "1x"
+            else:
+                n = e.agg(F.max("vec_id")).first()[0] + 1
+                parts = [
+                    e.select(
+                        (F.col("vec_id") + i * n).alias("vec_id"), "embedding"
+                    )
+                    for i in range(100)
+                ]
+                corpus = parts[0]
+                for p in parts[1:]:
+                    corpus = corpus.unionByName(p)
+                corpus, tag = corpus.repartition(32), "100x"
+            path = os.path.join(work, f"float_vecs_{tag}.parquet")
+            corpus.write.mode("overwrite").parquet(path)
+            _fl_paths[d] = path
+        return cosine_topk(
+            emb(SF).filter(F.col("vec_id") < 64).select("vec_id", "embedding"),
+            spark.read.parquet(_fl_paths[d]).repartition(32),
+            "vec_id", "vec_id", k=3,
+        )
+
     ops.update({
         "pq_from_codes_serving": _pq_serving,
         "int8_from_codes_serving": _int8_serving,
+        "float_serving": _float_serving,
         "cluster_quota": _cluster_quota,
     })
 
