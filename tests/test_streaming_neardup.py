@@ -894,6 +894,40 @@ def test_backfill_admitted_signatures_keeps_min_epoch(spark, tmp_path):
     assert _max_epoch(spark, sig_path) == 2
 
 
+def test_backfill_admitted_signatures_legacy_null_epochs(spark, tmp_path):
+    """A text-mode table whose early rows PREDATE epoch stamping reads
+    those rows with NULL epoch under mergeSchema (the epoch-column check
+    is table-level, not row-level).  Backfill must resolve them to -1 —
+    the always-visible legacy convention _visible_before applies to the
+    source table — never write NULL epochs, which the fence's
+    strictly-less filter would silently hide from every batch.  A doc
+    in BOTH generations must likewise keep -1 (the coalesced min), so
+    the min-epoch window has to sort the COALESCED column."""
+    from pimdb_spark.streaming.neardup import (
+        _read_state_table,
+        backfill_admitted_signatures,
+    )
+
+    admitted_path = str(tmp_path / "admitted")
+    # generation 1: pre-fence writer, no epoch column
+    spark.createDataFrame(
+        [(201, _UNIQ_TEXT), (203, _LONG_TEXT)], "doc_id long, text string"
+    ).write.parquet(admitted_path)
+    # generation 2: epoch-stamped writer appends (203 re-delivered)
+    spark.createDataFrame(
+        [(202, _LONG_TEXT, 1), (203, _LONG_TEXT, 2)],
+        "doc_id long, text string, epoch int",
+    ).write.mode("append").parquet(admitted_path)
+    sig_path = str(tmp_path / "sigs")
+    n = backfill_admitted_signatures(spark, admitted_path, sig_path)
+    assert n == 3
+    epochs = {r.doc: r.epoch for r in spark.read.parquet(sig_path).collect()}
+    assert epochs == {201: -1, 202: 1, 203: -1}
+    # legacy rows are visible to EVERY epoch, including the first
+    vis0 = {r.doc for r in _read_state_table(spark, sig_path, 0).collect()}
+    assert vis0 == {201, 203}
+
+
 def test_signature_mode_prefers_real_signature_over_marker(spark, tmp_path):
     """A doc admitted once shingle-less (NULL-signature marker row) and
     later with real text must resolve to its REAL signature row on the
