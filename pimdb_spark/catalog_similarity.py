@@ -796,11 +796,12 @@ def q_pq_from_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bench-only (pytest-gated oracle) per the window-budget policy — the
+# PROMOTED to the driver registry in builder r20 (one of the r18
+# window's 2 free slots per the r17 verdict's stated line order) — the
 # two-stage composition of the already-attested pq_topk + exact cosine;
-# NEXT in the promotion line (its stage 1, q_pq_adc_topk, was demoted in
-# builder r19 on the strength of this superset's standing hash gates).
-@register_bench_only("q_pq_adc_rerank_topk", oracle=_pq_rerank_oracle())
+# its stage 1, q_pq_adc_topk, was demoted in builder r19 on the
+# strength of this superset's standing hash gates (both SFs since r16).
+@register("q_pq_adc_rerank_topk", oracle=_pq_rerank_oracle(), bench=True)
 def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC shortlist-12 -> EXACT cosine re-rank top-3
     (operators/similarity.pq_adc_rerank_topk) — the two-stage production

@@ -125,8 +125,12 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+# PROMOTED to the driver registry in builder r20 (one of the r18
+# window's 2 free slots per the r17 verdict's stated line order) —
+# bench-only with the oracle pytest-gated at both SFs since r16.
+@register(
     "q_tokenizer_fertility",
+    bench=True,
     oracle=r"""
     WITH t AS (
       SELECT lang, source,
