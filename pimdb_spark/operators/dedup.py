@@ -794,6 +794,7 @@ def cross_neardup_filter(
     threshold: float = 0.5,
     ref_signatures: DataFrame | None = None,
     new_signatures: DataFrame | None = None,
+    local_frames: list | None = None,
 ) -> DataFrame:
     """CROSS-corpus near-duplicate gate: flag every NEW document that is
     a banded-MinHash near-duplicate (true Jaccard >= threshold) of ANY
@@ -838,6 +839,20 @@ def cross_neardup_filter(
     ``new_docs`` is still required: the left join that emits unmatched
     (and shingle-less) docs reads it.
 
+    Repeated one-shot callers: pass ``local_frames`` (an empty list) and
+    the operator appends every signature frame it builds INTERNALLY
+    (persisted by _minhash_doc_signatures) to it — materialize the
+    result, then unpersist the collected frames in a ``finally`` block,
+    exactly incremental_split_batch's local_frames discipline.  Without
+    it, internally built frames stay in Spark's CacheManager for the
+    session (fine for a run-one-query process; a leak for a loop that
+    calls the gate per shard).  The collector — rather than an
+    operator-internal eager materialize + finally-unpersist — keeps the
+    default path's lazy plan byte-identical for existing callers and
+    composition; frames the CALLER passed in (``ref_signatures`` /
+    ``new_signatures``) are never collected, they live on the caller's
+    lifecycle.
+
     Scale: candidates are an equi-join on (band, band_hash) — new x ref
     only, never new x new — and verification re-joins shingle sets for
     candidates alone.  Count and best-match come from one window pass
@@ -848,11 +863,13 @@ def cross_neardup_filter(
         ref_signatures = _minhash_doc_signatures(
             ref_docs, id_col, text_col, k, num_hashes
         )
-    sig_new = (
-        new_signatures
-        if new_signatures is not None
-        else _minhash_doc_signatures(new_docs, id_col, text_col, k, num_hashes)
-    )
+        if local_frames is not None:
+            local_frames.append(ref_signatures)
+    sig_new = new_signatures
+    if sig_new is None:
+        sig_new = _minhash_doc_signatures(new_docs, id_col, text_col, k, num_hashes)
+        if local_frames is not None:
+            local_frames.append(sig_new)
     verified = cross_minhash_pairs_from_signatures(
         sig_new, ref_signatures, num_hashes, bands, threshold
     )

@@ -318,7 +318,11 @@ def incremental_split_stream(
     ids restart at 0 when the checkpoint is deleted, which would make
     the epoch fence hide every prior admission, so each batch raises
     if its epoch is behind the admitted table's max (a legitimate
-    replay only re-fires the last epoch).
+    replay only re-fires the last epoch).  The guard costs ONE admitted
+    table scan at stream start; per batch it is an O(1) check against a
+    closure-maintained monotone max (the table only grows through this
+    stream's own appends), so neither fence mode pays a per-batch
+    reference-side scan for it.
 
     Scale — two reference-side modes, value-identical (parity test in
     tests/test_streaming_neardup.py), chosen at stream start:
@@ -335,6 +339,14 @@ def incremental_split_stream(
       quantize-on-write discipline applied to the fence: signatures are
       computed exactly once, at admission time — the true
       incremental-ingest economics at 100 TB."""
+    # One stream-start scan seeds the reset-checkpoint guard; the handler
+    # then maintains it monotonically in this closure dict, so the
+    # per-batch check is O(1) instead of a parquet scan+agg of the
+    # admitted table on every micro-batch (which would grow linearly
+    # with reference size — the cost SIGNATURE mode exists to remove).
+    spark = ref_docs.sparkSession
+    texts_max = _max_epoch(spark, admitted_path)
+    epoch_state = {"max_epoch": texts_max}
     sig_static = None
     if admitted_signatures_path is not None:
         from pimdb_spark.operators.dedup import minhash_doc_signatures
@@ -345,8 +357,6 @@ def incremental_split_stream(
         # the reference (a near-dup of one could land on the opposite
         # side: exactly the leak the fence prevents).  Fail at stream
         # start; backfill_admitted_signatures is the migration.
-        spark = ref_docs.sparkSession
-        texts_max = _max_epoch(spark, admitted_path)
         sigs_max = _max_epoch(spark, admitted_signatures_path)
         if texts_max is not None and (sigs_max is None or sigs_max < texts_max):
             raise ValueError(
@@ -380,6 +390,7 @@ def incremental_split_stream(
             train_pct=train_pct,
             ref_signatures=sig_static,
             admitted_signatures_path=admitted_signatures_path,
+            epoch_state=epoch_state,
         )
 
     return (
@@ -509,6 +520,7 @@ def incremental_split_batch(
     train_pct: int = 90,
     ref_signatures: DataFrame | None = None,
     admitted_signatures_path: str | None = None,
+    epoch_state: dict | None = None,
 ) -> None:
     """One micro-batch of the streaming fence, as a named function so the
     replay contract is directly testable: calling it twice with the same
@@ -549,7 +561,20 @@ def incremental_split_batch(
     # side: the exact leak this module fails loudly on everywhere else.
     # A legitimate replay only re-fires the LAST epoch (epoch == max is
     # fine); epoch < max means a reset checkpoint or misuse.
-    texts_max = _max_epoch(spark, admitted_path)
+    #
+    # Cost: with ``epoch_state`` (the stream handler's closure dict,
+    # seeded by ONE stream-start scan) the check is O(1) — the table's
+    # max epoch only grows through this stream's own appends (single
+    # writer per admitted table, the sink contract), so the closure
+    # value maintained below never overstates the table and a value that
+    # briefly UNDERSTATES it (crash between append and bookkeeping) only
+    # relaxes the guard for the one epoch that legitimately replays.
+    # Without ``epoch_state`` (direct one-shot callers), fall back to
+    # scanning the table — correctness over cost for the batch API.
+    if epoch_state is not None and "max_epoch" in epoch_state:
+        texts_max = epoch_state["max_epoch"]
+    else:
+        texts_max = _max_epoch(spark, admitted_path)
     if texts_max is not None and epoch < texts_max:
         raise ValueError(
             f"batch epoch {epoch} is behind the admitted-texts table at "
@@ -641,6 +666,12 @@ def incremental_split_batch(
         new.join(adm.select(F.col("id").alias(id_col)), id_col).withColumn(
             "epoch", F.lit(epoch)
         ).write.mode("append").parquet(admitted_path)
+        # Monotone bookkeeping for the O(1) reset-checkpoint guard: only
+        # after the texts append lands, so the closure value never runs
+        # ahead of the table it stands in for.
+        if epoch_state is not None:
+            prev = epoch_state.get("max_epoch")
+            epoch_state["max_epoch"] = epoch if prev is None else max(prev, epoch)
     finally:
         # unpersist on EVERY exit: an exception here (convergence guard,
         # write failure) must not leak cached signature frames into the

@@ -891,6 +891,65 @@ def test_cross_neardup_filter_reusable_ref_signatures(spark, tmp_path):
         cross_neardup_filter(shard1, None)
 
 
+def test_cross_neardup_filter_local_frames_collector(spark):
+    """Repeated ONE-SHOT gate calls must not accumulate cached signature
+    frames: the ``local_frames`` collector receives every internally
+    built persisted frame (both sides when built here, only the built
+    side when the caller owns the other), and unpersisting them in a
+    finally block returns the CacheManager to its starting size --
+    incremental_split_batch's discipline, available to the batch API."""
+    from pimdb_spark.operators.dedup import (
+        cross_neardup_filter,
+        minhash_doc_signatures,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight again")],
+        "doc_id int, text string",
+    )
+    shard = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight again"),
+         (101, "completely unrelated words about database engines and joins")],
+        "doc_id int, text string",
+    )
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    expect = None
+    for _ in range(3):  # the repeated-caller loop the leak would grow with
+        frames: list = []
+        try:
+            got = {
+                tuple(r)
+                for r in cross_neardup_filter(
+                    shard, ref, local_frames=frames
+                ).collect()
+            }
+            assert len(frames) == 2  # ref side + new side, both built here
+            if expect is None:
+                expect = got
+            assert got == expect
+        finally:
+            for f in frames:
+                f.unpersist()
+    assert jsc.getPersistentRDDs().size() == before
+
+    # caller-owned sides are never collected: only the built side lands
+    sig_ref = minhash_doc_signatures(ref, "doc_id", "text", 3, 16)
+    try:
+        frames = []
+        try:
+            cross_neardup_filter(
+                shard, None, ref_signatures=sig_ref, local_frames=frames
+            ).collect()
+            assert len(frames) == 1  # sig_new only; sig_ref is the caller's
+        finally:
+            for f in frames:
+                f.unpersist()
+    finally:
+        sig_ref.unpersist()
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_containment_pairs_matches_python_model(spark):
     """containment_pairs vs a direct python replay: distinct k-shingles,
     capped-df candidate blocking, |A∩B|/|A| — directed, both directions

@@ -964,3 +964,102 @@ def test_signature_mode_prefers_real_signature_over_marker(spark, tmp_path):
     side_301 = {r.id: r.split for r in spark.read.parquet(out_path).collect()}[301]
     assert row.inherited == 1 and row.split == side_301
     assert row.n_train_refs + row.n_eval_refs == 1
+
+
+def test_incremental_split_stream_epoch_guard_is_one_scan(
+    spark, tmp_path, monkeypatch
+):
+    """The reset-checkpoint guard costs ONE admitted-table scan at stream
+    start; per micro-batch it is an O(1) check against the handler's
+    closure-maintained max — no per-batch parquet scan+agg of the
+    (reference-sized) admitted table in either fence mode."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pimdb_spark.streaming import neardup as N
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    batch1 = spark.createDataFrame(
+        [(201, _UNIQ_TEXT)], "doc_id long, text string"
+    )
+
+    calls: list[str] = []
+    real = N._max_epoch
+
+    def counting(s, p):
+        calls.append(p)
+        return real(s, p)
+
+    monkeypatch.setattr(N, "_max_epoch", counting)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    now = time.time()
+    for i, (name, df) in enumerate((("a", batch0), ("b", batch1))):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (now - 20 + 10 * i, now - 20 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = N.incremental_split_stream(
+        stream,
+        ref_docs,
+        splits_path,
+        admitted_path,
+        out_path,
+        str(tmp_path / "chk"),
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+    # two micro-batches drained, yet the admitted table was scanned for
+    # its max epoch exactly once — at stream start
+    assert calls.count(admitted_path) == 1
+    ids = {r.id for r in spark.read.parquet(out_path).collect()}
+    assert {101, 102, 103, 112, 201} <= ids
+
+
+def test_incremental_split_batch_epoch_state_guard(spark, tmp_path, monkeypatch):
+    """A caller-owned epoch_state dict makes the guard O(1): the admitted
+    table is never rescanned, the closure max stays monotone across
+    batches (including a legitimate last-epoch replay), and a reset
+    epoch still fails loudly."""
+    import pytest
+
+    from pimdb_spark.streaming import neardup as N
+
+    ref_docs, splits_path, admitted_path, out_path, batch0 = _fence_fixture(
+        spark, tmp_path
+    )
+    kw = dict(
+        ref_splits_path=splits_path, admitted_path=admitted_path, out_path=out_path
+    )
+    state = {"max_epoch": N._max_epoch(spark, admitted_path)}
+    assert state["max_epoch"] is None  # table missing pre-stream
+
+    def boom(s, p):  # any rescan with epoch_state present is the bug
+        raise AssertionError("guard must not rescan the admitted table")
+
+    monkeypatch.setattr(N, "_max_epoch", boom)
+    N.incremental_split_batch(batch0, 0, ref_docs, epoch_state=state, **kw)
+    assert state["max_epoch"] == 0
+    batch1 = spark.createDataFrame(
+        [(201, _UNIQ_TEXT)], "doc_id long, text string"
+    )
+    N.incremental_split_batch(batch1, 1, ref_docs, epoch_state=state, **kw)
+    assert state["max_epoch"] == 1
+    # replay of the LAST epoch: allowed, monotone value unchanged
+    N.incremental_split_batch(batch1, 1, ref_docs, epoch_state=state, **kw)
+    assert state["max_epoch"] == 1
+    # reset checkpoint: epoch restarts at 0 while the closure max is 1
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        N.incremental_split_batch(batch0, 0, ref_docs, epoch_state=state, **kw)
