@@ -182,7 +182,9 @@ def test_tokenizer_fertility_hand_case(spark):
     runs are excluded from the word count; an all-empty slice yields
     NULL ratios instead of a division error."""
     from pimdb_spark import entrypoints  # noqa: F401 — loads the catalog
-    from pimdb_spark.catalog import _EXTRA_BENCH
+    # promoted to the driver registry in builder r20 — fetch from the
+    # registry, not _EXTRA_BENCH (where it lived while bench-only)
+    from pimdb_spark.catalog import _REGISTRY
 
     rows = [
         (0, "ab1 cd", "xx", "s1"),
@@ -195,7 +197,7 @@ def test_tokenizer_fertility_hand_case(spark):
         df.write.parquet(f"{d}/documents.parquet")
         out = {
             (r.lang, r.source): r
-            for r in _EXTRA_BENCH["q_tokenizer_fertility"](spark, d).collect()
+            for r in _REGISTRY["q_tokenizer_fertility"].fn(spark, d).collect()
         }
     r1 = out[("xx", "s1")]
     assert (r1.n_docs, r1.total_words, r1.total_bpe_tokens) == (2, 4, 5)
