@@ -260,12 +260,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = F.split("text", " ")
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        F.element_at(toks, 1).alias("first_tok"),
-        D.word_shingles(toks, 3).alias("s"),
-    ).filter(F.size("s") > 0)
+    # r18 optimization: the interpreted word_shingles chain used to be
+    # evaluated FOUR times (the size(s) > 0 filter re-ran it below each
+    # self-join side's projection — see plans/r18/
+    # q_ngram_jaccard_pairs_before.txt operators (2)/(4)/(6)/(8)).  The
+    # filter is rewritten to its cheap equivalent (a k-shingle set is
+    # non-empty iff the doc has >= k tokens) and the shingle frame is
+    # persisted, so the chain runs ONCE and both join sides read the
+    # cached arrays (guide §1.2 "don't compute things twice").
+    sh = (
+        docs.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.element_at(toks, 1).alias("first_tok"),
+            D.word_shingles(toks, 3).alias("s"),
+        )
+        .persist()
+    )
     a = sh.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
@@ -1099,9 +1111,17 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = docs.union(trunc)
-    exact = D.exact_jaccard_pairs(base, k=3, t_num=1, t_den=2)
-    approx = D.minhash_lsh_pairs(
-        base, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.5
+    # ONE persisted signature/shingle pass serves BOTH the banded side
+    # and the exhaustive ground truth (r18 optimization round): the
+    # standalone exact_jaccard_pairs re-ran the interpreted
+    # word_shingles chain twice (both self-join aliases) on top of the
+    # banded side's own chain — three shingle passes for one corpus.
+    # exact_jaccard_pairs_from_signatures is value-identical (same
+    # distinct shingle sets, same integer threshold compare).
+    sig = D.minhash_doc_signatures(base, "doc_id", "text", k=3, num_hashes=16)
+    exact = D.exact_jaccard_pairs_from_signatures(sig, t_num=1, t_den=2)
+    approx = D.minhash_pairs_from_signatures(
+        sig, num_hashes=16, bands=4, threshold=0.5
     )
     return D.dedup_recall(approx, exact)
 

@@ -262,6 +262,11 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the change flag is computed INLINE (new component differs from
+        # the old iff a neighbor label undercuts it), so certifying a
+        # round needs only a scan of the just-checkpointed partitions —
+        # the r18 optimization round removed the extra new-vs-old shuffle
+        # join each round used to pay here (guide §2.4)
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
             .select(
@@ -269,17 +274,13 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     else:

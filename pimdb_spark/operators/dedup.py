@@ -742,6 +742,60 @@ def exact_jaccard_pairs(
     )
 
 
+def exact_jaccard_pairs_from_signatures(
+    sig: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """exact_jaccard_pairs over a PRECOMPUTED _minhash_doc_signatures
+    frame (doc, h0.., shingles) — the r18-optimization form for callers
+    that already built the signature chain for a banded pass
+    (q_dedup_recall_lsh: ground truth + banded side from ONE persisted
+    shingle pass instead of three interpreted word_shingles chains).
+
+    Value-identical to exact_jaccard_pairs on the same corpus: the
+    signature chain's collect_set shingles are exactly word_shingles'
+    distinct sets (same tokenizer, same k-gram concat, same >=k-token
+    filter), `shared` counts shared DISTINCT shingles either way, and
+    the blocking equi-join keys on the shingle STRING itself (the md5
+    re-key the standalone form pays is pure equality plumbing — raw
+    strings are exact and skip that pass entirely).
+
+    Scale: identical to exact_jaccard_pairs — sum-over-shingles df^2
+    candidate rows; run on a sample, per the calibration contract."""
+    sh = sig.select(F.col("doc"), F.explode("shingles").alias("sh"))
+    sizes = sig.select("doc", F.size("shingles").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
+    uni = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(t_den * F.col("shared") >= t_num * uni)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            uni.cast("bigint").alias("union_sz"),
+            (F.col("shared").cast("double") / uni.cast("double")).alias(
+                "jacc"
+            ),
+        )
+    )
+
+
 def dedup_recall(
     approx_pairs: DataFrame,
     exact_pairs: DataFrame,

@@ -1179,42 +1179,113 @@ def train_pq_codebooks(
     Returns a ONE-ROW frame with column ``books``:
     array<array<array<double>>> of shape m x n_centroids x (dim/m) —
     books[s][j] is subspace s's centroid j, in deterministic cid order.
-    Training is the clustering module's machinery verbatim per subspace
-    (init = the n_centroids lowest-id candidates' s-th sub-vectors;
-    ``n_iter - 1`` exact ordered-fold centroid updates), so every
+    Training replicates the clustering module's exact machinery (init =
+    the n_centroids lowest-id candidates' s-th sub-vectors; ``n_iter -
+    1`` exact ordered-fold centroid updates), FUSED across subspaces:
+    one chain over (s, vec_id, sub-vector) rows instead of m
+    per-subspace chains.  Every (s, cid) group folds the same doubles in
+    the same sorted-by-id order the subspace-s chain would, so every
     centroid coordinate is bit-deterministic and the whole trained
     pipeline stays DuckDB-oracle-checkable end to end — the
-    q_kmeans_assignments property, applied m times.
+    q_kmeans_assignments property, applied m times (the oracle still
+    unrolls m independent chains; values are identical).
 
-    Scale: each subspace's training is the kmeans shape (broadcast
-    argmin assignment — no candidate shuffle — plus one keyed update
-    shuffle); m such passes produce m * n_centroids rows that collapse
-    to one broadcastable row.  Training cost is a constant number of
-    corpus passes paid ONCE per index build (the quantize-on-write
-    argument); callers localCheckpoint the returned row to cut the
-    m-subspace lineage out of every downstream scoring plan."""
-    from pimdb_spark.operators.clustering import (
-        assign_clusters,
-        init_centroids,
-        update_centroids_exact,
-    )
-
+    Scale: one kmeans-shaped pass per Lloyd's iteration over m x n_rows
+    exploded sub-vector rows (broadcast argmin assignment — no candidate
+    shuffle — plus one (s, cid)-keyed update shuffle); the m *
+    n_centroids centroid rows collapse to one broadcastable row.  The
+    fusion reads the corpus once per iteration where the per-subspace
+    loop read it m times.  Training cost is paid ONCE per index build
+    (the quantize-on-write argument); callers localCheckpoint the
+    returned row to cut the training lineage out of every downstream
+    scoring plan."""
     sub = dim // m
     if sub * m != dim:
         raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m {m}")
-    tagged = None
-    for s in range(m):
-        sliced = candidates.select(
-            F.col(cand_id).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+    # FUSED across subspaces (r18 optimization round, guide §1.2/§2.4):
+    # one k-means chain over (s, vec_id, sub-vector) rows replaces the m
+    # independent per-subspace chains — m x fewer jobs/scans/shuffles per
+    # Lloyd's iteration, and at 100 TB the corpus is read once per
+    # iteration instead of m times.  Bit-parity with the per-subspace
+    # form: every (s, cid) group holds exactly the rows the subspace-s
+    # chain would hold, the assignment min(struct(dist, cid)) compares
+    # the same 16 sub-distances per (s, vec), and the centroid update's
+    # ordered fold (sort by vec_id, left-fold in double) sums the same
+    # doubles in the same order — so the trained books row is
+    # bit-identical and the DuckDB oracle (which unrolls the m chains)
+    # still matches.
+    sliced = candidates.select(
+        F.col(cand_id).alias("vec_id"),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)])
+        ).alias("s", "embedding"),
+    )
+    # init: ONE TakeOrdered pass over the candidates (the n_centroids
+    # lowest ids) serves all m subspaces; cid assignment replicates
+    # clustering.init_centroids (row_number over id order, minus 1)
+    w = Window.orderBy("vec_id")
+    head = (
+        candidates.select(F.col(cand_id).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select((F.row_number().over(w) - 1).alias("cid"), "_v")
+    )
+    cents = head.select(
+        "cid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.transform(
+                        F.slice(F.col("_v"), s * sub + 1, sub),
+                        lambda x: x.cast("double"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "cvec"),
+    ).select("s", "cid", "cvec")
+    for _ in range(n_iter - 1):
+        # assignment: nearest centroid per (s, vec) — broadcast equi-join
+        # on s (m*n_centroids rows), same sqdist fold, same
+        # min(struct(dist, cid)) lowest-cid tie-break as assign_clusters
+        d = sqdist(F.col("embedding"), F.col("cvec"))
+        assigned = (
+            sliced.join(F.broadcast(cents), "s")
+            .groupBy("s", "vec_id")
+            .agg(F.min(F.struct(d.alias("_d"), F.col("cid"))).alias("_m"))
+            .select("s", "vec_id", F.col("_m.cid").alias("cid"))
         )
-        cents = init_centroids(sliced, n_centroids)
-        for _ in range(n_iter - 1):
-            assigned = assign_clusters(sliced, cents)
-            cents = update_centroids_exact(assigned, sliced, cents, sub)
-        t = cents.select(F.lit(s).alias("s"), "cid", "cvec")
-        tagged = t if tagged is None else tagged.unionByName(t)
-    flat = tagged.agg(
+        # update: per-(s, cid) ordered fold — update_centroids_exact's
+        # exact expressions keyed by (s, cid) instead of cid
+        members = assigned.join(sliced, ["s", "vec_id"])
+        lst = F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("_sid"),
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    ).alias("_sv"),
+                )
+            )
+        )
+        summed = F.aggregate(
+            lst,
+            F.array_repeat(F.lit(0.0), sub),
+            lambda acc, sv: F.zip_with(acc, sv["_sv"], lambda a, x: a + x),
+        )
+        upd = (
+            members.groupBy("s", "cid")
+            .agg(F.count(F.lit(1)).alias("_n"), summed.alias("_sum"))
+            .select(
+                "s",
+                "cid",
+                F.transform(F.col("_sum"), lambda x: x / F.col("_n")).alias("_new"),
+            )
+        )
+        cents = cents.join(upd, ["s", "cid"], "left").select(
+            "s", "cid", F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec")
+        )
+    flat = cents.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("s"), F.col("cid"), F.col("cvec")))
         ).alias("_flat")
