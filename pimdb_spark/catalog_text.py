@@ -256,36 +256,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     left the driver registry for bench-only in the r13 consolidation —
     registry entries cannot take entry edits while the rotation window
     is full."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    # r18 optimization: the interpreted word_shingles chain used to be
-    # evaluated FOUR times (the size(s) > 0 filter re-ran it below each
-    # self-join side's projection — see plans/r18/
-    # q_ngram_jaccard_pairs_before.txt operators (2)/(4)/(6)/(8)).  The
-    # filter is rewritten to its cheap equivalent (a k-shingle set is
-    # non-empty iff the doc has >= k tokens) and the shingle frame is
-    # persisted, so the chain runs ONCE and both join sides read the
-    # cached arrays (guide §1.2 "don't compute things twice").
-    sh = (
-        docs.filter(F.size(toks) >= 3)
-        .select(
-            "doc_id",
-            "lang",
-            F.element_at(toks, 1).alias("first_tok"),
-            D.word_shingles(toks, 3).alias("s"),
-        )
-        .persist()
-    )
+    # r18 optimization, two stacked fixes: (1) the interpreted
+    # word_shingles chain used to be evaluated FOUR times (the
+    # size(s) > 0 filter re-ran it below each self-join side's
+    # projection — see plans/r18/q_ngram_jaccard_pairs_before.txt
+    # operators (2)/(4)/(6)/(8)); the shingle frame is now persisted so
+    # it is computed ONCE and both join sides read the cached arrays.
+    # (2) The chain itself is the row-oriented doc_shingle_sets form
+    # (posexplode + window lead + collect_set) instead of the
+    # interpreted transform — every consumer here (array_intersect /
+    # size) is set-order-insensitive, so the Jaccard values are
+    # identical.  (doc_shingle_sets repartitions by id internally, which
+    # also covers the old defaultParallelism pin.)
+    sh = D.doc_shingle_sets(
+        docs.select(
+            "doc_id", "lang", F.element_at(toks, 1).alias("first_tok"), "text"
+        ),
+        "doc_id",
+        "text",
+        3,
+        extra_cols=("lang", "first_tok"),
+    ).persist()
     a = sh.select(
-        F.col("doc_id").alias("id_a"),
+        F.col("doc").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("first_tok").alias("ft_a"),
         F.col("s").alias("s_a"),
     )
     b = sh.select(
-        F.col("doc_id").alias("id_b"),
+        F.col("doc").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("first_tok").alias("ft_b"),
         F.col("s").alias("s_b"),
@@ -335,17 +336,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 hashes over 3-word shingles), exploded to
     (doc_id, h, minhash) rows.  The md5-keyed min is engine-reproducible —
-    the oracle recomputes identical signatures.  Scale: one projection;
-    md5 cost is num_hashes x shingles per doc, all JVM-side."""
+    the oracle recomputes identical signatures.
+
+    r18 optimization: computed through the shared row-oriented
+    minhash_doc_signatures chain (posexplode -> window shingles ->
+    codegen md5/min — one interpreted-HOF-free pass) instead of the
+    word_shingles + minhash_signature Column expressions, whose nested
+    transform lambdas are interpreted per (hash, shingle).  Same
+    universal-hash family, same md5 keys, so every (doc_id, h, minhash)
+    value is identical; the h index comes from the same posexplode
+    position convention."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = F.split("text", " ")
-    base = docs.select(
-        "doc_id", D.word_shingles(toks, 3).alias("s")
-    ).filter(F.size("s") > 0)
-    sig = base.select("doc_id", D.minhash_signature(F.col("s"), 16).alias("sig"))
-    return sig.select("doc_id", F.posexplode("sig").alias("pos", "minhash")).select(
-        "doc_id", F.col("pos").alias("h"), "minhash"
-    )
+    sig = D.minhash_doc_signatures(docs, "doc_id", "text", k=3, num_hashes=16)
+    return sig.select(
+        F.col("doc").alias("doc_id"),
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(16)])).alias(
+            "pos", "minhash"
+        ),
+    ).select("doc_id", F.col("pos").alias("h"), "minhash")
 
 
 @register(

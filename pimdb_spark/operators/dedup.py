@@ -416,16 +416,25 @@ def _span_grams(docs, id_col, text_col, n):
     base = docs.select(
         F.col(id_col).alias("_id"), arr.alias("toks")
     ).withColumn("n_tokens", F.size("toks"))
-    gram_arr = F.when(
-        F.col("n_tokens") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r18 optimization: explode(sequence) + slice/concat_ws instead of
+    # the interpreted transform lambda (higher-order functions don't
+    # codegen; the gopher_repetition gram shape, which also sidesteps
+    # the Spark 4.1 union-HOF-lambda rebind class entirely).  gpos and
+    # gh values are identical.
     grams = base.select(
-        "_id", F.posexplode(gram_arr).alias("gidx", "gh")
-    ).withColumn("gpos", F.col("gidx") + 1)
+        "_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("gpos"),
+    ).select(
+        "_id",
+        "gpos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("gpos"), n))).alias("gh"),
+    )
     return base, grams
 
 
@@ -977,6 +986,52 @@ def minhash_doc_signatures(
     return _minhash_doc_signatures(df, id_col, text_col, k, num_hashes)
 
 
+def doc_shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct k-word shingle SET per document — (doc, <extra_cols>, s)
+    — via the row-oriented chain (repartition(id) -> posexplode tokens
+    -> window lead shingles -> collect_set), the _minhash_doc_signatures
+    discipline without the minhash columns.  ~5-10x cheaper than the
+    interpreted word_shingles transform chain (higher-order functions
+    are interpreted, not codegen'd; measured 6.5 s -> 0.7 s for the
+    sf0.1 corpus pass in the r18 optimization round).
+
+    Value-identical to word_shingles + filter(size > 0) for every SET
+    consumer (size / membership / intersection): the same distinct
+    shingle strings per doc, in collect_set's engine-chosen ORDER rather
+    than first-occurrence order — callers that expose element order must
+    keep word_shingles.  Docs shorter than k tokens produce no row,
+    matching the size(s) > 0 filter.  ``extra_cols`` are carried through
+    the groupBy (must be functionally dependent on the doc id).
+
+    Scale: one id-keyed exchange serves window and aggregate; text never
+    shuffles again past the shingle rows."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    sh = (
+        tok.select(
+            "doc",
+            *extra_cols,
+            F.concat_ws(" ", *parts).alias("sh"),
+            parts[-1].alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())  # drop the k-1 tail positions
+        .select("doc", *extra_cols, "sh")
+    )
+    return sh.groupBy("doc", *extra_cols).agg(F.collect_set("sh").alias("s"))
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1013,15 +1068,16 @@ def containment_pairs(
     boilerplate_strip.  LSH-Ensemble banding (minhash partitioned by
     set size) is the sub-linear upgrade path when the candidate join
     itself dominates."""
-    toks = F.split(F.col(text_col), " ")
     # One lineage cut: the CPU-bound shingle projection feeds the gram
     # explode AND both verification sides — without it the chain re-runs
     # per consumer (measured 14.6 -> 4.5 s at sf0.1 for identical rows).
-    sh = (
-        docs.select(F.col(id_col).alias("doc"), word_shingles(toks, k).alias("s"))
-        .filter(F.size("s") > 0)
-        .localCheckpoint(eager=False)
-    )
+    # r18 optimization: the shingle sets come from the row-oriented
+    # doc_shingle_sets chain (posexplode + window lead + collect_set)
+    # instead of the interpreted word_shingles transform — the dominant
+    # cost of this operator (measured ~6.5 s of the 6.8 s warm query at
+    # sf0.1); every downstream consumer (size / intersect / gram hash)
+    # is set-order-insensitive, so results are value-identical.
+    sh = doc_shingle_sets(docs, id_col, text_col, k).localCheckpoint(eager=False)
     # 64-bit gram keys narrow the candidate join's wire (the dup-span
     # md5-key convention); the shingle STRINGS never shuffle here.
     grams = sh.select(

@@ -42,11 +42,14 @@ SCALE = 1_000_000_000
 
 def bigram_counts(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Reference bigram table: (gram, w1, c2) with c2 the bigram count.
-    One explode + one groupBy (map-side combined)."""
-    from pimdb_spark.operators.corpus import ngrams
+    One explode + one groupBy (map-side combined).  r18 optimization:
+    the gram pass is the codegen'd exploded_ngram_rows form (the
+    interpreted ngrams() transform dominated every LM entry's model
+    build)."""
+    from pimdb_spark.operators.corpus import exploded_ngram_rows
 
     return (
-        ref_docs.select(F.explode(ngrams(text_col, 2)).alias("gram"))
+        exploded_ngram_rows(ref_docs, (), text_col, 2, out="gram")
         .groupBy("gram")
         .agg(F.count("*").alias("c2"))
         .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
@@ -75,7 +78,7 @@ def ngram_lm_score(
     the scoring pass shuffle-free until the final per-doc groupBy on the
     id column.  Terms sum as exact BIGINTs, so partial aggregation
     combines freely with no float-order concern."""
-    from pimdb_spark.operators.corpus import ngrams
+    from pimdb_spark.operators.corpus import exploded_ngram_rows
 
     bi = bigram_counts(ref_docs, text_col)
     ctx = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -84,8 +87,8 @@ def ngram_lm_score(
         .agg(F.count_distinct("w").alias("v"))
     )
 
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(ngrams(text_col, 2)).alias("gram")
+    doc_grams = exploded_ngram_rows(
+        docs, (id_col,), text_col, 2, out="gram"
     ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
 
     scored = (
@@ -149,7 +152,7 @@ def ngram_lm_score_interpolated(
 
     Scale: identical plan shape to ngram_lm_score plus one more
     broadcast (unigram counts) and a second one-row attach (T)."""
-    from pimdb_spark.operators.corpus import ngrams
+    from pimdb_spark.operators.corpus import exploded_ngram_rows
 
     lam_rest = lambda_den - lambda_num
     bi = bigram_counts(ref_docs, text_col)
@@ -168,7 +171,7 @@ def ngram_lm_score_interpolated(
     )
 
     doc_grams = (
-        docs.select(F.col(id_col), F.explode(ngrams(text_col, 2)).alias("gram"))
+        exploded_ngram_rows(docs, (id_col,), text_col, 2, out="gram")
         .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("gram"), " ").getItem(1))
     )

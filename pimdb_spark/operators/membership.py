@@ -171,14 +171,13 @@ def bloom_decontaminate(
     stage that shuffles gram text — runs over bloom survivors alone,
     whose volume is true hits + FP-rate x corpus grams (tune m for the
     target FP rate: ~0.1%% at m = 10 x distinct grams, k=3)."""
-    from pimdb_spark.operators.corpus import ngrams
+    from pimdb_spark.operators.corpus import exploded_ngram_rows
 
-    grams = docs.select(
-        F.col(id_col), F.explode(ngrams(text_col, n)).alias("gram")
-    ).distinct()
-    eval_grams = eval_docs.select(
-        F.explode(ngrams(text_col, n)).alias("gram")
-    ).distinct()
+    # r18 optimization: codegen'd exploded_ngram_rows instead of the
+    # interpreted ngrams() transform on both gram passes; the .distinct()
+    # shuffles were already paid, so the plan shape is unchanged.
+    grams = exploded_ngram_rows(docs, (id_col,), text_col, n, out="gram").distinct()
+    eval_grams = exploded_ngram_rows(eval_docs, (), text_col, n, out="gram").distinct()
 
     bloom = bloom_build(eval_grams, "gram", m_bits, k_hashes)
     probed = bloom_probe(grams, "gram", bloom, m_bits, k_hashes)
