@@ -584,6 +584,16 @@ def q_jpeg_color_stats_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Arrow-batched mapInPandas over payload bytes; zero shuffle —
     and 4:2:0 is itself the bytes dial for image corpora: half the
     chroma blocks of 4:4:4 through every scan."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # repartition(defaultParallelism) pins the Python synth+decode passes
+    # past the SF dir's single-split parquet scan — without it all 100
+    # JPEG encodes/decodes run as ONE Arrow task on one core (r18
+    # optimization round; the jpeg/minhash single-core trap).  Per-row
+    # deterministic decode: values identical.  defaultParallelism — never
+    # a literal constant: it follows the cluster's total core count.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     payloads = M.synth_jpeg_color_420_payload(docs, "doc_id")
     return M.image_channel_stats_420(payloads, "doc_id", "payload")

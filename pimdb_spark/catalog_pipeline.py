@@ -762,8 +762,17 @@ def q_sparse_doc_sim_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same candidate discipline as q_sparse_doc_sim (capped-gram
     equi-join, Σdf² bounded) minus the fold overhead — no per-pair
-    buffered list, no sort; this is the shape to run at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
+    buffered list, no sort; this is the shape to run at 100 TB.
+
+    The repartition(defaultParallelism) pins the CPU-bound pre-exchange
+    tokenize/gram/tf chain past the SF dir's single-split parquet scan —
+    the exact fix the fold twin carries (measured there 4.38 s ->
+    1.62 s; this twin had been left on one core, r18 optimization
+    round).  defaultParallelism — never a literal constant: it follows
+    the cluster's total core count (see q_sparse_doc_sim)."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return R.sparse_doc_similarity(
         docs, max_df=40, threshold=0.5, n=2, scorer="sum", round_digits=4
     )

@@ -34,6 +34,38 @@ _BUCKET = """
 """
 
 
+def _cand_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate/corpus-side embeddings scan, repartitioned to
+    defaultParallelism (r18 optimization round, guide §2.3).  The SF
+    dir's embeddings table is ONE parquet split, so CPU-heavy per-row
+    work downstream (ADC sub-distance tables, PQ code assignment, the
+    dim^2 gram fan-out, int8+JL folds) otherwise runs as a 1-task stage
+    on a single core — the same single-split trap the text family fixed
+    with the committed repartition pins (see catalog_text.py).
+
+    Applied ONLY where the r18 before/after pair measured a win (the
+    ADC/code-serving family, the gram fan-out, knn-label-errors:
+    2.30->1.89, 4.27->2.66, 2.67->2.18, 2.62->2.11, 3.03->2.87,
+    2.46->0.85, 1.41->1.23 s at sf0.1): entries whose per-row work is a
+    cheap bucket hash (LSH family) or that re-consume the scan once per
+    Lloyd's iteration (trained-codebook and k-means entries) measured
+    SLOWER with the extra exchange, and q_random_projection_int8 keeps
+    its documented shuffle-free contract (its ~0.1 s win was inside
+    box-drift noise) — the per-entry pairs are in OPTIMIZATION_r18.md.
+
+    Value-safe for every consumer: per-row expressions are
+    partition-independent, cross-row float aggregations use sorted folds
+    (train_pq_codebooks) or exact integers (gram/JL), centroid/cell
+    inits are total-order orderBy().limit() heads, and every top-k
+    window breaks rank ties by candidate id.  defaultParallelism — never
+    a literal constant: it follows the cluster's total core count, so
+    the driver's lower-core bench run keeps its scaling measurement.
+    Query sides (8-32 rows) stay on the plain scan."""
+    return load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 @register_bench_only(
     "q_cosine_topk",
     oracle=f"""
@@ -738,7 +770,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: sub-distances are the house sequential double fold,
     code assignment is first-minimum list_position on both engines, and
     the ADC sum unrolls as left-associated adds — hash-exact."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _cand_emb(spark, sf_dir)
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see
     # operators/similarity.embedding_dup_pairs docstring)
@@ -781,7 +813,7 @@ def q_pq_from_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute broadcast pass over ~8 B/vector (64x narrower than float64
     at dim 64); the encode cost lives at ingest, amortized over every
     query that ever runs."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _cand_emb(spark, sf_dir)
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see
     # operators/similarity.embedding_dup_pairs docstring)
@@ -817,7 +849,7 @@ def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: no second corpus scoring pass — stage 2's only corpus-sized
     op is one broadcast join keyed on candidate id; exact cosine runs on
     |Q| x shortlist rows, never |Q| x |corpus|."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _cand_emb(spark, sf_dir)
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see
     # operators/similarity.embedding_dup_pairs docstring)
@@ -902,7 +934,7 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two one-row broadcasts (coarse centroids, PQ codebooks), both
     assignments as projections over the candidate scan, one hash
     equi-join on cell id, m lookups per surviving pair."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _cand_emb(spark, sf_dir)
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see
     # operators/similarity.embedding_dup_pairs docstring)
@@ -940,7 +972,7 @@ def q_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash equi-join, never a float vector in the ADC join) plus ONE
     broadcast hash join for the raw-vector fetch — no second corpus
     scoring pass, no corpus shuffle."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _cand_emb(spark, sf_dir)
     # independent scan for the query side: sharing `emb` across both join
     # sides risks Catalyst's self-join HOF-lambda rebind bug (see
     # operators/similarity.embedding_dup_pairs docstring)
@@ -982,7 +1014,7 @@ def q_embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/linalg.pca_project) like a kmeans centroid collect."""
     from pimdb_spark.operators.linalg import gram_matrix_int8
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _cand_emb(spark, sf_dir)
     return gram_matrix_int8(emb, "vec_id", "embedding", dim=64)
 
 
@@ -1806,7 +1838,7 @@ def q_knn_label_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote aggregation over at most queries x k rows — bounded by the
     top-k output, not the corpus; candidate generation composes with
     IVF/LSH unchanged."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _cand_emb(spark, sf_dir)
     # independent scan for the query side (self-join HOF rebind bug)
     queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 32)
     return SEL.knn_label_errors(queries, emb, k=5)

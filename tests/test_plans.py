@@ -779,12 +779,19 @@ def test_kmeans_assignment_broadcast_only(spark):
 
 
 def test_gram_matrix_single_exchange(spark):
-    """The int8 Gram aggregation must cost exactly ONE exchange — the
-    bounded (i, j) groupBy; the 2,080-cell fan-out is map-side."""
+    """The int8 Gram AGGREGATION must cost exactly ONE exchange — the
+    bounded (i, j) groupBy; the 2,080-cell fan-out is map-side.  Since
+    the r18 optimization round the entry also carries the documented
+    _cand_emb repartition pin (a RoundRobin exchange BEFORE the fan-out,
+    measured 2.46 -> 0.85 s at sf0.1 — the dim^2 per-row products were a
+    1-task stage on the single-split scan), so the plan holds exactly
+    TWO exchanges: one REPARTITION_BY_NUM, one hashpartitioning
+    aggregation — and still no join."""
     from pimdb_spark.catalog import _REGISTRY
 
     plan = plan_of(_REGISTRY["q_embedding_gram_int8"].fn(spark, SF))
-    assert count_op(plan, "Exchange") == 1
+    assert count_op(plan, "Exchange") == 2
+    assert plan.count("REPARTITION_BY_NUM") == 1
     assert "Join" not in plan
 
 
