@@ -94,6 +94,30 @@ def main() -> None:
             }
         )
     )
+    # ADDITIONS-ONLY per-query artifact (r19 optimization round, per the
+    # r18 verdict "Next round: do this" #2): the stdout tail capture
+    # truncates the full per-query line, leaving PERF's per_query/geomean/
+    # scaling blocks empty, so ALSO write the identical payload to a
+    # fixed-name file beside this script.  Written after the timed loop
+    # and after both stdout lines — zero effect on methodology or on the
+    # printed contract (both lines above are byte-identical to r18's).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_perquery.json"), "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                },
+                f,
+            )
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must never fail the bench
     spark.stop()
 
 

@@ -264,6 +264,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection — see plans/r18/q_ngram_jaccard_pairs_before.txt
     # operators (2)/(4)/(6)/(8)); the shingle frame is now persisted so
     # it is computed ONCE and both join sides read the cached arrays.
+    # Persist lifecycle (r18 ADVICE): this catalog entry returns a lazy
+    # frame, so IT cannot unpersist — the harness owns the lifecycle
+    # (bench.py/oracle clearCache() between queries); a long-lived
+    # session embedding this entry should use the operator forms with a
+    # local_frames collector instead.
     # (2) The chain itself is the row-oriented doc_shingle_sets form
     # (posexplode + window lead + collect_set) instead of the
     # interpreted transform — every consumer here (array_intersect /

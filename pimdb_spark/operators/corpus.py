@@ -109,6 +109,14 @@ def exploded_ngram_rows(
 
     Short docs (< n tokens) produce no rows, same as the empty-array
     branch of ngrams()."""
+    reserved = {"_toks", "_nt", "_i"}
+    clashes = (set(cols) | {out}) & reserved
+    if clashes or out in set(cols):
+        raise ValueError(
+            "exploded_ngram_rows: output/carried column names collide with "
+            f"the reserved internals {sorted(reserved)} or each other: "
+            f"cols={list(cols)!r}, out={out!r}"
+        )
     toks = F.split(F.col(text_col), sep)
     base = df.select(
         *[F.col(c) for c in cols], toks.alias("_toks"), F.size(toks).alias("_nt")

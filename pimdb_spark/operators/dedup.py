@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    local_frames: list | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle → minhash → band → bucket
     join → verify true Jaccard ≥ threshold.  Returns (id_a, id_b, jacc)
@@ -185,11 +186,21 @@ def minhash_lsh_pairs(
     near-identical floods, better handled by exact/fingerprint dedup
     upstream); the flooded-bucket set is tiny by definition, so the
     exclusion is a broadcast anti-join, not another shuffle.
+
+    Persist lifecycle: the internal signature frame is persisted (it
+    serves the banding pass AND both verification sides of one action).
+    Repeated callers in a long-lived session pass ``local_frames`` (an
+    empty list) — the operator appends the frame so the caller can
+    finally-unpersist after materializing, the cross_neardup_filter /
+    incremental_split_batch discipline; one-shot harnesses (the bench
+    clearCache()s between queries) need nothing.
     """
     # per-doc signature chain shared with containment_lsh_pairs and the
     # from-signatures callers; see _minhash_doc_signatures for the
     # one-exchange plan rationale
     sig = _minhash_doc_signatures(df, id_col, text_col, k, num_hashes)
+    if local_frames is not None:
+        local_frames.append(sig)
     return minhash_pairs_from_signatures(
         sig, num_hashes, bands, threshold, max_bucket_size=max_bucket_size
     )
@@ -766,13 +777,18 @@ def exact_jaccard_pairs_from_signatures(
     signature chain's collect_set shingles are exactly word_shingles'
     distinct sets (same tokenizer, same k-gram concat, same >=k-token
     filter), `shared` counts shared DISTINCT shingles either way, and
-    the blocking equi-join keys on the shingle STRING itself (the md5
-    re-key the standalone form pays is pure equality plumbing — raw
-    strings are exact and skip that pass entirely).
+    the blocking equi-join keys on the SAME 32-char md5 of the shingle
+    the standalone form uses — so the shuffle wire is identical too
+    (k-word shingles routinely exceed 32 chars; keying the join on the
+    raw strings, as the first cut of this function did, made the
+    blocking shuffle wider than the form it claims parity with — r18
+    ADVICE).
 
     Scale: identical to exact_jaccard_pairs — sum-over-shingles df^2
     candidate rows; run on a sample, per the calibration contract."""
-    sh = sig.select(F.col("doc"), F.explode("shingles").alias("sh"))
+    sh = sig.select(F.col("doc"), F.explode("shingles").alias("sg")).select(
+        "doc", F.md5("sg").alias("sh")
+    )
     sizes = sig.select("doc", F.size("shingles").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -1006,8 +1022,13 @@ def doc_shingle_sets(
     shingle strings per doc, in collect_set's engine-chosen ORDER rather
     than first-occurrence order — callers that expose element order must
     keep word_shingles.  Docs shorter than k tokens produce no row,
-    matching the size(s) > 0 filter.  ``extra_cols`` are carried through
-    the groupBy (must be functionally dependent on the doc id).
+    matching the size(s) > 0 filter.  ``extra_cols`` must be functionally
+    dependent on the doc id; they are aggregated with F.first over the
+    doc-keyed group, so the output is ONE row per doc BY CONSTRUCTION —
+    a non-dependent column can no longer split a document into several
+    shingle-set rows and silently corrupt downstream Jaccard sizes (r18
+    ADVICE; under dependence F.first reads a constant, and the narrower
+    doc-only grouping key is also less shuffle wire).
 
     Scale: one id-keyed exchange serves window and aggregate; text never
     shuffles again past the shingle rows."""
@@ -1029,7 +1050,10 @@ def doc_shingle_sets(
         .filter(F.col("_t").isNotNull())  # drop the k-1 tail positions
         .select("doc", *extra_cols, "sh")
     )
-    return sh.groupBy("doc", *extra_cols).agg(F.collect_set("sh").alias("s"))
+    return sh.groupBy("doc").agg(
+        *[F.first(c).alias(c) for c in extra_cols],
+        F.collect_set("sh").alias("s"),
+    )
 
 
 def containment_pairs(
@@ -1132,6 +1156,7 @@ def containment_lsh_pairs(
     num_hashes: int = 16,
     threshold: float = 0.8,
     max_bucket_size: int | None = 64,
+    local_frames: list | None = None,
 ) -> DataFrame:
     """Banded containment candidates — the SUB-LINEAR path for
     containment_pairs (the LSH-Ensemble direction, Zhu et al. VLDB 2016,
@@ -1158,8 +1183,14 @@ def containment_lsh_pairs(
     broadcast anti-join).  Unlike containment_pairs' capped-shingle
     blocking — whose candidate volume is Σ df² over ALL surviving
     shingles — the candidate bound here is num_hashes x Σ bucket² with
-    buckets capped, independent of document length."""
+    buckets capped, independent of document length.
+
+    Persist lifecycle: as minhash_lsh_pairs — the internal signature
+    frame is persisted; repeated long-lived-session callers pass
+    ``local_frames`` to own the unpersist."""
     sig = _minhash_doc_signatures(docs, id_col, text_col, k, num_hashes)
+    if local_frames is not None:
+        local_frames.append(sig)
     banded = sig.select(
         "doc",
         F.posexplode(

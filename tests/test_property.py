@@ -1230,3 +1230,93 @@ def test_eval_leak_report_matches_python_model(spark, seed):
         else:
             assert abs(frac - want_frac) < 1e-12
         assert worst == want_worst
+
+
+def test_lsh_pairs_local_frames_collector_batch(spark):
+    """BATCH edition of the session-leak regression (r18 verdict item 5):
+    minhash_lsh_pairs and containment_lsh_pairs persist their internal
+    signature frame; repeated one-shot callers pass ``local_frames`` and
+    finally-unpersist, returning the CacheManager to its starting size.
+    Default path (no collector) stays byte-identical — the attested
+    catalog entries rely on the harness clearCache."""
+    from pimdb_spark.operators.dedup import containment_lsh_pairs, minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight again"),
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "completely unrelated words about database engines and joins"),
+        ],
+        "doc_id int, text string",
+    )
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    expect_mh = expect_ct = None
+    for _ in range(3):
+        frames: list = []
+        try:
+            mh = {
+                tuple(r)
+                for r in minhash_lsh_pairs(
+                    docs, "doc_id", "text", local_frames=frames
+                ).collect()
+            }
+            ct = {
+                tuple(r)
+                for r in containment_lsh_pairs(
+                    docs, "doc_id", "text", k=3, local_frames=frames
+                ).collect()
+            }
+            assert len(frames) == 2  # one signature frame per operator
+            if expect_mh is None:
+                expect_mh, expect_ct = mh, ct
+            assert mh == expect_mh and ct == expect_ct
+            assert (0, 1) in {(a, b) for a, b, *_ in mh}
+        finally:
+            for f in frames:
+                f.unpersist()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_exploded_ngram_rows_rejects_colliding_names(spark):
+    """Reserved internals (_toks/_nt/_i) and out-vs-cols collisions are a
+    loud ValueError, not an ambiguous-column error or silently shadowed
+    output (r18 ADVICE)."""
+    import pytest
+
+    from pimdb_spark.operators.corpus import exploded_ngram_rows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id int, text string"
+    ).withColumnRenamed("doc_id", "_nt")
+    with pytest.raises(ValueError, match="collide"):
+        exploded_ngram_rows(docs, ("_nt",), "text", 2)
+    docs2 = spark.createDataFrame([(1, "a b c d")], "g int, text string")
+    with pytest.raises(ValueError, match="collide"):
+        exploded_ngram_rows(docs2, ("g",), "text", 2, out="g")
+    with pytest.raises(ValueError, match="collide"):
+        exploded_ngram_rows(docs2, ("g",), "text", 2, out="_i")
+    # the non-colliding path still yields occurrence rows
+    ok = exploded_ngram_rows(docs2, ("g",), "text", 2, out="gram").collect()
+    assert [(r.g, r.gram) for r in ok] == [(1, "a b"), (1, "b c"), (1, "c d")]
+
+
+def test_doc_shingle_sets_one_row_per_doc(spark):
+    """extra_cols ride the doc-keyed group via F.first: ONE output row per
+    doc by construction, even for a (contract-violating) non-dependent
+    extra column — the row-split hazard that would corrupt downstream
+    Jaccard sizes is structurally closed (r18 ADVICE).  Dependent extras
+    are carried through unchanged."""
+    from pimdb_spark.operators.dedup import doc_shingle_sets
+
+    docs = spark.createDataFrame(
+        [(1, "en", "w x y z"), (2, "de", "a b c")],
+        "doc_id int, lang string, text string",
+    )
+    rows = doc_shingle_sets(
+        docs, "doc_id", "text", 3, extra_cols=("lang",)
+    ).collect()
+    assert sorted((r.doc, r.lang, tuple(sorted(r.s))) for r in rows) == [
+        (1, "en", ("w x y", "x y z")),
+        (2, "de", ("a b c",)),
+    ]
