@@ -878,12 +878,32 @@ def q_incremental_split_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics in one codegen pass per side.
     sig_new = D._minhash_doc_signatures(new, "doc_id", "text", 3, 16)
     sig_ref = D._minhash_doc_signatures(docs, "doc_id", "text", 3, 16)
+    # §2.6 overlap (r19 optimization): the reference-side signature chain
+    # is independent of the new-x-new closure, but the closure's
+    # driver-sequenced hash-min rounds leave the executors mostly idle —
+    # materialize sig_ref's persist on a background thread so the heavy
+    # reference scan back-fills those rounds instead of running serially
+    # after them.  Same work, same frames, same results — only the
+    # concurrency of two independent job chains changes (actions are
+    # sequential only because driver code calls them sequentially).
+    # Thread errors are swallowed: the cross-banding consumer below reads
+    # the same lineage and re-raises any real failure on the main thread.
+    from pyspark import InheritableThread
+
+    def _warm_ref() -> None:
+        try:
+            sig_ref.count()
+        except Exception:
+            pass
+    warm = InheritableThread(target=_warm_ref)
+    warm.start()
     nn_pairs = D.minhash_pairs_from_signatures(
         sig_new, num_hashes=16, bands=4, threshold=0.8
     )
     comp = CU.connected_components(
         nn_pairs, "id_a", "id_b", nodes=new.select("doc_id"), max_iter=100
     )
+    warm.join()
     cross = D.cross_minhash_pairs_from_signatures(
         sig_new, sig_ref, num_hashes=16, bands=8, threshold=0.5
     ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"))

@@ -236,9 +236,11 @@ def connected_components(
     Hash-min label propagation: each round every node takes the min of its
     own label and its neighbors' labels; terminates when a round changes
     nothing.  Rounds = graph diameter (small for near-dup quasi-cliques).
-    Each round is one shuffle join on the node id + one min-aggregate;
-    lineage is cut per round with localCheckpoint.  `nodes` adds isolated
-    vertices (components of size 1).
+    Each round is one label-attach join plus ONE min-aggregate over the
+    union of own and neighbor labels (no second join — r19 optimization);
+    lineage is cut per round with a lazy localCheckpoint whose
+    materialization doubles as the convergence certification job.
+    `nodes` adds isolated vertices (components of size 1).
 
     Raises RuntimeError if convergence is not CERTIFIED (a zero-change
     round) within max_iter — a partial labeling silently violates every
@@ -250,36 +252,48 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    # LAZY checkpoint (r19 optimization, guide §2.4/§5.3): labels derives
+    # from sym, so ONE init job — the labels.count() below — materializes
+    # BOTH checkpoints (Spark finalizes a marked-for-checkpoint ancestor
+    # at the end of the first job that computes it), where the two eager
+    # checkpoints used to pay two driver-sequenced jobs.
+    sym = sym.localCheckpoint(eager=False)
     node_ids = sym.select(F.col("s").alias("id"))
     if nodes is not None:
         node_ids = node_ids.union(nodes.select(F.col(nodes.columns[0]).alias("id")))
     labels = node_ids.distinct().withColumn("component", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
+    labels.count()
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.d == labels.id)
-            .groupBy("s")
-            .agg(F.min("component").alias("nbr_min"))
+        # ONE groupBy per round (r19 optimization, guide §2.4): the round
+        # min over {own label} ∪ {neighbor labels} is a union + min
+        # aggregate keyed on the node id — the r18 form's second shuffle
+        # join (labels ⟵ neighbor_min) is gone, one exchange of the
+        # labels frame fewer per round for every CC consumer.  The change
+        # flag stays inline: own rows carry their label in _own (exactly
+        # one own row per node), so new < old ⟺ a neighbor undercut it.
+        # Certification is a single count_if aggregate over the LAZY
+        # checkpoint: materializing the round's labels AND certifying it
+        # is one action (the eager-checkpoint + filter/limit/count form
+        # paid a separate probe job per round).
+        msgs = sym.join(labels, sym.d == labels.id).select(
+            F.col("s").alias("id"),
+            "component",
+            F.lit(None).cast(labels.schema["component"].dataType).alias("_own"),
         )
-        # the change flag is computed INLINE (new component differs from
-        # the old iff a neighbor label undercuts it), so certifying a
-        # round needs only a scan of the just-checkpointed partitions —
-        # the r18 optimization round removed the extra new-vs-old shuffle
-        # join each round used to pay here (guide §2.4)
+        own = labels.select("id", "component", F.col("component").alias("_own"))
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
+            msgs.union(own)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"), F.max("_own").alias("_old"))
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
-                .alias("_chg"),
+                "component",
+                (F.col("component") < F.col("_old")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        changed = new_labels.agg(F.count_if(F.col("_chg")).alias("n")).first().n
         labels = new_labels.select("id", "component")
         if changed == 0:
             break

@@ -891,6 +891,16 @@ def test_cross_neardup_filter_reusable_ref_signatures(spark, tmp_path):
         cross_neardup_filter(shard1, None)
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """IDs of currently persisted RDDs (java map keys as a python set)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    it = m.keySet().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
 def test_cross_neardup_filter_local_frames_collector(spark):
     """Repeated ONE-SHOT gate calls must not accumulate cached signature
     frames: the ``local_frames`` collector receives every internally
@@ -913,7 +923,10 @@ def test_cross_neardup_filter_local_frames_collector(spark):
         "doc_id int, text string",
     )
     jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
+    # baseline as an ID SET: the async ContextCleaner may unpersist
+    # checkpointed frames of EARLIER tests mid-test, so a global size
+    # comparison is flaky; only NEW surviving entries indicate a leak
+    before = _persistent_rdd_ids(spark)
     expect = None
     for _ in range(3):  # the repeated-caller loop the leak would grow with
         frames: list = []
@@ -931,7 +944,7 @@ def test_cross_neardup_filter_local_frames_collector(spark):
         finally:
             for f in frames:
                 f.unpersist()
-    assert jsc.getPersistentRDDs().size() == before
+    assert _persistent_rdd_ids(spark) - before == set()
 
     # caller-owned sides are never collected: only the built side lands
     sig_ref = minhash_doc_signatures(ref, "doc_id", "text", 3, 16)
@@ -947,7 +960,7 @@ def test_cross_neardup_filter_local_frames_collector(spark):
                 f.unpersist()
     finally:
         sig_ref.unpersist()
-    assert jsc.getPersistentRDDs().size() == before
+    assert _persistent_rdd_ids(spark) - before == set()
 
 
 def test_containment_pairs_matches_python_model(spark):
@@ -1250,7 +1263,10 @@ def test_lsh_pairs_local_frames_collector_batch(spark):
         "doc_id int, text string",
     )
     jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
+    # baseline as an ID SET (see test_cross_neardup_filter_local_frames_
+    # collector): async ContextCleaner activity makes size comparisons
+    # flaky; a leak is a NEW surviving entry
+    before = _persistent_rdd_ids(spark)
     expect_mh = expect_ct = None
     for _ in range(3):
         frames: list = []
@@ -1275,7 +1291,7 @@ def test_lsh_pairs_local_frames_collector_batch(spark):
         finally:
             for f in frames:
                 f.unpersist()
-    assert jsc.getPersistentRDDs().size() == before
+    assert _persistent_rdd_ids(spark) - before == set()
 
 
 def test_exploded_ngram_rows_rejects_colliding_names(spark):
