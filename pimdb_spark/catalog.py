@@ -280,121 +280,121 @@ def register(name: str, oracle: str | None, bench: bool = False):
 # every round by scripts/derive_rotation.py as (new entries) + (changed
 # entries) + (entries that failed last round) + (entries outside last
 # round's window, stalest attestation first, ties in registration
-# order).  Builder-r20 derivation (`scripts/derive_rotation.py
-# q_pq_adc_rerank_topk q_tokenizer_fertility`) over the 148-entry
-# registry (148 = r19's 146 + 2 promotions, headroom 2 under the 150
-# cap; the r17 verdict's judge-computed arithmetic was 48 forced
-# r15-stale names + 2 free slots): 2 new (the promoted
-# q_pq_adc_rerank_topk / q_tokenizer_fertility per the stated line
-# order — both bench-only with oracles hash-gated at both SFs since
-# r16) + 0 changed + 0 failed + exactly the 48 forced
-# last-green-r15 names = 50, zero margin.  No demotions this round
-# (the r17 verdict: hold the registry, spend headroom only if a
-# promotion must jump the queue).  After this window the promotion
-# line holds only q_incremental_split_inherit, taken by the next
-# round's 2 free slots (48 forced r16-green names + 2 free).
-# derive_rotation.py verified registry \ (r16 ∪ r17 ∪ next) = ∅.
+# order).  Builder-r21 derivation (`scripts/derive_rotation.py
+# q_incremental_split_inherit`) over the 149-entry registry (149 = r20's
+# 148 + the one promotion, headroom 1 under the 150 cap; the r18 verdict
+# item 7 / r17 slate's arithmetic: 48 forced r16-stale names + 2 free
+# slots): 1 new (the promoted q_incremental_split_inherit — the LAST
+# name in the promotion line, which is now empty; bench-only with a
+# DuckDB oracle hash-gated at both SFs since r14) + 0 changed + 0 failed
+# + the 48 forced last-green-r16 names + 1 margin slot taken by the
+# stalest r17 name (q_distinct_multi) = 50.  This round's optimization-
+# touched entries keep their hashes (oracle-verified at both SFs in the
+# r19 optimization batches) and are covered by the 190-gate pytest
+# sweep, the same convention as the r18 optimization round.
+# derive_rotation.py verified registry \ (r17 ∪ r18 ∪ next) = ∅, exit 0.
 _CHECK_FIRST: list[str] = [
     # -- new this round --
-    "q_pq_adc_rerank_topk",
-    "q_tokenizer_fertility",
+    "q_incremental_split_inherit",
     # -- stalest attestation first --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q_filter_project_rename",
-    "q_conjunctive_isin",
-    "q_self_join_pairs",
-    "q_composite_key_join",
-    "q_multiway_distinct",
-    "q_topk_orders",
-    "q_minhash_lsh_pairs",
-    "q_neardup_dedup_pipeline",
-    "q_curation_pipeline",
-    "q_embedding_dup_pairs",
-    "q_semdedup",
-    "q_ann_recall_lsh",
-    "q_lsh_multitable_topk",
-    "q_time_window_agg",
-    "q_sessionize",
-    "q_multimodal_meta",
-    "q_jpeg_pixel_stats",
-    "q_asof_join",
-    "q_range_join",
-    "q_interval_join",
-    "q_grouping_analytics",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_pivot",
-    "q_percentile",
-    "q_partial_salted_join",
-    "q_full_outer",
-    "q_window_suite",
-    "q_scalar_functions",
-    "q_list_membership_join",
-    "q_dup_clusters",
-    "q_bpe_train",
-    "q_inverted_index_capped",
-    "q_snm_multipass",
-    "q_group_auc",
-    "q_calibration_bins",
-    "q_cohort_retention",
-    "q_last_touch",
-    "q_session_paths",
-    "q_co_occurrence_edges",
-    "q_bfs_hops",
-    "q_funnel_steps",
-    "q_pagerank",
-    "q_triangle_count",
-    "q_linear_attribution",
-    "q_dedup_keep_first",  # last green r16
-    "q_leakage_safe_split",  # last green r16
-    "q_simhash",  # last green r16
-    "q_bm25_topk",  # last green r16
-    "q_cross_neardup_filter",  # last green r16
-    "q_kmeans_assignments",  # last green r16
-    "q_int8_ann_topk",  # last green r16
-    "q_ivf_int8_topk",  # last green r16
-    "q_ivf_pq_rerank_topk",  # last green r16
-    "q_embedding_gram_int8",  # last green r16
-    "q_random_projection_int8",  # last green r16
-    "q_multimodal_decode",  # last green r16
-    "q_image_channel_stats",  # last green r16
-    "q_jpeg_color_stats",  # last green r16
-    "q13_order_distribution",  # last green r16
-    "q18_large_volume_customers",  # last green r16
-    "q6_forecast_revenue",  # last green r16
-    "q14_promo_revenue",  # last green r16
-    "q10_returned_items",  # last green r16
-    "q19_discounted_revenue",  # last green r16
-    "q17_small_quantity",  # last green r16
-    "q21_waiting_suppliers",  # last green r16
-    "q22_idle_customers",  # last green r16
-    "q16_supplier_parts",  # last green r16
-    "q_rolling_window",  # last green r16
-    "q4_priority_count",  # last green r16
-    "q8_market_share",  # last green r16
-    "q15_top_supplier",  # last green r16
-    "q9_product_profit",  # last green r16
-    "q_hash_split",  # last green r16
-    "q_domain_quota",  # last green r16
-    "q_seq_packing",  # last green r16
-    "q_quality_funnel",  # last green r16
-    "q_stratified_sample",  # last green r16
-    "q_weighted_sample",  # last green r16
-    "q_snapshot_diff",  # last green r16
-    "q_snapshot_merge",  # last green r16
-    "q_scd2_intervals",  # last green r16
-    "q_token_df_idf",  # last green r16
-    "q_top_bigrams",  # last green r16
-    "q_decontaminate",  # last green r16
-    "q_priority_dedup",  # last green r16
-    "q_repetition_ratio",  # last green r16
-    "q_redact",  # last green r16
-    "q_corpus_divergence",  # last green r16
-    "q_bpe_train_batched",  # last green r16
-    "q_bloom_decontaminate",  # last green r16
-    "q_label_propagation",  # last green r16
+    "q_dedup_keep_first",
+    "q_leakage_safe_split",
+    "q_simhash",
+    "q_bm25_topk",
+    "q_cross_neardup_filter",
+    "q_kmeans_assignments",
+    "q_int8_ann_topk",
+    "q_ivf_int8_topk",
+    "q_ivf_pq_rerank_topk",
+    "q_embedding_gram_int8",
+    "q_random_projection_int8",
+    "q_multimodal_decode",
+    "q_image_channel_stats",
+    "q_jpeg_color_stats",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "q17_small_quantity",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q16_supplier_parts",
+    "q_rolling_window",
+    "q4_priority_count",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q9_product_profit",
+    "q_hash_split",
+    "q_domain_quota",
+    "q_seq_packing",
+    "q_quality_funnel",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    "q_snapshot_diff",
+    "q_snapshot_merge",
+    "q_scd2_intervals",
+    "q_token_df_idf",
+    "q_top_bigrams",
+    "q_decontaminate",
+    "q_priority_dedup",
+    "q_repetition_ratio",
+    "q_redact",
+    "q_corpus_divergence",
+    "q_bpe_train_batched",
+    "q_bloom_decontaminate",
+    "q_label_propagation",
+    "q_distinct_multi",  # last green r17
+    "q_key_table_tokens",  # last green r17
+    "q_left_join_coalesce",  # last green r17
+    "q_window_rank",  # last green r17
+    "q_count_star",  # last green r17
+    "q_set_ops",  # last green r17
+    "q_json_extract",  # last green r17
+    "q_sql_passthrough",  # last green r17
+    "q_posexplode_ordering",  # last green r17
+    "q_explode_resolve_renumber",  # last green r17
+    "q_token_decompose",  # last green r17
+    "q_text_stats",  # last green r17
+    "q_lang_id",  # last green r17
+    "q_token_counts",  # last green r17
+    "q_doc_fingerprint_dedup",  # last green r17
+    "q_cluster_quota",  # last green r17
+    "q_negative_sample",  # last green r17
+    "q_pq_from_codes_topk",  # last green r17
+    "q_pq_trained_topk",  # last green r17
+    "q_audio_stats",  # last green r17
+    "q_video_frame_stats",  # last green r17
+    "q_image_ahash",  # last green r17
+    "q_image_dup_pairs",  # last green r17
+    "q_audio_fingerprint",  # last green r17
+    "q_audio_dup_pairs",  # last green r17
+    "q_jpeg_color_stats_420",  # last green r17
+    "q7_nation_volume",  # last green r17
+    "q_approx_distinct",  # last green r17
+    "q_approx_percentile",  # last green r17
+    "q_table_profile",  # last green r17
+    "q_ngram_lm_score",  # last green r17
+    "q_ngram_lm_score_jm",  # last green r17
+    "q2_min_cost_supplier",  # last green r17
+    "q11_important_stock",  # last green r17
+    "q12_late_shipments",  # last green r17
+    "q20_part_promotion",  # last green r17
+    "q_paragraph_dedup",  # last green r17
+    "q_ngram_decontaminate",  # last green r17
+    "q_chunk_documents",  # last green r17
+    "q_budget_take",  # last green r17
+    "q_heavy_hitters",  # last green r17
+    "q_histogram",  # last green r17
+    "q_robust_outliers",  # last green r17
+    "q_fuzzy_link",  # last green r17
+    "q_zorder_key",  # last green r17
+    "q_mixture_plan",  # last green r17
+    "q_validate_constraints",  # last green r17
+    "q_sparse_doc_sim",  # last green r17
+    "q_cms_heavy_hitters",  # last green r17
+    "q_hll_group_distinct",  # last green r17
 ]
 
 

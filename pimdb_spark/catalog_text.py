@@ -696,11 +696,15 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bench-only (registry window full; r14 verdict "Next round 6" stretch):
-# the INCREMENTAL leakage fence — q_leakage_safe_split's component
-# discipline applied as data arrives.
-@register_bench_only(
+# PROMOTED to the driver registry in builder r21 (the last name in the
+# promotion line, per the r17 slate and the r18 verdict item 7: the
+# r19-window arithmetic's 2 free slots take it with 1 margin slot to
+# spare, emptying the line); bench-only with the oracle pytest-gated at
+# both SFs since r14.  The INCREMENTAL leakage fence —
+# q_leakage_safe_split's component discipline applied as data arrives.
+@register(
     "q_incremental_split_inherit",
+    bench=True,
     oracle="""
     WITH RECURSIVE off AS (
       SELECT 1 + max(doc_id) AS o FROM documents
