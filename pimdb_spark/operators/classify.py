@@ -92,13 +92,22 @@ def train_perceptron(
     spark = feats.sparkSession
     w = spark.createDataFrame([], "feat bigint, w bigint")
     labels = labels.select(F.col(labels.columns[0]).alias("_id"), "y")
-    for _ in range(epochs):
-        mis = (
-            _scores(feats, w)
-            .join(labels, "_id")
-            .filter(F.col("y") * F.col("score") <= 0)
-            .select("_id", "y")
-        )
+    for epoch in range(epochs):
+        if epoch == 0:
+            # w is identically zero, so every doc's score is exactly 0
+            # and the margin filter y * 0 <= 0 passes EVERY doc: the
+            # misclassified set IS the label frame.  Skipping the scoring
+            # pass is value-identical by construction (the oracle's
+            # epoch-1 CTE takes the same shortcut) and saves one full
+            # corpus-sized broadcast-join + per-doc groupBy job.
+            mis = labels
+        else:
+            mis = (
+                _scores(feats, w)
+                .join(labels, "_id")
+                .filter(F.col("y") * F.col("score") <= 0)
+                .select("_id", "y")
+            )
         deltas = (
             feats.join(mis, "_id")
             .groupBy("feat")

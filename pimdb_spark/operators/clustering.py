@@ -7,10 +7,20 @@ table).
 Reference parity: none (beyond-parity family, like dedup/ANN).
 
 Design for 100 TB:
-- Assignment is a broadcast of k centroid rows against the candidate
-  scan (no candidate shuffle) + a per-vector min(struct(dist, cid))
-  argmin whose partial combine shrinks the shuffle to at most one
-  candidate row per vector per partition.
+- Assignment is a PROJECTION: the k centroid rows collapse to a ONE-ROW
+  broadcast array (the ivf_topk / pq_encode house shape) and each vector
+  computes its argmin in place — zero exchanges, no shuffle of the
+  candidates at all.  (Until builder r19 this was a k-row broadcast
+  nested-loop + a per-vector min(struct(dist, cid)) groupBy, which
+  shuffled one corpus-sized row per vector per assignment pass; the
+  projection form computes the identical doubles with the identical
+  lowest-distance-then-lowest-cid tie-break — array_min's struct
+  ordering IS min(struct)'s — so assignments are bit-identical.)
+- Because the assignment is a projection, the assigned frame can carry
+  the vector column for free, and the centroid update consumes it
+  directly — the (assignment ⋈ vectors) shuffle join the aggregate form
+  needed is gone.  One exchange per Lloyd's iteration total (the
+  cluster-id update shuffle).
 - The update step shuffles once on cluster id.  Two variants:
   * exact=True (default): per-cluster ordered fold — collect_list of
     (id, vector), sorted by id, folded left-to-right in double — so the
@@ -55,6 +65,52 @@ def init_centroids(
     )
 
 
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Collapse the k-row (cid, cvec) centroid table to a ONE-ROW
+    broadcastable frame holding `_cents`: array of (cid, cvec) structs in
+    cid order (array_sort compares the leading cid; cids are unique, so
+    the cvec field never participates in the sort)."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+        ).alias("_cents")
+    )
+
+
+def _nearest_cid(vec_col: str):
+    """Projection-form argmin against the in-scope `_cents` array:
+    array_min over struct(sqdist, cid) — the same sqdist double fold and
+    the same lexicographic struct ordering (lowest distance, ties to the
+    lowest cid) as the aggregate form min(struct(dist, cid)), evaluated
+    per row with no shuffle.  Bit-identical assignments."""
+    return F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                sqdist(F.col(vec_col), c["cvec"]).alias("_d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
+def _assign_members(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cid) in ONE shuffle-free projection: the one-row
+    centroid-array attach (ivf_topk's coarse-quantizer shape) + the
+    in-place argmin.  Carrying the vector is free here — the downstream
+    centroid update (and semdedup's pair stage) consume it directly
+    instead of shuffle-joining the assignment back onto the vectors."""
+    carr = _centroid_array(centroids)
+    return vecs.crossJoin(F.broadcast(carr)).select(
+        id_col, vec_col, _nearest_cid(vec_col).alias("cid")
+    )
+
+
 def assign_clusters(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -63,32 +119,26 @@ def assign_clusters(
 ) -> DataFrame:
     """(id, cid) for each vector: nearest centroid by squared L2
     (sequential double fold — oracle-reproducible), ties to the lowest
-    cid via min(struct(dist, cid)) — an aggregate with MAP-SIDE partial
-    combine (SortAggregate: struct min is not hash-aggregatable), so the
-    shuffle carries at most one candidate row per vector per input
-    partition.  2x faster than the sort-window argmin it replaced
-    (measured at sf0.1: 0.22 s vs 0.43 s)."""
-    d = sqdist(F.col(vec_col), F.col("cvec"))
-    return (
-        vecs.crossJoin(F.broadcast(centroids))
-        .groupBy(id_col)
-        .agg(F.min(F.struct(d.alias("_d"), F.col("cid"))).alias("_m"))
-        .select(id_col, F.col("_m.cid").alias("cid"))
+    cid.  A PROJECTION over the candidate scan against the one-row
+    broadcast centroid array — no exchange at all (builder r19; the
+    prior k-row-broadcast + min(struct(dist, cid)) groupBy form shuffled
+    one row per vector per pass; values are bit-identical, see
+    _nearest_cid)."""
+    return _assign_members(vecs, centroids, id_col, vec_col).select(
+        id_col, "cid"
     )
 
 
-def update_centroids_exact(
-    assigned: DataFrame,
-    vecs: DataFrame,
+def _update_members_exact(
+    members: DataFrame,
     prev_centroids: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Per-cluster mean via ordered fold: members sorted by id, summed
-    left-to-right per dimension in double, divided by the member count —
-    bit-deterministic.  Empty clusters keep prev_centroids' row."""
-    members = assigned.join(vecs.select(id_col, vec_col), id_col)
+    """update_centroids_exact over a members frame that ALREADY carries
+    the vector (_assign_members' output) — one cluster-id exchange, no
+    assignment-to-vectors join."""
     lst = F.sort_array(
         F.collect_list(
             F.struct(
@@ -113,7 +163,7 @@ def update_centroids_exact(
     )
 
 
-def update_centroids_scalable(
+def update_centroids_exact(
     assigned: DataFrame,
     vecs: DataFrame,
     prev_centroids: DataFrame,
@@ -121,10 +171,28 @@ def update_centroids_scalable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Per-(cluster, dimension) avg via posexplode — partial aggregation
-    all the way down (the 100 TB path; summation order, and hence the
-    last ulp, is runtime-dependent)."""
+    """Per-cluster mean via ordered fold: members sorted by id, summed
+    left-to-right per dimension in double, divided by the member count —
+    bit-deterministic.  Empty clusters keep prev_centroids' row.
+
+    Takes a bare (id, cid) assignment and joins the vectors back on —
+    kmeans_assignments itself skips this join by assigning with
+    _assign_members (the vector rides the assignment projection)."""
     members = assigned.join(vecs.select(id_col, vec_col), id_col)
+    return _update_members_exact(
+        members, prev_centroids, dim, id_col, vec_col
+    )
+
+
+def _update_members_scalable(
+    members: DataFrame,
+    prev_centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """update_centroids_scalable over a vector-carrying members frame —
+    same join-free contract as _update_members_exact."""
     per_dim = (
         members.select("cid", F.posexplode(vec_col).alias("pos", "x"))
         .groupBy("cid", "pos")
@@ -140,6 +208,45 @@ def update_centroids_scalable(
     )
 
 
+def update_centroids_scalable(
+    assigned: DataFrame,
+    vecs: DataFrame,
+    prev_centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(cluster, dimension) avg via posexplode — partial aggregation
+    all the way down (the 100 TB path; summation order, and hence the
+    last ulp, is runtime-dependent).  Join-back form, like
+    update_centroids_exact."""
+    members = assigned.join(vecs.select(id_col, vec_col), id_col)
+    return _update_members_scalable(
+        members, prev_centroids, dim, id_col, vec_col
+    )
+
+
+def _kmeans_members(
+    vecs: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Lloyd's k-means returning the FINAL (id, vec, cid) members frame —
+    the vector rides every assignment projection, so the whole loop costs
+    exactly one exchange per centroid update and the caller (semdedup)
+    never joins the assignment back onto the vectors."""
+    update = _update_members_exact if exact else _update_members_scalable
+    cents = init_centroids(vecs, k, id_col, vec_col)
+    for _ in range(n_iter - 1):
+        members = _assign_members(vecs, cents, id_col, vec_col)
+        cents = update(members, cents, dim, id_col, vec_col)
+    return _assign_members(vecs, cents, id_col, vec_col)
+
+
 def kmeans_assignments(
     vecs: DataFrame,
     k: int,
@@ -153,13 +260,8 @@ def kmeans_assignments(
     n_iter assignment passes (n_iter - 1 centroid updates in between).
     exact=True uses the ordered-fold update (bit-deterministic, oracle-
     checkable); exact=False the posexplode-avg update (fully scalable)."""
-    update = update_centroids_exact if exact else update_centroids_scalable
-    cents = init_centroids(vecs, k, id_col, vec_col)
-    assigned = assign_clusters(vecs, cents, id_col, vec_col)
-    for _ in range(n_iter - 1):
-        cents = update(assigned, vecs, cents, dim, id_col, vec_col)
-        assigned = assign_clusters(vecs, cents, id_col, vec_col)
-    return assigned.select(id_col, F.col("cid").alias("cluster"))
+    members = _kmeans_members(vecs, k, n_iter, dim, id_col, vec_col, exact)
+    return members.select(id_col, F.col("cid").alias("cluster"))
 
 
 def semdedup(
@@ -201,7 +303,9 @@ def semdedup(
     checkpointed leaf has no nested plan to mis-rewrite."""
     from pimdb_spark.operators.similarity import cosine_pandas, dot, norm
 
-    assigned = kmeans_assignments(vecs, k, n_iter, dim, id_col, vec_col)
+    # The final k-means assignment carries the vector (projection-form
+    # argmin, see _assign_members), so the side frame is one more
+    # projection — the former vecs ⋈ assignment shuffle join is gone.
     # Per-vector norms are computed ONCE here, before the checkpoint and
     # the pair join: the pair stage then runs a single 64-element fold
     # (the dot product) per candidate instead of three (dot + both
@@ -209,13 +313,13 @@ def semdedup(
     # the same floats yields the same double whether evaluated per vector
     # or per pair.  Measured ~3x less interpreted-lambda work on the
     # fold scorer.
+    members = _kmeans_members(vecs, k, n_iter, dim, id_col, vec_col)
     side = (
-        vecs.join(assigned, id_col)
-        .select(
+        members.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
             norm(F.col(vec_col)).alias("nrm"),
-            "cluster",
+            F.col("cid").alias("cluster"),
         )
         .localCheckpoint(eager=False)
     )

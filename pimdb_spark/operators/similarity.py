@@ -1245,19 +1245,41 @@ def train_pq_codebooks(
         ).alias("s", "cvec"),
     ).select("s", "cid", "cvec")
     for _ in range(n_iter - 1):
-        # assignment: nearest centroid per (s, vec) — broadcast equi-join
-        # on s (m*n_centroids rows), same sqdist fold, same
-        # min(struct(dist, cid)) lowest-cid tie-break as assign_clusters
-        d = sqdist(F.col("embedding"), F.col("cvec"))
-        assigned = (
-            sliced.join(F.broadcast(cents), "s")
-            .groupBy("s", "vec_id")
-            .agg(F.min(F.struct(d.alias("_d"), F.col("cid"))).alias("_m"))
-            .select("s", "vec_id", F.col("_m.cid").alias("cid"))
+        # assignment: nearest centroid per (s, vec) — a PROJECTION over
+        # the sliced rows against the ONE-ROW codebook array (pq_encode's
+        # attach shape; builder r19).  The m*n_centroids centroid rows
+        # collapse to one array sorted by (s, cid); each row slices out
+        # its subspace's n_centroids entries (every (s, cid) pair is
+        # always present: init emits all of them and the left-join update
+        # preserves them) and takes array_min over struct(sqdist, cid) —
+        # the identical sqdist double fold and the identical
+        # lowest-distance-then-lowest-cid tie-break as the former
+        # broadcast-join + min(struct(dist, cid)) groupBy, so assignments
+        # are bit-identical — with ZERO exchanges where the aggregate
+        # form paid a corpus-sized groupBy shuffle PLUS the members
+        # join-back shuffle (the sub-vector now rides the assignment).
+        carr = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("cid"), F.col("cvec")))
+            ).alias("_cb")
+        )
+        sub_cents = F.slice(
+            F.col("_cb"), F.col("s") * n_centroids + 1, n_centroids
+        )
+        nearest = F.array_min(
+            F.transform(
+                sub_cents,
+                lambda c: F.struct(
+                    sqdist(F.col("embedding"), c["cvec"]).alias("_d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"]
+        members = sliced.crossJoin(F.broadcast(carr)).select(
+            "s", "vec_id", "embedding", nearest.alias("cid")
         )
         # update: per-(s, cid) ordered fold — update_centroids_exact's
         # exact expressions keyed by (s, cid) instead of cid
-        members = assigned.join(sliced, ["s", "vec_id"])
         lst = F.sort_array(
             F.collect_list(
                 F.struct(

@@ -133,3 +133,25 @@ def test_hashed_features_bias_row(spark):
     token_rows = {r.feat: r.cnt for r in rows if r.feat != 8}
     assert sum(token_rows.values()) == 3  # counts, not presence
     assert all(0 <= f < 8 for f in token_rows)
+
+
+def test_epoch_one_weights_are_summed_labels(spark):
+    """Epoch 1's shortcut contract (builder r19): with w0 = 0 every
+    margin is 0 <= 0, so the misclassified set is ALL docs and the
+    epoch-1 weights are exactly sum(y * cnt) per feature — the training
+    loop skips the provably-all-zero scoring pass."""
+    docs = _corpus()
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t, _y in docs])
+    labels = spark.createDataFrame([Row(doc_id=i, y=y) for i, _t, y in docs])
+    feats = hashed_token_features(df, n_features=16)
+    w1 = {r.feat: r.w for r in train_perceptron(feats, labels, epochs=1).collect()}
+    direct = {
+        r.feat: r.d
+        for r in feats.join(
+            labels.select(F.col("doc_id").alias("_id"), "y"), "_id"
+        )
+        .groupBy("feat")
+        .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+        .collect()
+    }
+    assert w1 == direct

@@ -83,3 +83,30 @@ def test_semdedup_drops_higher_id_twin(spark):
     # twins land in their original's cluster
     assert rows[11]["cluster"] == rows[1]["cluster"]
     assert rows[12]["cluster"] == rows[4]["cluster"]
+
+
+def test_kmeans_chain_single_update_exchange(spark):
+    """The full two-pass Lloyd's chain must cost exactly ONE shuffle
+    exchange — the cluster-id centroid-update groupBy.  Both assignment
+    passes are projections against the one-row broadcast centroid array
+    (builder r19: the former aggregate-form argmin shuffled one row per
+    vector per pass, and the update joined the assignment back onto the
+    vectors for a further two exchanges)."""
+    import contextlib
+    import io
+
+    from pimdb_spark.operators.clustering import kmeans_assignments
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    df = kmeans_assignments(vecs, k=4, n_iter=2, dim=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    shuffles = [
+        l for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) == 1, tree

@@ -167,10 +167,10 @@ def test_no_plan_red_flags(spark, name, entry):
       attaches + the brute broadcast scoring pass over 8-byte codes)
       with TRAINED codebooks; the training chain adds per-subspace
       k-means assignment passes, each the q_kmeans_assignments
-      broadcast-argmin (a BOUNDED 16-row centroid build side against
-      the vector scan, never data x data), and the trained one-row
-      codebook frame is localCheckpoint-ed so scoring re-reads it, not
-      the chains.
+      one-row-array broadcast attach + in-place argmin (a BOUNDED
+      m x 16-entry build side against the vector scan, never
+      data x data), and the trained one-row codebook frame is
+      localCheckpoint-ed so scoring re-reads it, not the chains.
     - q_ivf_pq_trained_topk: q_ivf_pq_topk's exact shape (two one-row
       attaches, hash equi-join on cell id for scoring) plus the same
       bounded per-subspace k-means training chains as q_pq_trained_topk
@@ -186,10 +186,11 @@ def test_no_plan_red_flags(spark, name, entry):
       stats row attaches to every query-term hit.
     - q_corpus_divergence: two one-row total-count broadcasts attach to
       every (token, count) row — constant attach, no pairing.
-    - q_kmeans_assignments: the cross join broadcasts the k-ROW centroid
-      table against the vector scan (k=4; bounded by the cluster count,
-      never by data size) — the assignment is one shuffle-free pass, the
-      same shape as q_ivf_ann_topk's coarse quantizer.
+    - q_kmeans_assignments: the cross join broadcasts the ONE-ROW
+      centroid ARRAY (k=4 entries; bounded by the cluster count, never
+      by data size) against the vector scan — the assignment is one
+      shuffle-free projection, the exact shape of q_ivf_ann_topk's
+      coarse quantizer (r19: formerly a k-row attach + argmin groupBy).
     - q_cluster_quota: q_kmeans_assignments' exact sanctioned shape (the
       k-row centroid broadcast) feeding the quota stage, which is one
       cluster-keyed WindowGroupLimit — no new join shape.
@@ -755,27 +756,36 @@ def test_weighted_sample_topk_plan(spark):
     assert count_op(plan, "Exchange") == 1
 
 
-def test_kmeans_assignment_broadcast_only(spark):
-    """A single k-means assignment pass must not shuffle the candidate
-    vectors for the distance computation: the centroid table arrives by
-    broadcast; the only exchange feeds the per-vector argmin window."""
+def test_kmeans_assignment_is_projection(spark):
+    """A single k-means assignment pass must be a PROJECTION over the
+    candidate scan: the k centroid rows collapse to a ONE-ROW broadcast
+    array and the argmin is computed in place (builder r19 — the former
+    k-row-broadcast + min(struct(dist, cid)) groupBy shuffled one row per
+    vector per pass; the projection form computes identical doubles with
+    the identical tie-break, proven by the unchanged oracle hashes, and
+    removes the candidate-side exchange entirely)."""
     from pimdb_spark.catalog import load
     from pimdb_spark.operators.clustering import assign_clusters, init_centroids
 
     vecs = load(spark, SF, "embeddings").select("vec_id", "embedding")
     plan = plan_of(assign_clusters(vecs, init_centroids(vecs, 4)))
-    assert "BroadcastNestedLoopJoin" in plan  # k bounded rows, build side
-    # argmin is min(struct(dist, cid)): an aggregate with partial combine
-    # (SortAggregate — struct min isn't hash-aggregatable — but still
-    # 2x faster than a sort-window argmin, measured at sf0.1)
-    tree = plan.split("\n\n")[0]
-    aggs = sum(1 for l in tree.splitlines() if "Aggregate" in l)
-    assert aggs >= 2, plan  # partial + final
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row array attach
+    assert "array_min" in plan  # projection-form argmin
     # the only Window is init_centroids' rank over its k-row limit (the
     # broadcast side); the candidate-side argmin itself is window-free
     assert count_op(plan, "Window") <= 1
     assert "WindowGroupLimit" not in plan
-    assert count_op(plan, "Exchange") <= 2  # init's 1-partition + agg shuffle
+    # ZERO shuffle exchanges: init's TakeOrderedAndProject is already
+    # single-partition, the collect_list pair is adjacent, and the only
+    # Exchange node is the broadcast build of the one-row centroid array
+    tree = plan.split("\n\n")[0]
+    shuffles = sum(
+        1
+        for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    )
+    assert shuffles == 0, plan
+    assert count_op(plan, "BroadcastExchange") == 1
 
 
 def test_gram_matrix_single_exchange(spark):
