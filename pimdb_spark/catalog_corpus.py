@@ -920,17 +920,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc score groupBy, one per-feature delta groupBy — all
     map-side combined; epochs driver-sequenced with localCheckpoint
     (the kmeans/bpe_train pattern), so plan depth is constant in
-    epochs.  The hashed feature frame is persisted here because the
-    per-epoch checkpoint barriers split training into separate jobs, so
-    exchange reuse cannot share the corpus-sized tokenize+hash+groupBy
-    chain across them — without the persist it is recomputed once per
-    score/delta pass plus once for final scoring (~5x per call after
-    the epoch-1 shortcut; driver jobs per call 28 -> 23, wall-clock
-    flat at sf0.1 where the floor is job-sequencing latency — the
-    recompute saving is the 100 TB term).  The
-    persist is lazy and scoped to the query's own execution; the bench
-    harness clearCache between runs is what releases it (same contract
-    as the dedup-family persists)."""
+    epochs.  The hashed feature frame is lazily localCheckpoint-ed here
+    because the per-epoch checkpoint barriers split training into
+    separate jobs, so exchange reuse cannot share the corpus-sized
+    tokenize+hash+groupBy chain across them — without it the chain is
+    recomputed once per score/delta pass plus once for final scoring
+    (~5x per call after the epoch-1 shortcut; driver jobs per call
+    28 -> 23).  A checkpoint rather than a persist: every per-epoch
+    weight plan then references a flat RDD leaf instead of re-planning
+    the feature subtree, which also cuts the per-call Catalyst planning
+    time (measured build 2.7 -> 2.2 s and drain 0.5 -> 0.3 s at sf0.1;
+    the recompute saving itself is the 100 TB term)."""
     from pimdb_spark.operators.classify import (
         hashed_token_features,
         perceptron_score,
@@ -942,7 +942,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(-1).cast("int").alias("y"),
     )
-    feats = hashed_token_features(docs, n_features=64).persist()
+    feats = hashed_token_features(docs, n_features=64).localCheckpoint(eager=False)
     w = train_perceptron(feats, labels, epochs=3)
     return perceptron_score(feats, labels, w)
 

@@ -45,7 +45,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pimdb_spark.operators.similarity import sqdist
 
 
 def init_centroids(
@@ -82,16 +81,17 @@ def _nearest_cid(vec_col: str):
     array_min over struct(sqdist, cid) — the same sqdist double fold and
     the same lexicographic struct ordering (lowest distance, ties to the
     lowest cid) as the aggregate form min(struct(dist, cid)), evaluated
-    per row with no shuffle.  Bit-identical assignments."""
-    return F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                sqdist(F.col(vec_col), c["cvec"]).alias("_d"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )["cid"]
+    per row with no shuffle.  Bit-identical assignments.  Built as ONE
+    F.expr string — the nested Python HOF builders cost dozens of py4j
+    round trips per call for the same resolved expressions (see
+    similarity._subdist_tables)."""
+    return F.expr(
+        f"array_min(transform(_cents, c -> struct("
+        f"aggregate(zip_with(`{vec_col}`, c.cvec, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (acc, v) -> acc + v) AS _d, c.cid AS cid))).cid"
+    )
 
 
 def _assign_members(
@@ -139,18 +139,11 @@ def _update_members_exact(
     """update_centroids_exact over a members frame that ALREADY carries
     the vector (_assign_members' output) — one cluster-id exchange, no
     assignment-to-vectors join."""
-    lst = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).alias("_sid"),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_sv"),
-            )
-        )
-    )
-    summed = F.aggregate(
-        lst,
-        F.array_repeat(F.lit(0.0), dim),
-        lambda acc, s: F.zip_with(acc, s["_sv"], lambda a, x: a + x),
+    summed = F.expr(
+        f"aggregate(sort_array(collect_list(struct(`{id_col}` AS _sid, "
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS _sv))), "
+        f"array_repeat(0.0D, {dim}), "
+        f"(acc, sv) -> zip_with(acc, sv._sv, (a, x) -> a + x))"
     )
     upd = members.groupBy("cid").agg(
         F.count(F.lit(1)).alias("_n"), summed.alias("_sum")
