@@ -9,7 +9,7 @@ correctness check covers the hash plumbing end-to-end, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pimdb_spark.catalog import load, register, register_bench_only
@@ -1879,9 +1879,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       -> operators/text.pii_redact        (masks, never raw identifiers,
                                            reach the dedup keys)
       -> operators/text.normalize_text    (the CCNet hash form)
-      -> operators/dedup.exact_dedup      (digest groupBy, keep lowest
-                                           id; the noisy copies collapse
-                                           HERE because redaction +
+      -> exact dedup                      (min(doc_id) window over the
+                                           md5 digest partition — the
+                                           per-row form of operators/
+                                           dedup.exact_dedup's rule; the
+                                           noisy copies collapse HERE
+                                           because redaction +
                                            normalization made them
                                            byte-identical to their
                                            originals)
@@ -1898,7 +1901,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, not just the survivor count.
 
     Scale: every stage is the audited operator's own plan — regex/
-    normalize projections, ONE digest-only exchange for dedup, the
+    normalize projections, ONE fp-keyed exchange for dedup (a window
+    min over the digest partition, the oracle's own grp shape — r19
+    retired the former digest groupBy + re-join pair), the
     broadcast-model scoring pass, one per-language window exchange, and
     bounded one-row attaches (offset, vocabulary).  Nothing all-pairs,
     nothing data-sized on the driver.
@@ -1937,8 +1942,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         T.normalize_text(T.pii_redact("text")).alias("text"),
     ).persist()
-    groups = D.exact_dedup(norm, "text", "doc_id").select("fp", "keep_id")
-    keyed = norm.withColumn("fp", F.md5(F.lower("text"))).join(groups, "fp")
+    # keep_id per ROW via a window min over the digest partition — the
+    # oracle's own grp CTE shape (r19 optimization, guide §2.4): the
+    # former exact_dedup groupBy + re-join paid the digest groupBy
+    # exchange AND then shuffled the full rows by fp for the join; the
+    # window shuffles the full rows by fp ONCE and computes the same
+    # min(doc_id) in place.  (exact_dedup's narrow digest-only shuffle
+    # remains the right operator where only group STATS are needed —
+    # q_doc_fingerprint_dedup; here every row needs its keep_id, so the
+    # wide fp shuffle is unavoidable and the narrow one was pure
+    # overhead.)  Values identical: same fp, same min.
+    keyed = norm.withColumn("fp", F.md5(F.lower("text"))).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
     canon = (
         keyed.filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "lang", "text")

@@ -224,8 +224,9 @@ def test_no_plan_red_flags(spark, name, entry):
       — no data-sized join anywhere.
     - q_curation_pipeline: TWO one-row broadcast attaches (the
       1 + max(doc_id) copy offset and q_ngram_lm_score's vocabulary
-      size); every data-sized join is an equi-join (fp dedup join,
-      gram/w1 model joins, the doc_id verdict join).
+      size); every data-sized join is an equi-join (gram/w1 model
+      joins, the doc_id verdict join — the fp dedup join became a
+      window min over the digest partition in r19).
     - q_bloom_decontaminate: the ONE-ROW bloom-bitmap map (<= m/32
       entries collapsed via map_from_entries — the bpe_apply pattern)
       broadcast-attaches to every (doc, gram) probe row; the unrolled
