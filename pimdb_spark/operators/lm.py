@@ -61,14 +61,20 @@ def ngram_lm_score(
     ref_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score every document by the mean add-one-smoothed conditional
     bigram probability under a reference-corpus bigram LM (see module
     docstring for the integer-exact formulation).
 
-    Output: (id, n_bigrams, lm_score DOUBLE) for every input document;
-    documents with fewer than 2 tokens keep n_bigrams = 0 and a NULL
-    score.
+    Output: (id, *extra_cols, n_bigrams, lm_score DOUBLE) — one row per
+    distinct id (ids are expected unique, the table contract of every
+    caller); documents with fewer than 2 tokens keep n_bigrams = 0 and
+    a NULL score.  ``extra_cols`` ride the scoring pass and must be
+    functionally dependent on the id (they join the grouping key, so a
+    non-dependent column would split a document — the doc_shingle_sets
+    contract); callers like perplexity_buckets use this to carry the
+    group column instead of re-joining the corpus for it.
 
     Scale: the model is two count tables — bigram counts (shuffled once
     on gram) and context counts (derived from them, shuffled on w1) —
@@ -76,8 +82,11 @@ def ngram_lm_score(
     a one-row aggregate.  Scoring joins gram -> c2 and w1 -> c1; for a
     curated reference (<< corpus) both model tables broadcast, making
     the scoring pass shuffle-free until the final per-doc groupBy on the
-    id column.  Terms sum as exact BIGINTs, so partial aggregation
-    combines freely with no float-order concern."""
+    id column.  Short documents enter that same groupBy as one NULL-term
+    stub row each (count/sum ignore the NULL, so values are identical) —
+    the corpus-wide join-back the pre-r19 form paid to restore them is
+    gone.  Terms sum as exact BIGINTs, so partial aggregation combines
+    freely with no float-order concern."""
     from pimdb_spark.operators.corpus import exploded_ngram_rows
 
     bi = bigram_counts(ref_docs, text_col)
@@ -88,7 +97,7 @@ def ngram_lm_score(
     )
 
     doc_grams = exploded_ngram_rows(
-        docs, (id_col,), text_col, 2, out="gram"
+        docs, (id_col, *extra_cols), text_col, 2, out="gram"
     ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
 
     scored = (
@@ -97,26 +106,27 @@ def ngram_lm_score(
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
+            *extra_cols,
             F.expr(
                 f"(coalesce(c2, 0L) + 1L) * {SCALE}L div (coalesce(c1, 0L) + v)"
             ).alias("term_scaled"),
         )
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
+    stubs = docs.select(
+        id_col, *extra_cols, F.lit(None).cast("bigint").alias("term_scaled")
+    )
+    per_doc = scored.unionByName(stubs).groupBy(id_col, *extra_cols).agg(
+        F.count("term_scaled").alias("n_bigrams"),
         F.sum("term_scaled").alias("_sum_scaled"),
     )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            (
-                F.col("_sum_scaled").cast("double")
-                / (F.col("n_bigrams") * F.lit(SCALE)).cast("double")
-            ).alias("lm_score"),
-        )
+    return per_doc.select(
+        id_col,
+        *extra_cols,
+        F.col("n_bigrams"),
+        (
+            F.col("_sum_scaled").cast("double")
+            / (F.col("n_bigrams") * F.lit(SCALE)).cast("double")
+        ).alias("lm_score"),
     )
 
 
@@ -190,21 +200,22 @@ def ngram_lm_score_interpolated(
             ).alias("term_scaled"),
         )
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
+    # short docs enter the per-doc groupBy as NULL-term stubs — no
+    # corpus-wide join-back (see ngram_lm_score)
+    stubs = docs.select(
+        id_col, F.lit(None).cast("bigint").alias("term_scaled")
+    )
+    per_doc = scored.unionByName(stubs).groupBy(id_col).agg(
+        F.count("term_scaled").alias("n_bigrams"),
         F.sum("term_scaled").alias("_sum_scaled"),
     )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            (
-                F.col("_sum_scaled").cast("double")
-                / (F.col("n_bigrams") * F.lit(SCALE)).cast("double")
-            ).alias("lm_score"),
-        )
+    return per_doc.select(
+        id_col,
+        F.col("n_bigrams"),
+        (
+            F.col("_sum_scaled").cast("double")
+            / (F.col("n_bigrams") * F.lit(SCALE)).cast("double")
+        ).alias("lm_score"),
     )
 
 
@@ -297,27 +308,32 @@ def dsir_importance(
         f"cnt * ((coalesce(ct, 0L) + 1L) * {SCALE}L div (nt + {n_buckets}L)"
         f" - (coalesce(cr, 0L) + 1L) * {SCALE}L div (nr + {n_buckets}L))"
     )
+    # short docs (no features) enter the same groupBy as one NULL stub
+    # row each — the corpus-wide join-back the pre-r19 form paid to
+    # restore them is gone (sum ignores the NULLs; the coalesce below
+    # supplies the 0s exactly as before)
+    stubs = docs.select(
+        F.col(id_col).alias("_id"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.lit(None).cast("bigint").alias("term"),
+    )
     weights = (
         doc_f.join(F.broadcast(tgt_model), "feat", "left")
         .join(F.broadcast(raw_model), "feat", "left")
         .crossJoin(F.broadcast(tgt_total))
         .crossJoin(F.broadcast(raw_total))
+        .select("_id", "cnt", term.alias("term"))
+        .unionByName(stubs)
         .groupBy("_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_bigrams"),
-            F.sum(term).cast("bigint").alias("weight"),
+            F.sum("term").cast("bigint").alias("weight"),
         )
     )
-    return (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(weights, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
-                "n_bigrams"
-            ),
-            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
-        )
+    return weights.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
     )
 
 
@@ -365,8 +381,12 @@ def perplexity_buckets(
     against."""
     from pyspark.sql import Window
 
-    scored = ngram_lm_score(docs, ref_docs, id_col, text_col)
-    meta = docs.select(id_col, group_col)
+    # the group column rides the scoring pass (extra_cols) — no corpus
+    # re-join for the metadata (r19; values identical, the column is
+    # functionally dependent on the id)
+    scored = ngram_lm_score(
+        docs, ref_docs, id_col, text_col, extra_cols=(group_col,)
+    )
     # NULL-ness rides in the PARTITION key, so scored docs ntile among
     # themselves (partition (group, false)) in ONE window pass — a
     # filter+union split would evaluate the scoring chain once per
@@ -386,8 +406,7 @@ def perplexity_buckets(
         .cast("int")
     )
     return (
-        meta.join(scored, id_col)
-        .select(
+        scored.select(
             id_col,
             group_col,
             "n_bigrams",
@@ -447,11 +466,11 @@ def perplexity_gate_apply(
     a projection.  Used identically by the batch path and by every
     micro-batch of streaming/quality.perplexity_gate_stream — the plan
     IS the parity contract."""
-    scored = ngram_lm_score(docs, ref_docs, id_col, text_col)
+    scored = ngram_lm_score(
+        docs, ref_docs, id_col, text_col, extra_cols=(group_col,)
+    )
     return (
-        docs.select(id_col, group_col)
-        .join(scored, id_col)
-        .join(F.broadcast(thresholds), group_col, "left")
+        scored.join(F.broadcast(thresholds), group_col, "left")
         .select(
             id_col,
             group_col,
