@@ -182,30 +182,51 @@ def bloom_decontaminate(
     bloom = bloom_build(eval_grams, "gram", m_bits, k_hashes)
     probed = bloom_probe(grams, "gram", bloom, m_bits, k_hashes)
 
-    positives = probed.filter(F.col("bloom_hit"))
-    exact = (
-        positives.join(eval_grams, "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("exact_hits"))
+    # r19: stub-union instead of the double id join-back — the old form
+    # LEFT-joined exact-hit counts onto the per-doc probe aggregate and
+    # then LEFT-joined the corpus id set back onto THAT (a broadcast of
+    # a corpus-row-sized frame at bench SF; a corpus x corpus sort-merge
+    # join beyond the broadcast threshold).  Probe rows, exact-hit rows
+    # and one all-zero stub per doc now meet in ONE id-keyed groupBy;
+    # the branch-indicator sums reproduce every count exactly (BIGINT,
+    # order-free), and zero-gram docs fall out of their stub.
+    probe_rows = probed.select(
+        id_col,
+        F.lit(1).cast("bigint").alias("_g"),
+        F.col("bloom_hit").cast("bigint").alias("_bh"),
+        F.lit(0).cast("bigint").alias("_eh"),
     )
-    per_doc = (
-        probed.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count_if(F.col("bloom_hit")).alias("bloom_hits"),
-        )
-        .join(exact, id_col, "left")
-        .withColumn("exact_hits", F.coalesce(F.col("exact_hits"), F.lit(0)))
-    )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
+    hit_rows = (
+        probed.filter(F.col("bloom_hit"))
+        .join(eval_grams, "gram", "left_semi")
         .select(
             id_col,
-            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
-            F.coalesce(F.col("bloom_hits"), F.lit(0)).alias("bloom_hits"),
-            F.coalesce(F.col("exact_hits"), F.lit(0)).alias("exact_hits"),
-            (F.coalesce(F.col("exact_hits"), F.lit(0)) < threshold).alias("keep"),
+            F.lit(0).cast("bigint").alias("_g"),
+            F.lit(0).cast("bigint").alias("_bh"),
+            F.lit(1).cast("bigint").alias("_eh"),
+        )
+    )
+    stubs = docs.select(
+        id_col,
+        F.lit(0).cast("bigint").alias("_g"),
+        F.lit(0).cast("bigint").alias("_bh"),
+        F.lit(0).cast("bigint").alias("_eh"),
+    )
+    return (
+        probe_rows.unionByName(hit_rows)
+        .unionByName(stubs)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_g").alias("n_grams"),
+            F.sum("_bh").alias("bloom_hits"),
+            F.sum("_eh").alias("exact_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("exact_hits") < threshold).alias("keep"),
         )
     )
 
