@@ -1000,9 +1000,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a one-row broadcast (the bloom_probe lesson); the DuckDB
     oracle rebuilds the identical sketch.
 
-    Scale: the sketch shuffle is capped at d x w cells per task by the
-    map-side combine; the exact pass touches candidates only — the
-    full-cardinality per-key groupBy never runs."""
+    Scale: one corpus pass and one item-keyed exchange — the distinct
+    enumeration this entry's output domain requires already pays
+    full-vocabulary per-key state, so the exact counts ride that same
+    groupBy (+8 bytes/key) and the sketch builds from the per-item
+    counts (associative BIGINT sums, bit-identical cells); the sketch
+    shuffle stays capped at d x w cells per task by the map-side
+    combine, and estimation is a shuffle-free one-row-broadcast map
+    projection."""
     from pimdb_spark.operators.sketch import cms_heavy_hitter_candidates
 
     docs = load(spark, sf_dir, "documents")

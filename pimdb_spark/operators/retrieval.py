@@ -275,34 +275,71 @@ def sparse_doc_similarity(
     it with ``round_digits`` (the last-ulp order difference is absorbed
     by rounding, the contract the dense ``_np`` twins established).
 
-    Scale: one gram shuffle for tf; the pair join ships (doc, gram, w)
-    for capped grams only; the pair groupBy keys on (doc_a, doc_b);
-    norms attach via two doc-keyed joins.  max_df is the cost dial —
-    exactly the knob inverted_index documents."""
+    Scale: one gram shuffle for tf; the pair join ships (doc, gram, w,
+    n2) for capped grams only; the pair groupBy keys on (doc_a, doc_b)
+    with the two norms riding as functionally dependent grouping keys —
+    no post-aggregation norm join (beyond the broadcast threshold that
+    join would be a pair-frame-sized sort-merge join).  max_df is the
+    cost dial — exactly the knob inverted_index documents."""
     if scorer not in ("fold", "sum"):
         raise ValueError(f"unknown scorer {scorer!r}: use 'fold' or 'sum'")
     w = ngram_weights(
         docs, max_df, id_col, text_col, sep, n, max_df_frac=max_df_frac
     ).localCheckpoint(eager=False)
+    # The per-doc norm rides the pair path's EXISTING exchanges instead
+    # of attaching via two doc-keyed joins onto the pair frame: beyond
+    # the broadcast threshold those joins degrade to two pair-frame-
+    # sized sort-merge joins (the norm side is one row per corpus doc).
+    # As a window over the doc partition the norm costs the same one
+    # doc-keyed exchange the old groupBy paid, every (doc, gram) row
+    # carries its norm into the gram join (+1 double on that wire), and
+    # the pair groupBy picks it up as a functionally dependent grouping
+    # key — no post-aggregation join at all.
     if scorer == "sum":
-        n2 = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    else:
-        n2 = w.groupBy("doc").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(F.col("gram"), (F.col("w") * F.col("w")).alias("w2")))),
-                F.lit(0.0),
-                lambda acc, v: acc + v["w2"],
-            ).alias("n2")
+        # Accumulation order is engine-chosen in this scorer (window
+        # partition order here, hash-agg order before); the declared
+        # round_digits contract absorbs the last-ulp difference.
+        wn = w.withColumn(
+            "_n2", F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc"))
         )
-    a = w.select(F.col("doc").alias("doc_a"), "gram", F.col("w").alias("w_a"))
-    b = w.select(F.col("doc").alias("doc_b"), "gram", F.col("w").alias("w_b"))
+    else:
+        # Bit-parity scorer: the norm must be the ordered fold over
+        # grams sorted lexicographically.  A running window sum updates
+        # its double buffer one row at a time in the partition's sort
+        # order (0.0 + w2_1 + w2_2 + ... — the exact fold sequence);
+        # F.last over the full frame spreads the final value to every
+        # row.  Gram keys are unique per doc after the tf aggregation,
+        # so the order has no ties.
+        w_run = (
+            Window.partitionBy("doc")
+            .orderBy("gram")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = (
+            Window.partitionBy("doc")
+            .orderBy("gram")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        wn = (
+            w.withColumn("_run", F.sum(F.col("w") * F.col("w")).over(w_run))
+            .withColumn("_n2", F.last("_run").over(w_all))
+            .drop("_run")
+        )
+    a = wn.select(
+        F.col("doc").alias("doc_a"), "gram", F.col("w").alias("w_a"),
+        F.col("_n2").alias("_n2_a"),
+    )
+    b = wn.select(
+        F.col("doc").alias("doc_b"), "gram", F.col("w").alias("w_b"),
+        F.col("_n2").alias("_n2_b"),
+    )
     pairs = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
     if scorer == "sum":
-        dots = pairs.groupBy("doc_a", "doc_b").agg(
+        dots = pairs.groupBy("doc_a", "doc_b", "_n2_a", "_n2_b").agg(
             F.sum(F.col("w_a") * F.col("w_b")).alias("dot")
         )
     else:
-        dots = pairs.groupBy("doc_a", "doc_b").agg(
+        dots = pairs.groupBy("doc_a", "doc_b", "_n2_a", "_n2_b").agg(
             F.aggregate(
                 F.array_sort(
                     F.collect_list(
@@ -313,12 +350,10 @@ def sparse_doc_similarity(
                 lambda acc, v: acc + v["p"],
             ).alias("dot")
         )
-    na = n2.select(F.col("doc").alias("doc_a"), F.sqrt("n2").alias("na"))
-    nb = n2.select(F.col("doc").alias("doc_b"), F.sqrt("n2").alias("nb"))
     out = (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        dots.withColumn(
+            "cos", F.col("dot") / (F.sqrt("_n2_a") * F.sqrt("_n2_b"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )

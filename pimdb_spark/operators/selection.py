@@ -169,28 +169,33 @@ def knn_label_errors(
     wv = Window.partitionBy("q_id").orderBy(
         F.desc("n_votes"), F.col(f"c_{label_col}")
     )
-    majority = (
+    # n_agree = the own-label group's vote count, i.e. the sum of
+    # n_votes over the partition's rows whose candidate label matches
+    # the query label (q_label is constant per q_id).  Folding it into
+    # the SAME q_id-partitioned window pass that ranks the majority
+    # vote removes the second aggregation over the knn frame and the
+    # q_id-keyed join that re-attached it — one exchange serves both.
+    wa = Window.partitionBy("q_id")
+    return (
         votes.withColumn("vote_rank", F.row_number().over(wv))
+        .withColumn(
+            "_n_agree",
+            F.sum(
+                F.when(
+                    F.col(f"c_{label_col}") == F.col(f"q_{label_col}"),
+                    F.col("n_votes"),
+                )
+            ).over(wa),
+        )
         .filter(F.col("vote_rank") == 1)
         .select(
-            "q_id",
+            F.col("q_id").alias(id_col),
             F.col(f"q_{label_col}").alias("label"),
             F.col(f"c_{label_col}").alias("knn_label"),
-        )
-    )
-    agree = (
-        knn.filter(F.col(f"c_{label_col}") == F.col(f"q_{label_col}"))
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_agree"))
-    )
-    return (
-        majority.join(agree, "q_id", "left")
-        .select(
-            F.col("q_id").alias(id_col),
-            "label",
-            "knn_label",
-            F.coalesce("n_agree", F.lit(0).cast("long")).alias("n_agree"),
-            (F.col("knn_label") != F.col("label")).alias("is_suspect"),
+            F.coalesce("_n_agree", F.lit(0).cast("long")).alias("n_agree"),
+            (F.col(f"c_{label_col}") != F.col(f"q_{label_col}")).alias(
+                "is_suspect"
+            ),
         )
     )
 

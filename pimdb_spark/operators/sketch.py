@@ -131,21 +131,27 @@ def cms_heavy_hitter_candidates(
 ) -> DataFrame:
     """Heavy-hitter candidate generation: distinct items whose CMS
     estimate clears ``min_est``.  NO FALSE NEGATIVES (estimates never
-    undercount), so the exact verification groupBy can run over the
-    candidates alone — the bloom_decontaminate economics applied to
-    frequency.  Output: (item, est, exact, is_heavy) with exact the true
-    count over the candidate set and is_heavy the exact verdict."""
-    sk = cms_build(items, item_col, width, depth)
-    cand = cms_estimate(
-        items.select(F.col(item_col)).distinct(), sk, item_col, width, depth
-    ).filter(F.col("est") >= min_est)
-    exact = (
-        items.join(F.broadcast(cand.select(item_col)), item_col, "left_semi")
-        .groupBy(item_col)
-        .agg(F.count("*").alias("exact"))
-    )
+    undercount), so the exact verdict needs no data beyond the
+    candidates.  Output: (item, est, exact, is_heavy) with exact the
+    true count and is_heavy the exact verdict.
+
+    ONE corpus pass, ONE item-keyed exchange, ZERO joins: enumerating
+    the distinct items (this operator's declared output domain) already
+    pays full-vocabulary per-key state, so the exact counts ride that
+    same groupBy for one extra BIGINT per key, the weighted sketch
+    builds FROM the per-item counts (BIGINT sums are associative — the
+    cell counters are bit-identical to the per-occurrence build, over
+    |vocab| x d fan-out rows instead of |stream| x d), and estimation
+    stays the shuffle-free one-row-broadcast map projection.  The
+    previous form scanned the stream three times (sketch, distinct,
+    candidate-only exact pass) and re-attached the exact counts through
+    two joins; ReusedExchange covers the count groupBy's two consumers
+    here, so nothing is evaluated twice."""
+    counts = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("exact"))
+    sk = cms_build(counts, item_col, width, depth, weight_col="exact")
     return (
-        cand.join(exact, item_col)
+        cms_estimate(counts, sk, item_col, width, depth)
+        .filter(F.col("est") >= min_est)
         .select(
             item_col,
             "est",

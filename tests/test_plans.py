@@ -865,3 +865,87 @@ def test_hll_registers_bounded_single_exchange(spark):
     plan = plan_of(hll_registers(toks, "item"))
     assert count_op(plan, "Exchange") == 1
     assert "Join" not in plan
+
+
+def test_sparse_doc_sim_norms_ride_pair_groupby(spark):
+    """The fold-scorer similarity plan carries the per-doc norm as a
+    doc-partitioned window + functionally dependent grouping keys, NOT
+    as post-aggregation doc-keyed joins onto the pair frame (builder
+    r19: beyond the broadcast threshold those were two pair-frame-sized
+    sort-merge joins).  Bonus of the window form: its doc-hash exchange
+    also satisfies the pair groupBy's distribution (doc_a is a subset
+    of the grouping keys on the streamed side), so the dots aggregation
+    adds no exchange of its own."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.retrieval import sparse_doc_similarity
+
+    docs = load(spark, SF, "documents")
+    plan = plan_of(sparse_doc_similarity(docs, max_df=10, threshold=0.0))
+    tree = plan.split("\n\n")[0]
+    # the ONLY join is the gram-keyed pair join (ngram_weights' bounded
+    # joins sit behind the lazy localCheckpoint leaf)
+    joins = sum(
+        tree.count(j)
+        for j in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+    )
+    assert joins == 1, plan
+    # norms ride the pair groupBy as grouping keys, fed by the window
+    assert "_n2_a" in plan and "_n2_b" in plan, plan
+    assert count_op(plan, "Window") >= 2, plan
+
+
+def test_cms_heavy_hitters_one_pass_no_hash_join(spark):
+    """cms_heavy_hitter_candidates: the exact counts ride the distinct
+    enumeration's item-keyed groupBy and the sketch builds FROM those
+    counts (associative BIGINT sums), so the initial plan holds exactly
+    two scan branches of the SAME count subtree (runtime exchange reuse
+    covers them) and ZERO hash joins — the only join is the sanctioned
+    one-row sketch-map attach.  The prior form scanned the stream three
+    times and paid a candidate semi-join plus a join-back (r19)."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.sketch import cms_heavy_hitter_candidates
+
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    plan = plan_of(
+        cms_heavy_hitter_candidates(toks, "item", width=64, depth=3, min_est=100)
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in tree, plan
+    assert count_op(plan, "BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_knn_label_errors_single_exchange_vote_stage(spark):
+    """knn_label_errors: everything after the brute candidate pass runs
+    on ONE q_id exchange — the votes groupBy (q_id-prefixed grouping
+    keys), the majority-rank window and the n_agree window-sum all
+    share it; the former second aggregation over the knn frame plus the
+    q_id-keyed join that re-attached n_agree are gone (r19)."""
+    from pimdb_spark.catalog import load
+    from pimdb_spark.operators.selection import knn_label_errors
+
+    import pyspark.sql.functions as F
+
+    emb = load(spark, SF, "embeddings")
+    queries = load(spark, SF, "embeddings").filter(F.col("vec_id") < 32)
+    plan = plan_of(knn_label_errors(queries, emb, k=5))
+    tree = plan.split("\n\n")[0]
+    shuffles = sum(
+        1
+        for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    )
+    assert shuffles == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in tree, plan
+    assert count_op(plan, "BroadcastNestedLoopJoin") == 1, plan
