@@ -545,6 +545,12 @@ def q_neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = CU.connected_components(
         pairs, "id_a", "id_b", nodes=base.select("doc_id"), max_iter=100
     )
+    # The window form of this size attach (count over the component
+    # partition, no join-back) measured +0.9-1.1 s in BOTH paired orders
+    # at sf0.1 — the full labels-frame exchange+sort loses to the cheap
+    # map-combined count + broadcast join here, unlike the leakage
+    # audit's countDistinct (r19 negative result; the sibling
+    # q_leakage_safe_split keeps its window).  The groupBy + join stays.
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     return cc.join(sizes, "component").select(
         F.col("id").alias("doc_id"),
@@ -648,7 +654,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every stage is the audited pipeline shape — banding equi-join
     (never all-pairs), O(diameter) hash-min rounds with localCheckpoint
     cuts, then the split itself is a PROJECTION over (id, component) and
-    the audit one component-keyed groupBy; text never moves past the
+    the audit one component-keyed window; text never moves past the
     shingle stage.  The planted-copy offset is DERIVED as 1 + max(doc_id)
     (one-row broadcast, collision-free on any id range).
 
@@ -688,10 +694,15 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("split_safe", split_of("component"))
         .withColumn("split_doc", split_of("doc_id"))
     )
-    leak = labeled.groupBy("component").agg(
-        (F.countDistinct("split_doc") > 1).alias("leaky_doc_level")
-    )
-    return labeled.join(leak, "component").select(
+    # countDistinct-over-group + join-back becomes a collect_set window
+    # over the SAME component partition (identical distinct set, size
+    # compare unchanged) — no labels-frame join to re-attach the audit
+    # flag; one component exchange serves the audit and the output.
+    return labeled.withColumn(
+        "leaky_doc_level",
+        F.size(F.collect_set("split_doc").over(Window.partitionBy("component")))
+        > 1,
+    ).select(
         "doc_id", "component", "split_safe", "split_doc", "leaky_doc_level"
     )
 

@@ -722,15 +722,20 @@ def exact_jaccard_pairs(
     banded pipeline's recall, not on the full corpus — which is exactly
     its role here."""
     toks = F.split(F.col(text_col), " ")
+    # The per-doc set size is row-local BEFORE the explode (word_shingles
+    # is array_distinct), so it rides the blocking join and the pair
+    # groupBy as a functionally dependent grouping key — no doc-keyed
+    # size joins onto the pair frame (the pair frame is Σdf² rows, the
+    # BIG side at scale; those joins were sort-merge beyond the
+    # broadcast threshold).
     sh = (
         docs.select(
             F.col(id_col).alias("doc"), word_shingles(toks, k).alias("s")
         )
         .filter(F.size("s") > 0)
-        .select("doc", F.explode("s").alias("sg"))
-        .select("doc", F.md5("sg").alias("sh"))
+        .select("doc", F.size("s").alias("n"), F.explode("s").alias("sg"))
+        .select("doc", "n", F.md5("sg").alias("sh"))
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
@@ -739,17 +744,16 @@ def exact_jaccard_pairs(
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(
-            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
     uni = F.col("n_a") + F.col("n_b") - F.col("shared")
     return (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(t_den * F.col("shared") >= t_num * uni)
+        pairs.filter(t_den * F.col("shared") >= t_num * uni)
         .select(
             "id_a",
             "id_b",
@@ -786,10 +790,15 @@ def exact_jaccard_pairs_from_signatures(
 
     Scale: identical to exact_jaccard_pairs — sum-over-shingles df^2
     candidate rows; run on a sample, per the calibration contract."""
-    sh = sig.select(F.col("doc"), F.explode("shingles").alias("sg")).select(
-        "doc", F.md5("sg").alias("sh")
-    )
-    sizes = sig.select("doc", F.size("shingles").alias("n"))
+    # The set size is row-local on the signature frame, so it rides the
+    # blocking join and the pair groupBy as a functionally dependent
+    # grouping key — no doc-keyed size joins onto the Σdf²-row pair
+    # frame (sort-merge joins beyond the broadcast threshold).
+    sh = sig.select(
+        F.col("doc"),
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("sg"),
+    ).select("doc", "n", F.md5("sg").alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
@@ -798,17 +807,16 @@ def exact_jaccard_pairs_from_signatures(
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(
-            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
     uni = F.col("n_a") + F.col("n_b") - F.col("shared")
     return (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(t_den * F.col("shared") >= t_num * uni)
+        pairs.filter(t_den * F.col("shared") >= t_num * uni)
         .select(
             "id_a",
             "id_b",
