@@ -273,8 +273,10 @@ def test_no_plan_red_flags(spark, name, entry):
     - q_leakage_safe_split: the same ONE one-row broadcast attach (the
       1 + max(doc_id) planted-copy offset, shared fixture shape with
       q_neardup_dedup_pipeline); the split itself is a projection over
-      the CC labels and the leak audit one component-keyed groupBy —
-      no data-sized join beyond the pipeline's audited stages.
+      the CC labels and the leak audit one component-keyed collect_set
+      window (r19 — the former countDistinct groupBy + labels join-back
+      is gone) — no data-sized join beyond the pipeline's audited
+      stages.
     - q_cross_neardup_filter: the same ONE one-row broadcast attach
       (the 1 + max(doc_id) truncated-copy offset, r14 — retired the
       literal +2,000,000 fixture offset); the gate proper is the
