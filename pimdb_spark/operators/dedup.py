@@ -420,9 +420,11 @@ def dup_span_excise(
 
 def _span_grams(docs, id_col, text_col, n):
     """(base, grams) for the span-excision family: base = (id, toks,
-    n_tokens); grams = one (id, gpos, md5-span-hash) row per n-token
-    span start (md5 keys — 128-bit, engine-identical, ~10x narrower on
-    the wire than a raw n-token span)."""
+    n_tokens); grams = one (id, gpos, 16-byte unhex(md5) span hash) row
+    per n-token span start (128-bit keys, engine-identical semantics,
+    ~20x narrower on the wire than a raw n-token span; the binary form
+    is half the r18 hex string — unhex is bijective on md5 output, so
+    every groupBy/distinct/join over gh is count-identical)."""
     arr = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col).alias("_id"), arr.alias("toks")
@@ -444,7 +446,9 @@ def _span_grams(docs, id_col, text_col, n):
     ).select(
         "_id",
         "gpos",
-        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("gpos"), n))).alias("gh"),
+        F.unhex(
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("gpos"), n)))
+        ).alias("gh"),
     )
     return base, grams
 
@@ -734,7 +738,7 @@ def exact_jaccard_pairs(
         )
         .filter(F.size("s") > 0)
         .select("doc", F.size("s").alias("n"), F.explode("s").alias("sg"))
-        .select("doc", "n", F.md5("sg").alias("sh"))
+        .select("doc", "n", F.unhex(F.md5("sg")).alias("sh"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -781,12 +785,14 @@ def exact_jaccard_pairs_from_signatures(
     signature chain's collect_set shingles are exactly word_shingles'
     distinct sets (same tokenizer, same k-gram concat, same >=k-token
     filter), `shared` counts shared DISTINCT shingles either way, and
-    the blocking equi-join keys on the SAME 32-char md5 of the shingle
-    the standalone form uses — so the shuffle wire is identical too
-    (k-word shingles routinely exceed 32 chars; keying the join on the
-    raw strings, as the first cut of this function did, made the
+    the blocking equi-join keys on the SAME 16-byte unhex(md5) of the
+    shingle the standalone form uses — so the shuffle wire is identical
+    too (k-word shingles routinely exceed 32 chars; keying the join on
+    the raw strings, as the first cut of this function did, made the
     blocking shuffle wider than the form it claims parity with — r18
-    ADVICE).
+    ADVICE; r19 halved the key again, 32-char hex string → 16-byte
+    binary, unhex being bijective on md5 output so counts cannot
+    change).
 
     Scale: identical to exact_jaccard_pairs — sum-over-shingles df^2
     candidate rows; run on a sample, per the calibration contract."""
@@ -798,7 +804,7 @@ def exact_jaccard_pairs_from_signatures(
         F.col("doc"),
         F.size("shingles").alias("n"),
         F.explode("shingles").alias("sg"),
-    ).select("doc", "n", F.md5("sg").alias("sh"))
+    ).select("doc", "n", F.unhex(F.md5("sg")).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
