@@ -211,15 +211,22 @@ def _banded_signatures(
 ) -> DataFrame:
     """(id_out, band, band_hash) rows from a _minhash_doc_signatures frame:
     one md5 per band over its rows_per_band slice, comma-joined as text so
-    the band hash is engine-reproducible.  The band join downstream carries
-    these rows ONLY — the wide shingle arrays stay out of the
-    O(n_docs x bands) shuffle and are re-joined just for the (typically
-    tiny) candidate set."""
+    the band hash is engine-reproducible; the key ships as 16-byte
+    unhex(md5) BINARY — half the r18 hex string on the banding join's
+    wire, count-identical because unhex is bijective on md5 output
+    (r19; the streaming path keeps the hex form — its band_hash is an
+    applyInPandasWithState group key with its own state contract).  The
+    band join downstream carries these rows ONLY — the wide shingle
+    arrays stay out of the O(n_docs x bands) shuffle and are re-joined
+    just for the (typically tiny) candidate set."""
     rows_per_band = num_hashes // bands
     band_hash = [
-        F.md5(
-            F.concat_ws(
-                ",", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        F.unhex(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)],
+                )
             )
         )
         for b in range(bands)
